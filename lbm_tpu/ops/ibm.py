@@ -1,0 +1,149 @@
+"""Multi-direct-forcing immersed boundary method (IBM).
+
+Re-designs src/ibm.cpp (/root/reference/src/ibm.cpp:15-191) for TPU: the
+reference loops over markers on the host, doing a 16-point gather + spread
+per marker per forcing iteration (ibm.cpp:169-183).  Markers are static, so
+here every marker's 4x4 support box becomes a row of a precomputed
+(M, 16) index table; interpolation is one batched gather + einsum and
+spreading is one deterministic scatter-add — no host loops, fully jittable.
+
+Peskin 4-point kernel (ibm.cpp:39-45):
+    phi(r) = 1/8 (3 - 2r + sqrt(1 + 4r - 4r^2))   for |r| <= 1
+           = 1/8 (5 - 2r - sqrt(-7 + 12r - 4r^2)) for 1 < |r| <= 2
+           = 0 otherwise
+
+Parity note: the reference pairs the x-fraction weights with the *column*
+axis of the support box (its phi vector is laid out transposed relative to
+the reshaped box — ibm.cpp:47-57 vs :171).  The default here pairs x-weights
+with rows (the mathematically intended pairing); pass
+``reference_transposed_weights=True`` to reproduce the reference exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def peskin4(r: np.ndarray) -> np.ndarray:
+    """Peskin 4-point kernel, vectorised.  cites /root/reference/src/ibm.cpp:39-45"""
+    r = np.abs(np.asarray(r, dtype=np.float64))
+    inner = 0.125 * (3.0 - 2.0 * r + np.sqrt(np.maximum(1.0 + 4.0 * r - 4.0 * r * r, 0.0)))
+    outer = 0.125 * (5.0 - 2.0 * r - np.sqrt(np.maximum(-7.0 + 12.0 * r - 4.0 * r * r, 0.0)))
+    return np.where(r <= 1.0, inner, np.where(r <= 2.0, outer, 0.0))
+
+
+@dataclass(frozen=True)
+class IBM:
+    """Static-marker immersed boundary with precomputed gather/scatter maps.
+
+    Attributes:
+      weights: (M, 16) kernel weights per marker support point.
+      flat_idx: (M, 16) int32 indices into the flattened ROI grid.
+      roi_rows / roi_cols: ROI slice bounds (absolute grid coordinates).
+      roi_shape: (rows, cols) of the ROI.
+      m_max: forcing iterations + 1 (reference default 5 -> 4 iterations,
+             ibm.cpp:59-66, :166).
+    """
+
+    weights: jnp.ndarray
+    flat_idx: jnp.ndarray
+    roi_rows: tuple[int, int]
+    roi_cols: tuple[int, int]
+    roi_shape: tuple[int, int]
+    m_max: int = 5
+
+    @classmethod
+    def from_markers(cls, xs, ys, m_max: int = 5,
+                     reference_transposed_weights: bool = False) -> "IBM":
+        """Build from absolute marker coordinates (x along rows, y along
+        cols, matching the [name].x/[name].y TOML arrays, ibm.cpp:78-101)."""
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        # ROI bounds.  cites ibm.cpp:95-99
+        r_min = int(np.floor(xs).min()) - 2
+        r_max = int(np.floor(xs).max()) + 2
+        c_min = int(np.floor(ys).min()) - 2
+        c_max = int(np.floor(ys).max()) + 2
+        roi_shape = (r_max - r_min + 1, c_max - c_min + 1)
+
+        # ROI-relative marker positions (ibm.cpp:101)
+        xr = xs - r_min
+        yr = ys - c_min
+        offs = np.arange(4, dtype=np.float64)
+        # fractional distances to the 4 support nodes along each axis
+        sx = xr[:, None] - (offs[None, :] + np.floor(xr)[:, None] - 1.0)  # (M,4)
+        sy = yr[:, None] - (offs[None, :] + np.floor(yr)[:, None] - 1.0)
+        wx = peskin4(sx)
+        wy = peskin4(sy)
+        if reference_transposed_weights:
+            # reference pairing: x-weights along cols (ibm.cpp:47-57)
+            w = (wy[:, :, None] * wx[:, None, :]).reshape(len(xs), 16)
+        else:
+            w = (wx[:, :, None] * wy[:, None, :]).reshape(len(xs), 16)
+
+        rows0 = (np.floor(xr) - 1.0).astype(np.int64)  # (M,)
+        cols0 = (np.floor(yr) - 1.0).astype(np.int64)
+        rr = rows0[:, None] + np.arange(4)[None, :]  # (M,4)
+        cc = cols0[:, None] + np.arange(4)[None, :]
+        flat = (rr[:, :, None] * roi_shape[1] + cc[:, None, :]).reshape(len(xs), 16)
+        return cls(
+            weights=jnp.asarray(w),
+            flat_idx=jnp.asarray(flat, dtype=jnp.int32),
+            roi_rows=(r_min, r_max + 1),
+            roi_cols=(c_min, c_max + 1),
+            roi_shape=roi_shape,
+            m_max=m_max,
+        )
+
+    @classmethod
+    def circle(cls, center_x: float, center_y: float, radius: float,
+               n_markers: int, **kw) -> "IBM":
+        """Convenience constructor for a cylinder boundary (the marker TOML
+        the reference expects does not ship; SURVEY.md section 5.6)."""
+        theta = np.linspace(0.0, 2.0 * np.pi, n_markers, endpoint=False)
+        return cls.from_markers(
+            center_x + radius * np.cos(theta),
+            center_y + radius * np.sin(theta),
+            **kw,
+        )
+
+    def roi(self, field: jnp.ndarray) -> jnp.ndarray:
+        """Slice a (..., R, C) grid field down to the ROI."""
+        return field[..., self.roi_rows[0]:self.roi_rows[1],
+                     self.roi_cols[0]:self.roi_cols[1]]
+
+    def eulerian_force_density(self, u: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+        """Multi-direct-forcing force density over the ROI, shape
+        (2, roi_r, roi_c).  cites /root/reference/src/ibm.cpp:158-190:
+          per iteration: interpolate u at markers, f_j = -2 rho_j u_j,
+          spread back with the same weights, u += 0.5 F_n / rho."""
+        u_roi = self.roi(u)
+        rho_roi = self.roi(rho)
+        dtype = u_roi.dtype
+        nflat = self.roi_shape[0] * self.roi_shape[1]
+        rho_flat = rho_roi.reshape(nflat)
+        w = self.weights.astype(dtype)
+
+        rho_j = (w * rho_flat[self.flat_idx]).sum(axis=1)  # (M,)
+
+        def body(_, carry):
+            u_work, F_total = carry
+            u_flat = u_work.reshape(2, nflat)
+            # interpolate: u_j = sum_l w_l u(box_l)
+            u_box = u_flat[:, self.flat_idx]          # (2, M, 16)
+            u_j = (w[None] * u_box).sum(axis=2)       # (2, M)
+            f_j = -2.0 * rho_j[None] * u_j            # (2, M)
+            # spread: F_n(box_l) += w_l f_j  (deterministic scatter-add)
+            contrib = w[None] * f_j[:, :, None]       # (2, M, 16)
+            F_n = jnp.zeros((2, nflat), dtype).at[:, self.flat_idx].add(contrib)
+            F_n = F_n.reshape((2,) + self.roi_shape)
+            u_work = u_work + 0.5 * F_n / rho_roi[None]
+            return u_work, F_total + F_n
+
+        init = (u_roi, jnp.zeros((2,) + self.roi_shape, dtype))
+        _, F = jax.lax.fori_loop(0, self.m_max - 1, body, init)
+        return F

@@ -1,0 +1,222 @@
+"""Channel-flow scenes (single-phase BGK family).
+
+Each scene reproduces one reference driver:
+  * horizontal_poiseuille — test/horizontal_poiseuille_test.cpp (the hard
+    accuracy gate: L2 <= 1e-11 vs the analytic parabola).
+  * vertical_poiseuille   — test/vertical_poiseuille_test.cpp
+  * gravity_channel       — test/gravity_test.cpp
+  * specular_channel      — test/specular_boundary_test.cpp
+  * free_stream           — test/free_stream_test.cpp
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary import bc
+from ..models.single_phase import SinglePhaseModel
+from ..ops import d2q9
+
+TAU_DEFAULT = math.sqrt(3.0 / 16.0) + 0.5  # cites horizontal_poiseuille_test.cpp:55
+
+
+@dataclass
+class ChannelResult:
+    f: jnp.ndarray
+    rho: jnp.ndarray
+    u: jnp.ndarray
+    steps: int
+    l2: float | None = None
+
+
+def poiseuille_analytic(W: int, u_max: float) -> np.ndarray:
+    """Analytic parabola u(y) = -4 u_max/W^2 * y (y - W), y = idx + 1/2.
+    cites /root/reference/test/horizontal_poiseuille_test.cpp:163-164"""
+    y = np.linspace(1, W, W) - 0.5
+    return -4.0 * u_max / (W * W) * y * (y - W)
+
+
+def poiseuille_l2(u_x: np.ndarray, u_max: float) -> float:
+    """Reference's L2 metric: row-wise relative L2 averaged over ALL rows
+    but summed only over interior rows.
+    cites /root/reference/test/horizontal_poiseuille_test.cpp:163-173"""
+    H, W = u_x.shape
+    ua = poiseuille_analytic(W, u_max)
+    denom = 1.0 / np.sqrt(np.sum(ua**2))
+    errors = np.zeros(H)
+    for r in range(1, H - 1):
+        errors[r] = np.sqrt(np.sum((u_x[r] - ua) ** 2)) * denom
+    return float(np.sum(errors) / H)
+
+
+def _converged_run(model: SinglePhaseModel, f: jnp.ndarray, T: int,
+                   t_interval: int = 100, tolerance: float = 1e-12):
+    """Run up to T steps, stopping when the relative change of mean(u_x)
+    over t_interval steps drops below tolerance.
+    cites /root/reference/test/horizontal_poiseuille_test.cpp:93-126"""
+    chunk = jax.jit(model.run_chunk, static_argnums=1)
+    mean_ux = jax.jit(lambda g: jnp.mean(model.macroscopics(g)[1][0]))
+    steps = 0
+    old_mean = 1.0
+    f = chunk(f, 1)
+    steps += 1
+    while steps < T:
+        mean = float(mean_ux(f))
+        # torch's .item() on 0/0 gives nan/inf (never converges); guard the
+        # python ZeroDivisionError the same way.
+        if old_mean != 0.0 and abs(mean / old_mean - 1.0) < tolerance:
+            break
+        old_mean = mean
+        n = min(t_interval, T - steps)
+        f = chunk(f, n)
+        steps += n
+    return f, steps
+
+
+def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
+                          u_max: float = 1.030985714e-1,
+                          tau: float = TAU_DEFAULT,
+                          dtype=jnp.float64) -> ChannelResult:
+    """Pressure-driven flow along rows, no-slip walls on the first/last
+    column, incompressible equilibrium.  Parameters cite
+    /root/reference/test/horizontal_poiseuille_test.cpp:50-67."""
+    omega = 1.0 / tau
+    nu = (2.0 * tau - 1.0) / 6.0
+    p_grad = 8.0 * nu * u_max / (W * W)
+    rho_outlet = 1.0
+    rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
+
+    model = SinglePhaseModel(
+        omega=omega,
+        incompressible=True,
+        pre_stream_bcs=(
+            lambda fc, fe, u, rho: bc.pressure_periodic(
+                fc, fe, u, rho_inlet, rho_outlet, axis=0,
+                eq_fn=d2q9.incomp_equilibrium),
+        ),
+        post_stream_bcs=(
+            lambda fa, fc: bc.bounce_back(fa, fc, "colN"),
+            lambda fa, fc: bc.bounce_back(fa, fc, "col0"),
+        ),
+    )
+    f = model.init(H, W, dtype=dtype)
+    f, steps = _converged_run(model, f, T)
+    rho, u = model.macroscopics(f)
+    l2 = poiseuille_l2(np.asarray(u[0]), u_max)
+    return ChannelResult(f=f, rho=rho, u=u, steps=steps, l2=l2)
+
+
+def vertical_poiseuille(H: int = 51, W: int = 51, T: int = 10000,
+                        u_max: float = 0.1, tau: float = TAU_DEFAULT,
+                        dtype=jnp.float64) -> ChannelResult:
+    """Flow along cols with compressible equilibrium; pressure BC acts on the
+    cols axis, no-slip on first/last row.
+    cites /root/reference/test/vertical_poiseuille_test.cpp:46-123."""
+    omega = 1.0 / tau
+    nu = (2.0 * tau - 1.0) / 6.0
+    p_grad = 8.0 * nu * u_max / (W * W)
+    rho_outlet = 1.0
+    rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
+
+    model = SinglePhaseModel(
+        omega=omega,
+        incompressible=False,
+        pre_stream_bcs=(
+            lambda fc, fe, u, rho: bc.pressure_periodic(
+                fc, fe, u, rho_inlet, rho_outlet, axis=1,
+                eq_fn=d2q9.equilibrium),
+        ),
+        post_stream_bcs=(
+            lambda fa, fc: bc.bounce_back(fa, fc, "rowN"),
+            lambda fa, fc: bc.bounce_back(fa, fc, "row0"),
+        ),
+    )
+    f = model.init(H, W, dtype=dtype)
+    f = jax.jit(model.run_chunk, static_argnums=1)(f, T)
+    rho, u = model.macroscopics(f)
+    return ChannelResult(f=f, rho=rho, u=u, steps=T)
+
+
+def gravity_channel(H: int = 21, W: int = 21, T: int = 10000,
+                    fg: float = -0.0003, tau: float = TAU_DEFAULT,
+                    tolerance: float = 1e-12,
+                    dtype=jnp.float64) -> ChannelResult:
+    """Body-force-driven channel: u += Fg, Guo source, equal inlet/outlet
+    densities.  cites /root/reference/test/gravity_test.cpp:60-177."""
+    omega = 1.0 / tau
+    model = SinglePhaseModel(
+        omega=omega,
+        incompressible=True,
+        force=(fg, 0.0),
+        pre_stream_bcs=(
+            lambda fc, fe, u, rho: bc.pressure_periodic(
+                fc, fe, u, 1.0, 1.0, axis=0, eq_fn=d2q9.incomp_equilibrium),
+        ),
+        post_stream_bcs=(
+            lambda fa, fc: bc.bounce_back(fa, fc, "colN"),
+            lambda fa, fc: bc.bounce_back(fa, fc, "col0"),
+        ),
+    )
+    f = model.init(H, W, dtype=dtype)
+    f, steps = _converged_run(model, f, T, tolerance=tolerance)
+    rho, u = model.macroscopics(f)
+    u = u + jnp.asarray([fg, 0.0], dtype=f.dtype)[:, None, None]
+    return ChannelResult(f=f, rho=rho, u=u, steps=steps)
+
+
+def specular_channel(H: int = 51, W: int = 51, T: int = 10000,
+                     u_max: float = 0.1, tau: float = TAU_DEFAULT,
+                     dtype=jnp.float64) -> ChannelResult:
+    """Pressure-driven channel with free-slip (specular) side walls: the
+    profile should stay flat.  cites /root/reference/test/specular_boundary_test.cpp."""
+    omega = 1.0 / tau
+    nu = (2.0 * tau - 1.0) / 6.0
+    p_grad = 8.0 * nu * u_max / (W * W)
+    rho_inlet = 3.0 * (H - 1) * p_grad + 1.0
+
+    model = SinglePhaseModel(
+        omega=omega,
+        incompressible=False,
+        pre_stream_bcs=(
+            lambda fc, fe, u, rho: bc.pressure_periodic(
+                fc, fe, u, rho_inlet, 1.0, axis=0, eq_fn=d2q9.equilibrium),
+        ),
+        post_stream_bcs=(
+            lambda fa, fc: bc.specular(fa, fc, "colN"),
+            lambda fa, fc: bc.specular(fa, fc, "col0"),
+        ),
+    )
+    f = model.init(H, W, dtype=dtype)
+    f = jax.jit(model.run_chunk, static_argnums=1)(f, T)
+    rho, u = model.macroscopics(f)
+    return ChannelResult(f=f, rho=rho, u=u, steps=T)
+
+
+def free_stream(H: int = 54, W: int = 42, T: int = 1000,
+                u_stream: float = 0.1, omega: float = 1.0 / 0.55,
+                dtype=jnp.float64) -> ChannelResult:
+    """Uniform stream preserved by ABB inlet/outlet + specular side walls.
+    cites /root/reference/test/free_stream_test.cpp:75-135."""
+    u_w = jnp.asarray([u_stream, 0.0])
+
+    model = SinglePhaseModel(
+        omega=omega,
+        incompressible=True,
+        post_stream_bcs=(
+            lambda fa, fc: bc.anti_bounce_back(fa, fc, "row0", u_w),
+            lambda fa, fc: bc.anti_bounce_back(fa, fc, "rowN", u_w),
+            lambda fa, fc: bc.specular(fa, fc, "colN"),
+            lambda fa, fc: bc.specular(fa, fc, "col0"),
+        ),
+    )
+    u0 = jnp.zeros((2, H, W), dtype=dtype).at[0].set(u_stream)
+    f = model.init(H, W, dtype=dtype, u0=u0)
+    f = jax.jit(model.run_chunk, static_argnums=1)(f, T)
+    rho, u = model.macroscopics(f)
+    return ChannelResult(f=f, rho=rho, u=u, steps=T)

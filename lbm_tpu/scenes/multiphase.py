@@ -1,0 +1,246 @@
+"""Multiphase scenes: static droplets and Rayleigh-Taylor, in the MRT-CG,
+MRT-CSF and RK-CG families.
+
+Each reproduces one reference driver (grid sizes, initial fields, BCs and
+constants cited per function).  All use fully vectorised initialisation in
+numpy (the reference loops over cells on the host).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary import bc
+from ..core.params import ColourParams, DomainParams, GeneralParams, load_toml
+from ..models import mrt_cg, rk_cg
+from ..models.mrt_cg import MRTCGModel, TwoPhaseState
+from ..models.rk_cg import RKDropletColour, RKDropletModel, RKMixtureModel
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def init_rho_droplet(R: int, C: int, rho_0: float, inside: bool,
+                     radius: float = 25.0, sharpness: float = 1.0) -> np.ndarray:
+    """Sigmoid droplet of given radius centred at (R/2, R/2).
+    cites /root/reference/test/mrtcg_static_droplet.cpp:182-203
+    (sharpness=1) and test/rk_static_droplet_test.cpp:363-396 (sharpness=2,
+    centre (L/2, L/2))."""
+    center = R / 2.0
+    r = np.arange(R)[:, None]
+    c = np.arange(C)[None, :]
+    s = np.sqrt((r - center) ** 2 + (c - center) ** 2)
+    ans = 1.0 - _sigmoid(sharpness * (s - radius)) if inside else _sigmoid(
+        sharpness * (s - radius))
+    return rho_0 * ans
+
+
+def init_rho_cosine(R: int, C: int, rho_0: float, fill_below: bool,
+                    amplitude_sign: float = -1.0) -> np.ndarray:
+    """Heavy/light layers separated by a cosine-perturbed interface at
+    s(c) = R/2 + amplitude_sign*0.1*C*cos(2 pi c / C); fill_below selects
+    rows r < s.  cites /root/reference/test/mrtcg_rayleigh_taylor.cpp:182-210
+    (sign -1, red fills r<s) and test/mrt_rayleigh_taylor.cpp:184-212
+    (sign +1)."""
+    r = np.arange(R)[:, None] * np.ones((1, C))
+    c = np.ones((R, 1)) * np.arange(C)[None, :]
+    s = R / 2.0 + amplitude_sign * 0.1 * C * np.cos(2.0 * 3.141592 * c / C)
+    mask = (r < s) if fill_below else (r >= s)
+    return rho_0 * mask.astype(np.float64)
+
+
+def mrtcg_boundary(f_adve, f_coll):
+    """The multiphase drivers' wall rule: periodic left-right (no diagonal
+    offset, rows 1..-2) then bounce-back top/bottom.
+    cites /root/reference/test/mrtcg_rayleigh_taylor.cpp:495-533"""
+    f_adve = bc.periodic_edge(f_adve, f_coll, "col0", lane=slice(1, -1),
+                              diagonal_shift=False)
+    f_adve = bc.periodic_edge(f_adve, f_coll, "colN", lane=slice(1, -1),
+                              diagonal_shift=False)
+    f_adve = bc.bounce_back(f_adve, f_coll, "rowN")
+    f_adve = bc.bounce_back(f_adve, f_coll, "row0")
+    return f_adve
+
+
+DEFAULT_RED = ColourParams(rho_0=3.0, alpha=0.7, A=0.5, nu=0.04, beta=0.7)
+DEFAULT_BLUE = ColourParams(rho_0=1.0, alpha=0.1, A=0.5, nu=0.04, beta=-0.7)
+
+
+@dataclass
+class MultiphaseResult:
+    state: object
+    steps: int
+    snapshots: dict
+
+
+def _run_chunks(model, state, T: int, snapshot_every: int | None,
+                record: dict[str, callable] | None = None):
+    """Host loop over jitted chunks with optional snapshot recording."""
+    step = jax.jit(model.step)
+    chunk_n = snapshot_every or max(1, min(T, 1000))
+    chunk = jax.jit(
+        lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: model.step(x), s),
+        static_argnums=1,
+    )
+    snaps: dict[str, list] = {k: [] for k in (record or {})}
+    done = 0
+    while done < T:
+        if record and snapshot_every and done % snapshot_every == 0:
+            for k, fn in record.items():
+                snaps[k].append(np.asarray(fn(state)))
+        n = min(chunk_n, T - done)
+        state = chunk(state, n)
+        done += n
+    return state, {k: np.stack(v) if v else None for k, v in snaps.items()}
+
+
+def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
+                         red: ColourParams = DEFAULT_RED,
+                         blue: ColourParams = DEFAULT_BLUE,
+                         sigma: float = 0.1, radius: float = 25.0,
+                         snapshot_every: int | None = None,
+                         dtype=jnp.float64) -> MultiphaseResult:
+    """MRT-CG static droplet (Laplace-law scene).
+    Workload/constants cite /root/reference/test/mrtcg_static_droplet.cpp:
+    L=100, T=100 (:463,500 via TOML), sigma=0.1 (:439),
+    Fg=(0,-6.25e-6) with the force source disabled (:452,513)."""
+    model = MRTCGModel(
+        red=red, blue=blue, sigma=sigma, gravity=(0.0, -6.25e-6),
+        apply_gravity_source=False, boundary=mrtcg_boundary,
+    )
+    r0 = init_rho_droplet(R, C, red.rho_0, inside=True, radius=radius)
+    b0 = init_rho_droplet(R, C, blue.rho_0, inside=False, radius=radius)
+    state = model.init_state(r0, b0, dtype=dtype, u_init_gravity_shift=True)
+    record = {
+        "rho": lambda s: s.red.rho + s.blue.rho,
+        "psi": lambda s: mrt_cg.phase_field(s.red.rho, red.rho_0,
+                                            s.blue.rho, blue.rho_0),
+    }
+    state, snaps = _run_chunks(model, state, T, snapshot_every, record)
+    return MultiphaseResult(state=state, steps=T, snapshots=snaps)
+
+
+def mrtcg_rayleigh_taylor(config_path: str | None = None,
+                          R: int = 256, C: int = 128, T: int = 100000,
+                          red: ColourParams = DEFAULT_RED,
+                          blue: ColourParams = DEFAULT_BLUE,
+                          sigma: float = 1e-4,
+                          gravity_magnitude: float = 6.25e-7,
+                          snapshot_every: int | None = None,
+                          dtype=jnp.float64) -> MultiphaseResult:
+    """MRT-CG Rayleigh-Taylor.  Defaults follow the shipped TOML
+    (/root/reference/mrtcg-rayleigh-taylor-gamma3.toml:4-22) with a
+    [general] table as required by mrtcg_rayleigh_taylor.cpp:360-362.
+    Heavy (red) fluid on top (init_rho_cosine sign -1, fill r<s)."""
+    if config_path:
+        tbl = load_toml(config_path)
+        dom = DomainParams.from_toml(tbl)
+        R, C, T = dom.R, dom.C, dom.T
+        red = ColourParams.from_toml(tbl, "red")
+        blue = ColourParams.from_toml(tbl, "blue")
+        if "general" in tbl:
+            gen = GeneralParams.from_toml(tbl)
+            sigma, gravity_magnitude = gen.sigma, gen.gravity_magnitude
+        snapshot_every = snapshot_every or dom.period_snapshots
+
+    model = MRTCGModel(
+        red=red, blue=blue, sigma=sigma,
+        gravity=(gravity_magnitude, 0.0),
+        apply_gravity_source=True, boundary=mrtcg_boundary,
+    )
+    r0 = init_rho_cosine(R, C, red.rho_0, fill_below=True, amplitude_sign=-1.0)
+    b0 = init_rho_cosine(R, C, blue.rho_0, fill_below=False, amplitude_sign=-1.0)
+    state = model.init_state(r0, b0, dtype=dtype)
+    record = {
+        "psi": lambda s: mrt_cg.phase_field(s.red.rho, red.rho_0,
+                                            s.blue.rho, blue.rho_0),
+        "ux": lambda s: s.u[0],
+    }
+    state, snaps = _run_chunks(model, state, T, snapshot_every, record)
+    return MultiphaseResult(state=state, steps=T, snapshots=snaps)
+
+
+def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
+                            red: ColourParams = DEFAULT_RED,
+                            blue: ColourParams = DEFAULT_BLUE,
+                            sigma: float = 1e-4,
+                            gravity_magnitude: float = 6.25e-7,
+                            snapshot_every: int | None = None,
+                            dtype=jnp.float64) -> MultiphaseResult:
+    """CSF-curvature variant of the MRT colour-gradient RT.
+    cites /root/reference/test/mrt_rayleigh_taylor.cpp:392-545 (interface
+    sign +1, initial u = 0.5 Fg/red.rho_0, u shift includes the surface
+    force)."""
+    model = MRTCGModel(
+        red=red, blue=blue, sigma=sigma,
+        gravity=(gravity_magnitude, 0.0),
+        apply_gravity_source=True, boundary=mrtcg_boundary,
+        surface_tension="csf",
+    )
+    r0 = init_rho_cosine(R, C, red.rho_0, fill_below=True, amplitude_sign=1.0)
+    b0 = init_rho_cosine(R, C, blue.rho_0, fill_below=False, amplitude_sign=1.0)
+    state = model.init_state(r0, b0, dtype=dtype)
+    # initial velocity shift by 0.5 Fg / red.rho_0 (scalar), mrt_rayleigh_taylor.cpp:464
+    fg = jnp.asarray([gravity_magnitude, 0.0], dtype)
+    u0 = state.u + 0.5 * fg[:, None, None] / red.rho_0
+    state = TwoPhaseState(state.red, state.blue, u0)
+    record = {
+        "psi": lambda s: mrt_cg.phase_field(s.red.rho, red.rho_0,
+                                            s.blue.rho, blue.rho_0),
+    }
+    state, snaps = _run_chunks(model, state, T, snapshot_every, record)
+    return MultiphaseResult(state=state, steps=T, snapshots=snaps)
+
+
+def rk_static_droplet(L: int = 101, T: int = 2000, radius: float = 25.0,
+                      sigma: float = 5e-3,
+                      snapshot_every: int | None = None,
+                      dtype=jnp.float64) -> MultiphaseResult:
+    """RK (Reis-Phillips) static droplet.
+    Constants cite /root/reference/test/rk_static_droplet_test.cpp:504-506:
+    red(rho_0=1.2, alpha=1/3, A=1e-4, nu=0.16, beta=+0.7),
+    blue(rho_0=1.0, alpha=0.2, A=1e-4, nu=0.14, beta=-0.7), delta=0.98."""
+    red = RKDropletColour(rho_0=1.2, alpha=1.0 / 3.0, A=1e-4, nu=0.16, beta=0.7)
+    blue = RKDropletColour(rho_0=1.0, alpha=0.2, A=1e-4, nu=0.14, beta=-0.7)
+    model = RKDropletModel(red=red, blue=blue, sigma=sigma, delta=0.98)
+    r0 = init_rho_droplet(L, L, red.rho_0, inside=True, radius=radius, sharpness=2.0)
+    b0 = init_rho_droplet(L, L, blue.rho_0, inside=False, radius=radius, sharpness=2.0)
+    state = model.init_state(r0, b0, dtype=dtype)
+    record = {"r_rho": lambda s: s.red.rho, "b_rho": lambda s: s.blue.rho}
+    state, snaps = _run_chunks(model, state, T, snapshot_every, record)
+    return MultiphaseResult(state=state, steps=T, snapshots=snaps)
+
+
+def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
+                       nu: float = 0.04,
+                       gravity: tuple[float, float] = (-6.25e-6, 0.0),
+                       snapshot_every: int | None = None,
+                       dtype=jnp.float64) -> MultiphaseResult:
+    """RK-CG Rayleigh-Taylor on a 4L x L grid.
+    Constants cite /root/reference/test/rk_rayleigh_taylor_test.cpp:81-126:
+    red(alpha=11/15, rho_0=3), blue(alpha=0.2, rho_0=1), beta=0.7,
+    Fg=(-6.25e-6, 0).
+
+    Deviation from the reference: its driver does not build (src/rk.cpp's
+    `diff_op D` member is undefined, SURVEY.md section 2.1 #9) and its
+    boundary block mixes up axes; this scene uses the physically consistent
+    BCs of the MRT-CG RT driver (periodic cols + bounce-back rows) and the
+    +/-beta recolouring split."""
+    R, C = 4 * L, L
+    model = RKMixtureModel(
+        r_alpha=11.0 / 15.0, r_rho_0=3.0, r_nu=nu,
+        b_alpha=0.2, b_rho_0=1.0, b_nu=nu,
+        sigma=sigma, beta=0.7, gravity=gravity,
+        boundary=mrtcg_boundary,
+    )
+    r0 = init_rho_cosine(R, C, 3.0, fill_below=False, amplitude_sign=1.0)
+    b0 = init_rho_cosine(R, C, 1.0, fill_below=True, amplitude_sign=1.0)
+    state = model.init_state(r0, b0, dtype=dtype)
+    record = {"r_rho": lambda s: s.r_rho, "ux": lambda s: s.u[0]}
+    state, snaps = _run_chunks(model, state, T, snapshot_every, record)
+    return MultiphaseResult(state=state, steps=T, snapshots=snaps)

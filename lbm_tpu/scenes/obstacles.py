@@ -1,0 +1,254 @@
+"""Obstacle scenes: IBM cylinder in a free stream, and rectangle
+sedimentation with a passive advection-diffusion scalar.
+
+  * cylinder_flow — test/cylinder_test.cpp:21-175 (IBM multi-direct forcing)
+  * rectangle_sedimentation — test/rectangle_sedimentation_test.cpp:23-248
+"""
+
+from __future__ import annotations
+
+from ..utils.xmath import esum, tdot
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary import bc
+from ..core import lattice as lat
+from ..models.single_phase import SinglePhaseModel
+from ..ops import d2q9
+from ..ops.ibm import IBM
+
+_WEAK_GUO = (1.0 / 3.0, 1.0 / 9.0)  # cylinder_test.cpp:66-67
+
+
+@dataclass
+class CylinderResult:
+    f: jnp.ndarray
+    rho: jnp.ndarray
+    u: jnp.ndarray
+    F_roi: jnp.ndarray      # Eulerian IBM force density over the ROI
+    surface_force: jnp.ndarray  # (2,) total force on the body
+    steps: int
+
+
+def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
+                  center=(60.0, 60.0), radius: float = 20.0,
+                  n_markers: int = 64, u_stream: float = 0.05,
+                  omega: float = 1.0 / 0.55,
+                  ibm: IBM | None = None,
+                  dtype=jnp.float64) -> CylinderResult:
+    """Uniform stream past an IBM cylinder: ABB inlet/outlet (rows),
+    specular side walls (cols), multi-direct-forcing body force over the
+    marker ROI.  Step order cites /root/reference/test/cylinder_test.cpp:
+    macroscopics -> equilibrium -> IBM force (:110) -> weak-Guo source over
+    the ROI only (:116-127) -> advect -> ABB rows (:132-154) ->
+    specular cols (:156-163).
+
+    The marker TOML the reference expects does not ship (SURVEY.md 5.6);
+    markers default to a generated circle, or pass an ``IBM`` built from
+    ``IBM.from_markers``/TOML arrays."""
+    ib = ibm or IBM.circle(center[0], center[1], radius, n_markers)
+    u_w = jnp.asarray([u_stream, 0.0], dtype)
+
+    r0, r1 = ib.roi_rows
+    c0, c1 = ib.roi_cols
+
+    def step(carry):
+        f, _F, _Fs = carry
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        f_equi = d2q9.equilibrium(u, rho)
+        f_coll = d2q9.bgk_collision(f, f_equi, omega)
+
+        F = ib.eulerian_force_density(u, rho)
+        F_s = F.sum(axis=(1, 2))
+
+        u_roi = ib.roi(u)
+        S = d2q9.guo_source(u_roi, F, omega, ics2=_WEAK_GUO[0], ics4=_WEAK_GUO[1])
+        f_coll = f_coll.at[:, r0:r1, c0:c1].add(S)
+
+        f_new = d2q9.stream(f_coll)
+        f_new = bc.anti_bounce_back(f_new, f_coll, "row0", u_w)
+        f_new = bc.anti_bounce_back(f_new, f_coll, "rowN", u_w)
+        f_new = bc.specular(f_new, f_coll, "colN")
+        f_new = bc.specular(f_new, f_coll, "col0")
+        return f_new, F, F_s
+
+    u0 = jnp.zeros((2, H, W), dtype).at[0].set(u_stream)
+    rho0 = jnp.ones((H, W), dtype)
+    f = d2q9.incomp_equilibrium(u0, rho0)  # cylinder_test.cpp:85
+    F0 = jnp.zeros((2,) + ib.roi_shape, dtype)
+    Fs0 = jnp.zeros((2,), dtype)
+
+    chunk = jax.jit(
+        lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+        static_argnums=1,
+    )
+    carry = (f, F0, Fs0)
+    done = 0
+    while done < T:
+        n = min(2000, T - done)
+        carry = chunk(carry, n)
+        done += n
+    f, F, F_s = carry
+    rho = d2q9.calc_rho(f)
+    u = d2q9.calc_u(f, rho)
+    return CylinderResult(f=f, rho=rho, u=u, F_roi=F, surface_force=F_s, steps=T)
+
+
+# ---------------------------------------------------------------------------
+# Rectangle sedimentation (fluid + ADE passive scalar)
+# ---------------------------------------------------------------------------
+
+def _rect_wall_assignments(H: int, R23: int, C28: int, C38: int):
+    """Interior rectangle bounce-back assignments for the fluid.
+    cites /root/reference/test/rectangle_sedimentation_test.cpp:184-196.
+    The rectangle spans rows [R23, H) at cols [C28, C38]."""
+    rows = slice(R23 + 1, -1)
+    ceil_cols = slice(C28, C38 + 1)
+    return [
+        # first (left-face) wall at col C28: reflect outgoing (2, 5, 6)
+        (8, (rows, C28), 6, 1.0),
+        (4, (rows, C28), 2, 1.0),
+        (7, (rows, C28), 5, 1.0),
+        # ceiling at row R23: reflect outgoing (1, 5, 8)
+        (6, (R23, ceil_cols), 8, 1.0),
+        (3, (R23, ceil_cols), 1, 1.0),
+        (7, (R23, ceil_cols), 5, 1.0),
+        # second (right-face) wall at col C38: reflect outgoing (4, 7, 8)
+        (5, (rows, C38), 7, 1.0),
+        (2, (rows, C38), 4, 1.0),
+        (6, (rows, C38), 8, 1.0),
+    ]
+
+
+def _rect_wall_assignments_ade(H: int, R23: int, C28: int, C38: int):
+    """ADE rectangle walls: anti-bounce-back with zero wall concentration
+    (note the first wall's row slice extends to the last row here).
+    cites /root/reference/test/rectangle_sedimentation_test.cpp:220-232."""
+    rows_full = slice(R23 + 1, None)
+    rows = slice(R23 + 1, -1)
+    ceil_cols = slice(C28, C38 + 1)
+    return [
+        (8, (rows_full, C28), 6, -1.0),
+        (4, (rows_full, C28), 2, -1.0),
+        (7, (rows_full, C28), 5, -1.0),
+        (6, (R23, ceil_cols), 8, -1.0),
+        (3, (R23, ceil_cols), 1, -1.0),
+        (7, (R23, ceil_cols), 5, -1.0),
+        (5, (rows, C38), 7, -1.0),
+        (2, (rows, C38), 4, -1.0),
+        (6, (rows, C38), 8, -1.0),
+    ]
+
+
+@dataclass
+class SedimentationResult:
+    f: jnp.ndarray
+    g: jnp.ndarray
+    rho: jnp.ndarray
+    u: jnp.ndarray
+    C: jnp.ndarray
+    steps: int
+
+
+def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
+                            u_in: float = 0.02, omega: float = 1.0 / 0.55,
+                            w_s: float = 3e-3, C_w: float = 1e-3,
+                            R23: int = -151, C28: int = 200, C38: int = 250,
+                            inlet_rows: int = 50,
+                            dtype=jnp.float64) -> SedimentationResult:
+    """Sediment-laden flow along cols past a bottom-mounted rectangle.
+
+    Couples a BGK fluid to a passive ADE scalar g one-way (Sc = 1); the
+    scalar's equilibrium advects at u + w_s (the settling velocity is added
+    to *both* components, exactly as the reference's `u+w_s` scalar-add does,
+    rectangle_sedimentation_test.cpp:125,201).  BC stack per step:
+      zero-gradient on g at row0 + colN (:134-141, pre-stream),
+      fluid: ABB inlet col0 / extrapolated-ABB outlet colN (:148-172),
+      specular row0 (:174-177), bounce-back rowN (:179-182),
+      rectangle bounce-back (:184-196);
+      scalar: ADE Dirichlet inlet with 2 g_eq (:204-218),
+      rectangle anti-bounce-back (:220-232), bounce-back rowN (:233-236).
+    """
+    R23 = R23 % H if R23 < 0 else R23
+
+    fixed_u_w = jnp.zeros((2, H), dtype).at[1].set(u_in)  # inlet wall velocity
+    cw_profile = np.zeros(H)
+    cw_profile[-inlet_rows:] = C_w
+    cw = jnp.asarray(cw_profile, dtype)
+
+    rect_f = _rect_wall_assignments(H, R23, C28, C38)
+    rect_g = _rect_wall_assignments_ade(H, R23, C28, C38)
+
+    def g_eq_wall(u_col0):
+        """Scalar wall equilibrium at the inlet line (9, H).
+        cites rectangle_sedimentation_test.cpp:204-210"""
+        uw = u_col0 + w_s
+        c = jnp.asarray(lat.C, dtype)
+        cu = tdot(c.T, uw, axes=([1], [0]))  # (9, H)
+        uu = (uw * uw).sum(axis=0)
+        w = jnp.asarray(lat.W, dtype)[:, None]
+        return (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu) * w * cw[None, :]
+
+    def step(carry):
+        f, g, u, rho, C = carry
+        f_equi = d2q9.equilibrium(u, rho)
+        g_equi = d2q9.equilibrium(u + w_s, C)
+        f_coll = d2q9.bgk_collision(f, f_equi, omega)
+        g_coll = d2q9.bgk_collision(g, g_equi, omega)
+
+        # zero-gradient scalar outflows (pre-stream)
+        g_coll = bc.zero_gradient(g_coll, "row0")
+        g_coll = bc.zero_gradient(g_coll, "colN", lane=slice(1, -1))
+
+        f_new = d2q9.stream(f_coll)
+        g_new = d2q9.stream(g_coll)
+
+        # fluid: ABB inlet (col0, rows 1:-1) with fixed wall velocity
+        f_new = bc.anti_bounce_back(f_new, f_coll, "col0", fixed_u_w,
+                                    lane=slice(1, -1))
+        # fluid: ABB outlet (colN) with extrapolated wall velocity
+        u_wall = 1.5 * u[:, :, -1] - 0.5 * u[:, :, -2]
+        f_new = bc.anti_bounce_back(f_new, f_coll, "colN", u_wall)
+        # specular top, no-slip bottom
+        f_new = bc.specular(f_new, f_coll, "row0")
+        f_new = bc.bounce_back(f_new, f_coll, "rowN")
+        # rectangle walls
+        f_new = bc.obstacle_bounce_back(f_new, f_coll, rect_f)
+
+        rho_new = d2q9.calc_rho(f_new)
+        u_new = d2q9.calc_u(f_new, rho_new)
+
+        # ADE Dirichlet inlet uses the *updated* velocity (:199-218)
+        g_wall = g_eq_wall(u_new[:, :, 0])
+        g_new = bc.ade_dirichlet(g_new, g_coll, "col0", g_wall,
+                                 lane=slice(1, -1))
+        g_new = bc.obstacle_bounce_back(g_new, g_coll, rect_g)
+        g_new = bc.bounce_back(g_new, g_coll, "rowN")
+        C_new = d2q9.calc_rho(g_new)
+        return f_new, g_new, u_new, rho_new, C_new
+
+    u0 = jnp.zeros((2, H, W), dtype).at[1].set(u_in)
+    rho0 = jnp.ones((H, W), dtype)
+    C0 = jnp.zeros((H, W), dtype).at[:, 0].set(cw)
+    f = d2q9.incomp_equilibrium(u0, rho0)
+    g = d2q9.equilibrium(u0, C0)
+    rho = d2q9.calc_rho(f)
+    u = d2q9.calc_u(f, rho)
+
+    chunk = jax.jit(
+        lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+        static_argnums=1,
+    )
+    carry = (f, g, u, rho, C0)
+    done = 0
+    while done < T:
+        n = min(2000, T - done)
+        carry = chunk(carry, n)
+        done += n
+    f, g, u, rho, C = carry
+    return SedimentationResult(f=f, g=g, rho=rho, u=u, C=C, steps=T)

@@ -1,0 +1,68 @@
+"""IBM tests: kernel identities, interpolation exactness, cylinder drag."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.ops.ibm import IBM, peskin4
+
+
+def test_peskin_partition_of_unity():
+    # sum of phi over the 4 support nodes is 1 for any fractional offset
+    for frac in np.linspace(0.0, 0.999, 17):
+        s = frac - (np.arange(4) - 1.0)
+        assert peskin4(s).sum() == pytest.approx(1.0, abs=1e-12)
+
+
+def test_weights_sum_to_one():
+    ib = IBM.circle(20.0, 20.0, 7.3, 23)
+    w = np.asarray(ib.weights)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-12)
+    assert (w >= 0).all()
+
+
+def test_interpolation_of_uniform_field_and_force_sign():
+    # for uniform u0, one forcing iteration gives f_j = -2 rho u0 at every
+    # marker; the spread force decelerates the fluid
+    ib = IBM.from_markers([10.2, 12.7], [11.4, 9.1], m_max=2)
+    H = W = 24
+    u = jnp.zeros((2, H, W)).at[0].set(0.1)
+    rho = jnp.ones((H, W))
+    F = np.asarray(ib.eulerian_force_density(u, rho))
+    # total spread force = sum_j f_j = -2 * 0.1 * n_markers in x
+    assert F[0].sum() == pytest.approx(-2.0 * 0.1 * 2, rel=1e-12)
+    assert F[1].sum() == pytest.approx(0.0, abs=1e-12)
+
+
+def test_multi_iteration_reduces_slip():
+    # more forcing iterations should drive the interpolated marker velocity
+    # closer to zero (no-slip target)
+    H = W = 32
+    u = jnp.zeros((2, H, W)).at[0].set(0.08)
+    rho = jnp.ones((H, W))
+
+    def marker_speed(m_max):
+        ib = IBM.circle(16.0, 16.0, 6.0, 24, m_max=m_max)
+        F = ib.eulerian_force_density(u, rho)
+        u_corr = ib.roi(u) + 0.5 * F / ib.roi(rho)[None]
+        nflat = ib.roi_shape[0] * ib.roi_shape[1]
+        u_flat = u_corr.reshape(2, nflat)
+        uj = (ib.weights[None] * u_flat[:, ib.flat_idx]).sum(axis=2)
+        return float(jnp.abs(uj).max())
+
+    s2 = marker_speed(2)
+    s5 = marker_speed(5)
+    assert s5 < s2 < 0.08
+
+
+def test_cylinder_drag_positive():
+    from lbm_tpu.scenes.obstacles import cylinder_flow
+
+    res = cylinder_flow(H=80, W=60, T=200, center=(30.0, 30.0), radius=8.0,
+                        n_markers=32, u_stream=0.05)
+    # drag opposes the stream: force on fluid is negative-x
+    assert float(res.surface_force[0]) < 0.0
+    assert np.isfinite(np.asarray(res.u)).all()
+    # wake: velocity behind the cylinder is below the free stream
+    ux = np.asarray(res.u[0] / res.rho)
+    assert ux[45, 30] < 0.05
