@@ -1,0 +1,115 @@
+"""Throughput benchmark: fused D2Q9 BGK collide-stream, MLUPS per chip.
+
+The reference publishes no performance numbers (SURVEY.md section 6); the
+driver-set target is >= 2000 MLUPS/chip for the fused collide-stream kernel
+(BASELINE.md).  Prints exactly ONE JSON line to stdout; all diagnostics go
+to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4096)
+    ap.add_argument("--cols", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--quick", action="store_true", help="small grid, few steps")
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "jnp", "pallas"],
+                    help="step implementation: XLA-fused jnp or Pallas kernel")
+    args = ap.parse_args()
+    if args.quick:
+        args.rows, args.cols, args.steps = 1024, 1024, 20
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbm_tpu.ops import d2q9
+
+    dtype = jnp.dtype(args.dtype)
+    H, W = args.rows, args.cols
+    log(f"devices: {jax.devices()}")
+    log(f"grid {H}x{W}, {args.steps} steps, {args.dtype}, impl={args.impl}")
+
+    omega = 1.0 / 0.8
+
+    def jnp_step(f):
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        feq = d2q9.equilibrium(u, rho)
+        return d2q9.stream(d2q9.bgk_collision(f, feq, omega))
+
+    impl = args.impl
+    step = jnp_step
+    if impl in ("auto", "pallas"):
+        try:
+            from lbm_tpu.kernels.bgk_pallas import make_fused_step
+
+            step = make_fused_step(H, W, omega, dtype)
+            impl = "pallas"
+        except Exception as e:  # pragma: no cover
+            if args.impl == "pallas":
+                raise
+            log(f"pallas kernel unavailable ({e}); falling back to jnp")
+            impl = "jnp"
+
+    rho0 = jnp.ones((H, W), dtype)
+    u0 = jnp.zeros((2, H, W), dtype).at[0].set(0.05)
+    f = d2q9.equilibrium(u0, rho0)
+
+    chunk = jax.jit(
+        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+        static_argnums=1,
+    )
+
+    def timed(n):
+        """Full round-trip with a forced scalar read: through the axon relay
+        block_until_ready can return before execution completes, so only a
+        device->host read is trustworthy timing."""
+        t0 = time.perf_counter()
+        out = chunk(f, n)
+        s = float(out.sum())
+        return time.perf_counter() - t0, s
+
+    t0 = time.perf_counter()
+    n_small = max(2, args.steps // 4)
+    timed(n_small)  # compile both trip counts outside the timed region
+    timed(args.steps)
+    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
+
+    dt_small, _ = timed(n_small)
+    dt_full, ssum = timed(args.steps)
+    if not (ssum == ssum):  # NaN check on the forced read
+        log("WARNING: non-finite state after benchmark run")
+
+    # marginal rate removes the per-launch relay overhead (~0.8s/call here),
+    # measuring the kernel's actual sustained throughput
+    marginal = H * W * (args.steps - n_small) / max(dt_full - dt_small, 1e-9) / 1e6
+    e2e = H * W * args.steps / dt_full / 1e6
+    log(f"{dt_full:.3f}s full / {dt_small:.3f}s small -> "
+        f"marginal {marginal:.0f} MLUPS, end-to-end {e2e:.0f} MLUPS ({impl})")
+    mlups = marginal
+
+    baseline = 2000.0  # BASELINE.md north star, MLUPS/chip
+    print(json.dumps({
+        "metric": f"bgk_d2q9_collide_stream_mlups_{impl}",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,25 +2,22 @@
 
 The reference validates physics in double precision on a single GPU and
 tests its domain decomposition fully in-process (SURVEY.md section 4); we
-mirror that with x64 on a virtual 8-device CPU mesh
-(xla_force_host_platform_device_count), which is how multi-chip sharding is
-tested without hardware.
+mirror that with x64 on a virtual 8-device CPU mesh, which is how multi-chip
+sharding is tested without hardware.
+
+Environment quirk: the axon sitecustomize registers a remote-TPU PJRT
+plugin at interpreter start and swallows
+XLA_FLAGS=--xla_force_host_platform_device_count, so virtual devices are
+requested through jax.config (jax_num_cpu_devices) instead, before any
+backend is touched.
 """
 
 import os
 
-# The axon sitecustomize pins JAX_PLATFORMS=axon (single remote TPU); tests
-# must run on the local CPU backend with virtual devices, so force-overwrite
-# BEFORE jax is imported.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the box has a single CPU core, so repeated
