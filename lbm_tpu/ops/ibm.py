@@ -100,6 +100,17 @@ class IBM:
         )
 
     @classmethod
+    def from_toml(cls, path: str, name: str, **kw) -> "IBM":
+        """Read marker coordinates from a TOML table [name] with x/y arrays,
+        the schema the reference's ibm ctor expects (ibm.cpp:78-101; no such
+        file ships with the reference, SURVEY.md section 5.6)."""
+        import tomllib
+
+        with open(path, "rb") as fh:
+            tbl = tomllib.load(fh)
+        return cls.from_markers(tbl[name]["x"], tbl[name]["y"], **kw)
+
+    @classmethod
     def circle(cls, center_x: float, center_y: float, radius: float,
                n_markers: int, **kw) -> "IBM":
         """Convenience constructor for a cylinder boundary (the marker TOML

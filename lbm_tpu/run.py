@@ -1,0 +1,130 @@
+"""Config-driven scene runner CLI.
+
+The reference builds one standalone C++ executable per study case
+(CMakeLists.txt:84-177), each with its own main().  Here every scenario is a
+registered scene behind one CLI:
+
+    python -m lbm_tpu.run <scene> [--config cfg.toml] [--set key=value ...]
+           [--out prefix] [--profile dir] [--x64] [--yes]
+
+`--set` overrides any scene keyword (ints/floats/bools parsed as python
+literals).  Results and recorded snapshots are written as .npy files under
+--out.  `--yes` exists for parity with the reference's interactive
+continue gate (src/utils.cpp:7-19) and is the default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import sys
+
+from .utils.observe import confirm, logger, profile
+
+SCENES = {}
+
+
+def _register_all():
+    from .scenes import cavity, channel, multiphase, obstacles, ulbm
+
+    SCENES.update({
+        "horizontal_poiseuille": channel.horizontal_poiseuille,
+        "vertical_poiseuille": channel.vertical_poiseuille,
+        "gravity_channel": channel.gravity_channel,
+        "specular_channel": channel.specular_channel,
+        "free_stream": channel.free_stream,
+        "ulbm_poiseuille": ulbm.ulbm_poiseuille,
+        "ulbm_double_shear": ulbm.ulbm_double_shear,
+        "mrtcg_static_droplet": multiphase.mrtcg_static_droplet,
+        "mrtcg_rayleigh_taylor": multiphase.mrtcg_rayleigh_taylor,
+        "mrt_csf_rayleigh_taylor": multiphase.mrt_csf_rayleigh_taylor,
+        "rk_static_droplet": multiphase.rk_static_droplet,
+        "rk_rayleigh_taylor": multiphase.rk_rayleigh_taylor,
+        "cylinder_flow": obstacles.cylinder_flow,
+        "rectangle_sedimentation": obstacles.rectangle_sedimentation,
+        "ring_cavity": cavity.ring_cavity,
+    })
+
+
+def _save_result(out: str, result) -> None:
+    import numpy as np
+
+    def save_array(name, arr):
+        path = f"{out}-{name}.npy"
+        np.save(path, np.asarray(arr))
+        logger.info(f"wrote {path}")
+
+    if dataclasses.is_dataclass(result):
+        for fld in dataclasses.fields(result):
+            val = getattr(result, fld.name)
+            if fld.name == "snapshots" and isinstance(val, dict):
+                for k, v in val.items():
+                    if v is not None:
+                        save_array(f"snap-{k}", v)
+            elif hasattr(val, "shape"):
+                save_array(fld.name, val)
+            elif hasattr(val, "_fields") or dataclasses.is_dataclass(val):
+                # nested states: flatten leaves
+                import jax
+
+                leaves, _ = jax.tree_util.tree_flatten(val)
+                for i, leaf in enumerate(leaves):
+                    save_array(f"{fld.name}{i}", leaf)
+
+
+def main(argv=None):
+    _register_all()
+    ap = argparse.ArgumentParser(
+        prog="python -m lbm_tpu.run",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("scene", choices=sorted(SCENES))
+    ap.add_argument("--config", help="TOML config (scenes that accept one)")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="override a scene keyword, e.g. --set T=1000")
+    ap.add_argument("--out", default=None, help="output prefix for .npy dumps")
+    ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--x64", action="store_true",
+                    help="enable float64 (the reference's precision)")
+    ap.add_argument("--yes", action="store_true", default=True,
+                    help="skip the interactive confirmation gate (default)")
+    ap.add_argument("--confirm", dest="yes", action="store_false",
+                    help="ask before running (reference's behaviour)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    import inspect
+
+    kwargs = {}
+    if args.config:
+        if "config_path" in inspect.signature(SCENES[args.scene]).parameters:
+            kwargs["config_path"] = args.config
+        else:
+            ap.error(f"scene {args.scene} does not take --config")
+    for item in args.set:
+        key, _, val = item.partition("=")
+        try:
+            kwargs[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            kwargs[key] = val
+
+    if not confirm(args.yes):
+        return 0
+
+    scene = SCENES[args.scene]
+    logger.info(f"scene {args.scene} kwargs={kwargs}")
+    with profile(args.profile):
+        result = scene(**kwargs)
+    logger.info("scene finished")
+    if args.out:
+        _save_result(args.out, result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

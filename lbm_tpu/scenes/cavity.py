@@ -1,0 +1,110 @@
+"""Ring (square-annulus) forced cavity — the domain-decomposition showcase.
+
+The reference's decompose_domain_loop.cpp splits a square annulus around a
+solid 256x256 block into 4 manually-bound subdomains (A/B/C/D strips with
+inline edge copies, :232-261) and drives a circulation with a Guo-forced
+strip (:65-68,156-163).  TPU-native equivalent: ONE global grid with the
+block as interior bounce-back walls, sharded over the device mesh — the
+"binding" is what sharded streaming does automatically (XLA collective
+permutes / parallel.halo).  Cut-equivalence (sharded == single-device) is
+asserted bitwise in tests/test_parallel.py, replacing the reference's
+A/B-vs-single-domain comparison (SURVEY.md section 4.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary import bc
+from ..ops import d2q9
+from ..parallel import mesh as meshmod, sharded
+
+
+@dataclass
+class CavityResult:
+    f: jnp.ndarray
+    rho: jnp.ndarray
+    u: jnp.ndarray
+    steps: int
+
+
+def _block_wall_assignments(L: int):
+    """Interior bounce-back on the four faces of the central block
+    [L/4, 3L/4) x [L/4, 3L/4).  Face lines sit on the first solid cells;
+    outgoing-into-solid populations of the adjacent fluid get reflected,
+    the same halfway rule the reference applies at its strip edges."""
+    a, b = L // 4, 3 * L // 4
+    rows = slice(a, b)
+    cols = slice(a, b)
+    out = []
+    # left face (col a): fluid at cols < a; reflect (2,5,6) like a colN wall
+    out += [(4, (rows, a), 2, 1.0), (7, (rows, a), 5, 1.0), (8, (rows, a), 6, 1.0)]
+    # right face (col b-1): reflect (4,7,8) like a col0 wall
+    out += [(2, (rows, b - 1), 4, 1.0), (5, (rows, b - 1), 7, 1.0), (6, (rows, b - 1), 8, 1.0)]
+    # top face (row a): fluid above; reflect (1,5,8) like a rowN wall
+    out += [(3, (a, cols), 1, 1.0), (7, (a, cols), 5, 1.0), (6, (a, cols), 8, 1.0)]
+    # bottom face (row b-1): reflect (3,6,7) like a row0 wall
+    out += [(1, (b - 1, cols), 3, 1.0), (5, (b - 1, cols), 7, 1.0), (8, (b - 1, cols), 6, 1.0)]
+    return out
+
+
+def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
+                tau: float | None = None, mesh_shape: tuple[int, int] | None = None,
+                dtype=jnp.float64) -> CavityResult:
+    """Force-driven circulation in a square annulus of width L/4.
+
+    Workload parity: L=512, tau=sqrt(3/16)+1/2, F=(3e-3, 0) applied on rows
+    [L/4+5, L/4+55) of the left strip (decompose_domain_loop.cpp:41-78).
+    Pass ``mesh_shape`` to run the same step sharded over a device mesh
+    (GSPMD; XLA inserts the halo collectives)."""
+    import math
+
+    tau = tau if tau is not None else math.sqrt(3.0 / 16.0) + 0.5
+    omega = 1.0 / tau
+    a = L // 4
+    fg = jnp.asarray([force, 0.0])
+    frows = slice(a + 5, a + 55)
+    fcols = slice(0, a)
+    block = _block_wall_assignments(L)
+
+    def step(f):
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        # force as a velocity shift on the strip (decompose_domain_loop:117)
+        u = u.at[:, frows, fcols].add(fg[:, None, None])
+        f_equi = d2q9.equilibrium(u, rho)
+        f_coll = d2q9.bgk_collision(f, f_equi, omega)
+        # Guo source on the strip only (:156-163), standard coefficients
+        src = d2q9.guo_source(u[:, frows, fcols], fg, omega)
+        f_coll = f_coll.at[:, frows, fcols].add(src)
+        f_new = d2q9.stream(f_coll)
+        # outer walls no-slip
+        f_new = bc.bounce_back(f_new, f_coll, "row0")
+        f_new = bc.bounce_back(f_new, f_coll, "rowN")
+        f_new = bc.bounce_back(f_new, f_coll, "col0")
+        f_new = bc.bounce_back(f_new, f_coll, "colN")
+        # block faces no-slip
+        f_new = bc.obstacle_bounce_back(f_new, f_coll, block)
+        return f_new
+
+    f = d2q9.equilibrium(jnp.zeros((2, L, L), dtype), jnp.ones((L, L), dtype))
+    if mesh_shape is not None:
+        m = meshmod.make_mesh(shape=mesh_shape)
+        f = meshmod.shard_state(m, f)
+        chunk = sharded.auto_sharded(step, m)
+    else:
+        chunk = jax.jit(
+            lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), s),
+            static_argnums=1)
+    done = 0
+    while done < T:
+        n = min(1000, T - done)
+        f = chunk(f, n)
+        done += n
+    rho = d2q9.calc_rho(f)
+    u = d2q9.calc_u(f, rho)
+    return CavityResult(f=f, rho=rho, u=u, steps=T)

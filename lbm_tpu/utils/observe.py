@@ -1,0 +1,83 @@
+"""Observability: logging, progress/MLUPS metering, profiler traces.
+
+The reference's entire observability story is `cout << t << "\\t\\r"`
+(free_stream_test.cpp:82) and an interactive y/n gate before long runs
+(src/utils.cpp:7-19).  Replacements:
+  * structured logger (stderr, rate-limited progress lines),
+  * StepMeter: per-chunk wall time -> MLUPS, cells/s,
+  * profile(): context manager around jax.profiler traces,
+  * confirm(): the continue_execution gate with a --yes override
+    (never blocks in non-interactive runs).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import sys
+import time
+
+logger = logging.getLogger("lbm_tpu")
+if not logger.handlers:
+    _h = logging.StreamHandler(sys.stderr)
+    _h.setFormatter(logging.Formatter("[%(asctime)s lbm_tpu] %(message)s",
+                                      datefmt="%H:%M:%S"))
+    logger.addHandler(_h)
+    logger.setLevel(logging.INFO)
+
+
+def confirm(auto_yes: bool = True, prompt: str = "Do you want to continue (y/n)? ") -> bool:
+    """The reference's interactive gate (src/utils.cpp:7-19) behind a flag;
+    defaults to proceeding so batch runs never hang."""
+    if auto_yes or not sys.stdin.isatty():
+        return True
+    while True:
+        choice = input(prompt).strip().lower()
+        if choice in ("y", "yes"):
+            return True
+        if choice in ("n", "no"):
+            return False
+        print("Invalid input. Please enter 'y' or 'n'.")
+
+
+class StepMeter:
+    """Tracks steps/s and MLUPS across chunked execution."""
+
+    def __init__(self, cells: int, total_steps: int | None = None,
+                 log_every_s: float = 10.0):
+        self.cells = cells
+        self.total = total_steps
+        self.log_every_s = log_every_s
+        self.steps = 0
+        self.t0 = time.perf_counter()
+        self._last_log = self.t0
+
+    def update(self, n_steps: int) -> None:
+        self.steps += n_steps
+        now = time.perf_counter()
+        if now - self._last_log >= self.log_every_s:
+            self._last_log = now
+            logger.info(self.summary())
+
+    def mlups(self) -> float:
+        dt = time.perf_counter() - self.t0
+        return self.cells * self.steps / max(dt, 1e-9) / 1e6
+
+    def summary(self) -> str:
+        frac = f"/{self.total}" if self.total else ""
+        return (f"step {self.steps}{frac}  "
+                f"{self.mlups():.0f} MLUPS  "
+                f"{time.perf_counter() - self.t0:.1f}s elapsed")
+
+
+@contextlib.contextmanager
+def profile(trace_dir: str | None):
+    """jax.profiler trace around a region (no-op when trace_dir is None)."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
+    logger.info(f"profiler trace written to {trace_dir}")

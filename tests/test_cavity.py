@@ -1,0 +1,31 @@
+"""Ring-cavity (decompose_domain_loop equivalent) tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lbm_tpu.scenes.cavity import ring_cavity
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def test_ring_cavity_circulates():
+    res = ring_cavity(L=64, T=400, force=3e-3)
+    u = np.asarray(res.u / res.rho[None])
+    assert np.isfinite(u).all()
+    # forced left strip flows +x (down); right strip returns -x (up)
+    left = u[0, 24:40, 4:12].mean()
+    right = u[0, 24:40, 52:60].mean()
+    assert left > 1e-4
+    assert right < -1e-5
+    # block interior stays quiescent relative to the annulus
+    assert np.abs(u[0, 28:36, 28:36]).max() < np.abs(left)
+
+
+@needs_8
+def test_ring_cavity_sharded_equals_single():
+    r1 = ring_cavity(L=32, T=60, force=3e-3)
+    r2 = ring_cavity(L=32, T=60, force=3e-3, mesh_shape=(4, 2))
+    np.testing.assert_allclose(
+        np.asarray(r2.f), np.asarray(r1.f), rtol=0, atol=1e-13)

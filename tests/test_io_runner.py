@@ -1,0 +1,117 @@
+"""IO, checkpoint, params, observability and CLI runner tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.core import params
+from lbm_tpu.io import checkpoint, snapshots
+from lbm_tpu.models.mrt_cg import ColourFields, TwoPhaseState
+from lbm_tpu.utils.observe import StepMeter, confirm
+
+
+def test_snapshot_writer_roundtrip(tmp_path):
+    prefix = str(tmp_path / "run")
+    with snapshots.SnapshotWriter(prefix) as w:
+        for t in range(5):
+            w.append("rho", np.full((4, 6), float(t)))
+            w.append("ux", np.full((4,), float(t) * 2))
+    rho = snapshots.load_stream(prefix, "rho")
+    assert rho.shape == (5, 4, 6)
+    np.testing.assert_allclose(rho[3], 3.0)
+    meta = json.load(open(prefix + "-meta.json"))
+    assert meta["ux"]["count"] == 5
+
+
+def test_snapshot_writer_rejects_shape_change(tmp_path):
+    with snapshots.SnapshotWriter(str(tmp_path / "x")) as w:
+        w.append("a", np.zeros((2, 2)))
+        with pytest.raises(ValueError):
+            w.append("a", np.zeros((3, 2)))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = TwoPhaseState(
+        ColourFields(jnp.ones((9, 4, 4)), jnp.full((4, 4), 3.0)),
+        ColourFields(jnp.zeros((9, 4, 4)), jnp.ones((4, 4))),
+        jnp.zeros((2, 4, 4)),
+    )
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, state, step=42)
+    like = TwoPhaseState(
+        ColourFields(jnp.zeros((9, 4, 4)), jnp.zeros((4, 4))),
+        ColourFields(jnp.zeros((9, 4, 4)), jnp.zeros((4, 4))),
+        jnp.zeros((2, 4, 4)),
+    )
+    restored, step = checkpoint.load(path, like)
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(restored.red.rho), 3.0)
+
+
+def test_checkpointer_prunes(tmp_path):
+    ck = checkpoint.Checkpointer(str(tmp_path), every=10, keep=2)
+    state = {"f": jnp.ones((3,))}
+    for step in (10, 20, 30, 35, 40):
+        ck.maybe_save(step, state)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["ckpt-30.npz", "ckpt-40.npz"]
+    restored, step = ck.restore_latest(state)
+    assert step == 40
+
+
+def test_params_derivations_match_reference():
+    """Check the unit-conversion chain on the shipped parameter values
+    (src/params.cpp:31-66 semantics)."""
+    tbl = params.load_toml("configs/channel.toml")
+    fp = params.FlowParams.from_toml(tbl)
+    lp = params.LatticeParams.from_toml(tbl, fp)
+    assert fp.Re == pytest.approx(0.5 * 6e-3 / 1.0533e-6)
+    assert lp.l == 300  # ceil(6e-3/2e-5)=300 even -> floor -> 300
+    assert lp.nu == pytest.approx((0.55 - 0.5) / 3.0)
+    assert lp.X == 2700 and lp.Y == 2100
+    assert lp.dt == pytest.approx(lp.nu * (2e-5) ** 2 / 1.0533e-6)
+    sp = params.SimulationParams.from_toml(tbl, lp)
+    assert sp.total_steps == int(np.ceil(0.01 * lp.T))
+    assert sp.snapshot(0) and not sp.snapshot(sp.snapshot_steps - 1)
+
+
+def test_step_meter():
+    m = StepMeter(cells=1000, total_steps=100, log_every_s=1e9)
+    m.update(50)
+    assert m.steps == 50
+    assert m.mlups() > 0
+    assert "step 50/100" in m.summary()
+
+
+def test_confirm_auto_yes():
+    assert confirm(auto_yes=True)
+
+
+def test_cli_runner_end_to_end(tmp_path):
+    """Drive the CLI surface: a tiny Poiseuille run writing .npy outputs."""
+    out = str(tmp_path / "hp")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "lbm_tpu.run", "horizontal_poiseuille",
+         "--x64", "--set", "T=50", "--set", "H=11", "--set", "W=11",
+         "--out", out],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    u = np.load(out + "-u.npy")
+    assert u.shape == (2, 11, 11)
+    assert np.isfinite(u).all()
+
+
+def test_ibm_from_toml():
+    from lbm_tpu.ops.ibm import IBM
+
+    ib = IBM.from_toml("configs/cylinder-markers.toml", "cylinder-a")
+    assert ib.weights.shape[0] == 64
+    np.testing.assert_allclose(np.asarray(ib.weights).sum(axis=1), 1.0, atol=1e-12)
