@@ -126,27 +126,40 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
 
 
 def mrtcg_rayleigh_taylor(config_path: str | None = None,
-                          R: int = 256, C: int = 128, T: int = 100000,
-                          red: ColourParams = DEFAULT_RED,
-                          blue: ColourParams = DEFAULT_BLUE,
-                          sigma: float = 1e-4,
-                          gravity_magnitude: float = 6.25e-7,
+                          R: int | None = None, C: int | None = None,
+                          T: int | None = None,
+                          red: ColourParams | None = None,
+                          blue: ColourParams | None = None,
+                          sigma: float | None = None,
+                          gravity_magnitude: float | None = None,
                           snapshot_every: int | None = None,
                           dtype=jnp.float64) -> MultiphaseResult:
     """MRT-CG Rayleigh-Taylor.  Defaults follow the shipped TOML
     (/root/reference/mrtcg-rayleigh-taylor-gamma3.toml:4-22) with a
     [general] table as required by mrtcg_rayleigh_taylor.cpp:360-362.
-    Heavy (red) fluid on top (init_rho_cosine sign -1, fill r<s)."""
+    Heavy (red) fluid on top (init_rho_cosine sign -1, fill r<s).
+    Explicit keyword arguments take precedence over the config file."""
     if config_path:
         tbl = load_toml(config_path)
         dom = DomainParams.from_toml(tbl)
-        R, C, T = dom.R, dom.C, dom.T
-        red = ColourParams.from_toml(tbl, "red")
-        blue = ColourParams.from_toml(tbl, "blue")
+        R = R if R is not None else dom.R
+        C = C if C is not None else dom.C
+        T = T if T is not None else dom.T
+        red = red or ColourParams.from_toml(tbl, "red")
+        blue = blue or ColourParams.from_toml(tbl, "blue")
         if "general" in tbl:
             gen = GeneralParams.from_toml(tbl)
-            sigma, gravity_magnitude = gen.sigma, gen.gravity_magnitude
+            sigma = sigma if sigma is not None else gen.sigma
+            if gravity_magnitude is None:
+                gravity_magnitude = gen.gravity_magnitude
         snapshot_every = snapshot_every or dom.period_snapshots
+    R = R if R is not None else 256
+    C = C if C is not None else 128
+    T = T if T is not None else 100000
+    red = red or DEFAULT_RED
+    blue = blue or DEFAULT_BLUE
+    sigma = sigma if sigma is not None else 1e-4
+    gravity_magnitude = gravity_magnitude if gravity_magnitude is not None else 6.25e-7
 
     model = MRTCGModel(
         red=red, blue=blue, sigma=sigma,
