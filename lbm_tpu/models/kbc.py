@@ -50,27 +50,34 @@ INV_M = np.array(
 
 def central_moments(f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """(9, R, C) central moments (1, cx, cy, cx2+cy2, cx2-cy2, cxcy,
-    cx2cy, cxcy2, cx2cy2) of f about u.  cites ulbm.cpp:265-320"""
-    c = jnp.asarray(lat.C, f.dtype)
-    cmx = c[0][:, None, None] - u[0][None]  # (9, R, C)
-    cmy = c[1][:, None, None] - u[1][None]
-    cmx2 = cmx * cmx
-    cmy2 = cmy * cmy
-    basis = jnp.stack(
-        [
-            jnp.ones_like(cmx),
-            cmx,
-            cmy,
-            cmx2 + cmy2,
-            cmx2 - cmy2,
-            cmx * cmy,
-            cmx2 * cmy,
-            cmx * cmy2,
-            cmx2 * cmy2,
-        ],
-        axis=0,
-    )  # (9 moments, 9 dirs, R, C)
-    return esum("mqrc,qrc->mrc", basis, f)
+    cx2cy, cxcy2, cx2cy2) of f about u.  cites ulbm.cpp:265-320.
+
+    Accumulated direction-by-direction (81 fused multiply-adds on planes)
+    instead of materialising the (9 moments, 9 dirs, R, C) basis tensor —
+    keeps peak memory at O(9 R C), which also lets models.kbc.collide run
+    unchanged inside the fused Pallas kernel's VMEM budget."""
+    cx = [int(v) for v in lat.C[0]]
+    cy = [int(v) for v in lat.C[1]]
+    acc = [None] * 9
+    for k in range(9):
+        cmx = cx[k] - u[0]
+        cmy = cy[k] - u[1]
+        cmx2 = cmx * cmx
+        cmy2 = cmy * cmy
+        terms = (
+            f[k],
+            f[k] * cmx,
+            f[k] * cmy,
+            f[k] * (cmx2 + cmy2),
+            f[k] * (cmx2 - cmy2),
+            f[k] * (cmx * cmy),
+            f[k] * (cmx2 * cmy),
+            f[k] * (cmx * cmy2),
+            f[k] * (cmx2 * cmy2),
+        )
+        for m in range(9):
+            acc[m] = terms[m] if acc[m] is None else acc[m] + terms[m]
+    return jnp.stack(acc, axis=0)
 
 
 def _poly_pack(u: jnp.ndarray, m0: jnp.ndarray):
@@ -198,9 +205,10 @@ def collide(f: jnp.ndarray, m0: jnp.ndarray, u: jnp.ndarray, s2: float) -> jnp.n
     g = gamma(cT, u, m0, s2)
 
     # subtract equilibrium central moments (only k = 0, 3, 8 nonzero)
-    cT = cT.at[0].add(-m0)
-    cT = cT.at[3].add(-2.0 * CS2 * m0)
-    cT = cT.at[8].add(-CS4 * m0)
+    # (plane-wise, no scatter: keeps this lowerable inside Pallas kernels)
+    cT = jnp.stack(
+        [cT[0] - m0, cT[1], cT[2], cT[3] - 2.0 * CS2 * m0, cT[4],
+         cT[5], cT[6], cT[7], cT[8] - CS4 * m0], axis=0)
 
     # relaxation-rate diagonal
     one = jnp.ones_like(m0)
@@ -229,8 +237,20 @@ def collide(f: jnp.ndarray, m0: jnp.ndarray, u: jnp.ndarray, s2: float) -> jnp.n
         axis=0,
     )
 
-    inv_m = jnp.asarray(INV_M, f.dtype)
-    return f - tdot(inv_m, icf, axes=([1], [0]))
+    # inv(M) applied as an unrolled sparse sum (the reference also unrolls
+    # it, ulbm.cpp:114-123).  Scalar coefficients keep this valid inside
+    # Pallas kernels (no captured array constants) and skip the zeros.
+    rows = []
+    for m in range(9):
+        acc = None
+        for j in range(9):
+            w = float(INV_M[m, j])
+            if w == 0.0:
+                continue
+            term = icf[j] if w == 1.0 else w * icf[j]
+            acc = term if acc is None else acc + term
+        rows.append(f[m] - acc)
+    return jnp.stack(rows, axis=0)
 
 
 @dataclass(frozen=True)
