@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],
                     help="step implementation: XLA-fused jnp or Pallas kernel")
+    ap.add_argument("--substeps", type=int, default=8,
+                    help="LBM steps per kernel launch (temporal blocking; "
+                         "pallas impl only, 1..8)")
     args = ap.parse_args()
     if args.quick:
         args.rows, args.cols, args.steps = 1024, 1024, 20
@@ -57,7 +60,7 @@ def main():
         try:
             from lbm_tpu.kernels.bgk_pallas import make_fused_step
 
-            step = make_fused_step(H, W, omega, dtype)
+            step = make_fused_step(H, W, omega, dtype, substeps=args.substeps)
             impl = "pallas"
         except Exception as e:  # pragma: no cover
             if args.impl == "pallas":
@@ -74,6 +77,8 @@ def main():
         static_argnums=1,
     )
 
+    substeps = args.substeps if impl == "pallas" else 1
+
     def timed(n):
         """Full round-trip with a forced scalar read: through the axon relay
         block_until_ready can return before execution completes, so only a
@@ -84,10 +89,11 @@ def main():
         return time.perf_counter() - t0, s
 
     t0 = time.perf_counter()
-    n_small = max(2, args.steps // 8)
+    n_small = max(2, args.steps // substeps // 8)
+    n_full = max(n_small + 1, args.steps // substeps)
     timed(2)
     timed(n_small)  # compile+warm both trip counts outside the timed region
-    timed(args.steps)
+    timed(n_full)
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
 
     # marginal rate removes the per-launch relay overhead (erratic through
@@ -96,9 +102,10 @@ def main():
     ssum = 0.0
     for _ in range(3):
         dt_small, _ = timed(n_small)
-        dt_full, ssum = timed(args.steps)
+        dt_full, ssum = timed(n_full)
         marginals.append(
-            H * W * (args.steps - n_small) / max(dt_full - dt_small, 1e-9) / 1e6)
+            H * W * (n_full - n_small) * substeps
+            / max(dt_full - dt_small, 1e-9) / 1e6)
         log(f"  {dt_full:.3f}s full / {dt_small:.3f}s small -> "
             f"{marginals[-1]:.0f} MLUPS")
     if not (ssum == ssum):  # NaN check on the forced read

@@ -22,16 +22,49 @@ class SnapshotWriter:
     """Appends (time, field) snapshots as raw .npy streams under a prefix.
 
     Files: {prefix}-{name}.npy (stacked along axis 0) + {prefix}-meta.json.
+
+    ``backend='native'`` routes frames through the C++ writer thread
+    (io.native / native/snapshot_writer.cc) so disk IO overlaps device
+    compute; 'python' writes synchronously; 'auto' prefers native when the
+    shared library is built.
     """
 
     prefix: str
+    backend: str = "auto"
     _files: dict = field(default_factory=dict)
     _shapes: dict = field(default_factory=dict)
     _counts: dict = field(default_factory=dict)
+    _native: dict = field(default_factory=dict)
+
+    def _use_native(self) -> bool:
+        if self.backend == "python":
+            return False
+        from . import native
+
+        ok = native.available()
+        if self.backend == "native" and not ok:
+            raise RuntimeError("native writer requested but not built "
+                               "(run: make -C native)")
+        return ok
 
     def append(self, name: str, array) -> None:
         arr = np.ascontiguousarray(np.asarray(array))
         path = f"{self.prefix}-{name}.npy"
+        if name not in self._files and name not in self._native:
+            if self._use_native():
+                from .native import NativeStream
+
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                self._native[name] = NativeStream(path, arr.shape, arr.dtype)
+                self._shapes[name] = (arr.shape, arr.dtype)
+                self._counts[name] = 0
+        if name in self._native:
+            shape, dtype = self._shapes[name]
+            if arr.shape != shape or arr.dtype != dtype:
+                raise ValueError(f"snapshot {name}: shape/dtype changed")
+            self._native[name].append(arr)
+            self._counts[name] += 1
+            return
         if name not in self._files:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             fh = open(path, "wb")
@@ -51,6 +84,10 @@ class SnapshotWriter:
         self._counts[name] += 1
 
     def close(self) -> None:
+        for name, stream in self._native.items():
+            frames = stream.close()
+            assert frames == self._counts[name], (frames, self._counts[name])
+        self._native.clear()
         for name, fh in self._files.items():
             shape, dtype = self._shapes[name]
             fh.seek(0)

@@ -30,7 +30,22 @@ CY = tuple(int(v) for v in lat.C[1])
 HALO = 8  # sublane-aligned halo depth (Mosaic requires 8-row alignment)
 
 
-def _kernel(f_hbm, out_hbm, *, collide_fn, block_rows, n_blocks, R, C, dtype):
+def _stream_slab(coll, C, rows):
+    """Periodic streaming on a slab via rolls (valid region shrinks by one
+    row per application; callers keep the interior)."""
+    out = []
+    for k in range(9):
+        shifted = coll[k]
+        if CY[k] != 0:
+            shifted = pltpu.roll(shifted, CY[k] % C, axis=1)
+        if CX[k] != 0:
+            shifted = pltpu.roll(shifted, CX[k] % rows, axis=0)
+        out.append(shifted)
+    return jnp.stack(out, axis=0)
+
+
+def _kernel(f_hbm, out_hbm, *, collide_fn, block_rows, n_blocks, R, C, dtype,
+            substeps=1):
     B = block_rows
 
     def body(slab, obuf, in_sems, out_sems):
@@ -76,15 +91,17 @@ def _kernel(f_hbm, out_hbm, *, collide_fn, block_rows, n_blocks, R, C, dtype):
             def _():
                 dma_out(slot, i - 2).wait()
 
-            coll = collide_fn(slab[slot])
+            # Temporal blocking: apply `substeps` collide-stream sweeps on
+            # the slab before writing back.  Columns are fully resident
+            # (exact periodic wrap); along rows each sweep invalidates one
+            # more edge row, so the HALO-deep halo supports substeps <= HALO
+            # and the kept interior [HALO, HALO+B) stays exact.  HBM traffic
+            # drops by the substep factor.
             rows = B + 2 * HALO
-            for k in range(9):
-                shifted = coll[k]
-                if CY[k] != 0:
-                    shifted = pltpu.roll(shifted, CY[k] % C, axis=1)
-                if CX[k] != 0:
-                    shifted = pltpu.roll(shifted, CX[k] % rows, axis=0)
-                obuf[slot, k] = shifted[HALO:HALO + B, :]
+            cur = slab[slot]
+            for _ in range(substeps):
+                cur = _stream_slab(collide_fn(cur), C, rows)
+            obuf[slot] = cur[:, HALO:HALO + B, :]
 
             dma_out(slot, i).start()
             return 0
@@ -119,8 +136,14 @@ def pick_block_rows(R: int, C: int, dtype=jnp.float32,
 
 def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,
                     block_rows: int | None = None, interpret: bool = False,
-                    flops_per_cell: int = 60):
-    """Fused periodic collide-stream with an arbitrary local collision."""
+                    flops_per_cell: int = 60, substeps: int = 1):
+    """Fused periodic collide-stream with an arbitrary local collision.
+
+    ``substeps`` > 1 enables temporal blocking: one launch advances the
+    state by that many LBM steps while reading/writing HBM once (valid for
+    substeps <= HALO and fully periodic domains)."""
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
     if block_rows is None:
         block_rows = pick_block_rows(R, C, dtype)
     if R % block_rows != 0:
@@ -131,7 +154,8 @@ def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,
 
     kernel = functools.partial(
         _kernel, collide_fn=collide_fn, block_rows=block_rows,
-        n_blocks=n_blocks, R=R, C=C, dtype=jnp.dtype(dtype).type)
+        n_blocks=n_blocks, R=R, C=C, dtype=jnp.dtype(dtype).type,
+        substeps=substeps)
 
     return pl.pallas_call(
         kernel,

@@ -115,3 +115,19 @@ def test_ibm_from_toml():
     ib = IBM.from_toml("configs/cylinder-markers.toml", "cylinder-a")
     assert ib.weights.shape[0] == 64
     np.testing.assert_allclose(np.asarray(ib.weights).sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_native_snapshot_backend(tmp_path):
+    """C++ async writer (native/snapshot_writer.cc) matches the python
+    backend's on-disk format exactly."""
+    from lbm_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native writer not built")
+    prefix = str(tmp_path / "nat")
+    with snapshots.SnapshotWriter(prefix, backend="native") as w:
+        for t in range(20):
+            w.append("psi", np.full((8, 16), float(t), dtype=np.float32))
+    a = snapshots.load_stream(prefix, "psi")
+    assert a.shape == (20, 8, 16) and a.dtype == np.float32
+    np.testing.assert_allclose(a[13], 13.0)

@@ -51,3 +51,25 @@ def test_pick_block_rows():
     assert bgk_pallas.pick_block_rows(1024, 1024) in (32, 64, 128, 256)
     b = bgk_pallas.pick_block_rows(4096, 2048)
     assert 4096 % b == 0
+
+
+def test_temporal_blocking_matches_repeated_steps():
+    """substeps=k in one launch == k single-step launches (periodic)."""
+    from lbm_tpu.kernels import collide_stream
+    from lbm_tpu.kernels.bgk_pallas import bgk_collide_fn
+
+    R, C = 32, 128
+    omega = 1.0 / 0.8
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(rng.uniform(0.05, 0.3, (9, R, C)), jnp.float32)
+    fn = bgk_collide_fn(omega, jnp.float32)
+    one = collide_stream.make_fused_step(R, C, fn, block_rows=8,
+                                         interpret=True)
+    four = collide_stream.make_fused_step(R, C, fn, block_rows=8,
+                                          interpret=True, substeps=4)
+    want = f
+    for _ in range(4):
+        want = one(want)
+    got = four(f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
