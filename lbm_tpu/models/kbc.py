@@ -188,14 +188,24 @@ def equilibrium(m0: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
 
 
 def gamma(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray, s2: float) -> jnp.ndarray:
-    """Per-cell entropic stabiliser.  cites ulbm.cpp:138-148"""
+    """Per-cell entropic stabiliser.  cites ulbm.cpp:138-148.
+
+    Near equilibrium both delta_h and delta_s vanish and the reference's
+    bare num/den is 0/0 — it survives only on f64 rounding noise
+    (torch::set_default_dtype kDouble everywhere).  For the f32 TPU path
+    the ratio is regularised: an epsilon denominator plus a clamp, which
+    reduces to gamma = 1/s2 (plain relaxation of the h-moments at unit
+    rate) in the indeterminate limit and is inert when delta_h is finite.
+    """
     ds = delta_s(cT, u, m0)
     dh = delta_h(cT, u, m0)
     inv_feq = 1.0 / equilibrium(m0, u)
     is2 = 1.0 / s2
     num = (ds * dh * inv_feq).sum(axis=0)
     den = (dh * dh * inv_feq).sum(axis=0)
-    return is2 - (1.0 - is2) * num / den
+    eps = 1e-28 if num.dtype == jnp.float32 else 1e-200
+    g = is2 - (1.0 - is2) * num / (den + eps)
+    return jnp.clip(g, -50.0, 50.0)
 
 
 def collide(f: jnp.ndarray, m0: jnp.ndarray, u: jnp.ndarray, s2: float) -> jnp.ndarray:

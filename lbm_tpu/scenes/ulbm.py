@@ -89,15 +89,40 @@ def double_shear_init(H: int, W: int, u_max: float, alpha: float = 80.0,
 
 def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
                       nu: float = 1.70766666e-4, u_max: float = 0.02,
+                      fused: bool = False,
                       dtype=jnp.float64) -> ULBMResult:
     """Doubly periodic double shear layer.
     cites /root/reference/test/ulbm_double_shear_flow.cpp:65-143.
     The driver's per-edge periodic copies are identical to fully periodic
-    streaming, so no post-stream BCs are needed."""
+    streaming, so no post-stream BCs are needed.  ``fused=True`` uses the
+    one-launch KBC Pallas kernel (f32, W%128==0).
+
+    Precision envelope (measured): the reference's default workload is an
+    under-resolved Re~1.5e4 shear (tanh(80 x) layers ~0.01 cells wide).
+    In f64 it stays finite through the full 10k steps (population max grows
+    0.445->0.505); the f32 fused path tracks f64 to ~4k steps and blows up
+    near 6k — use the f64 (CPU) path for the full reference run, or resolve
+    the layers (smaller alpha / larger nu) for f32."""
     omega = 1.0 / (0.5 + 3.0 * nu)
     model = kbc.KBCModel(s2=omega)
     m0, u = double_shear_init(H, W, u_max, dtype=dtype)
     f = model.equilibrium(m0, u)
+
+    if fused:
+        from ..kernels.collide_stream import make_kbc_fused_step
+
+        step = make_kbc_fused_step(H, W, omega, jnp.float32)
+        g = f.astype(jnp.float32)
+        chunk = jax.jit(
+            lambda x, n: jax.lax.fori_loop(0, n, lambda _, y: step(y), x),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(20000, T - done)
+            g = chunk(g, n)
+            done += n
+        m0_f, u_f = model.macroscopics(g)
+        return ULBMResult(f=g, m0=m0_f, m1=u_f, steps=T)
 
     def step(carry):
         f, m0, u = carry
