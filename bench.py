@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--substeps", type=int, default=8,
                     help="LBM steps per kernel launch (temporal blocking; "
                          "pallas impl only, 1..8)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard the grid over all devices (GSPMD jnp step; "
+                         "weak-scaling harness — needs a multi-chip slice "
+                         "to measure scaling, single chip here)")
     args = ap.parse_args()
     if args.quick:
         args.rows, args.cols, args.steps = 1024, 1024, 20
@@ -56,6 +60,8 @@ def main():
 
     impl = args.impl
     step = jnp_step
+    if args.sharded:
+        impl = "jnp"  # pallas sharding needs the shard_map halo variant
     if impl in ("auto", "pallas"):
         try:
             from lbm_tpu.kernels.bgk_pallas import make_fused_step
@@ -71,6 +77,13 @@ def main():
     rho0 = jnp.ones((H, W), dtype)
     u0 = jnp.zeros((2, H, W), dtype).at[0].set(0.05)
     f = d2q9.equilibrium(u0, rho0)
+
+    if args.sharded:
+        from lbm_tpu.parallel import mesh as meshmod
+
+        m = meshmod.make_mesh()
+        f = meshmod.shard_state(m, f)
+        log(f"sharded over mesh {m.devices.shape} ({len(jax.devices())} devices)")
 
     chunk = jax.jit(
         lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
@@ -116,7 +129,7 @@ def main():
 
     baseline = 2000.0  # BASELINE.md north star, MLUPS/chip
     print(json.dumps({
-        "metric": f"bgk_d2q9_collide_stream_mlups_{impl}",
+        "metric": "bgk_d2q9_collide_stream_mlups_" + impl + ("_sharded" if args.sharded else ""),
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / baseline, 3),

@@ -40,6 +40,7 @@ def _register_all():
         "mrtcg_rayleigh_taylor": multiphase.mrtcg_rayleigh_taylor,
         "mrt_csf_rayleigh_taylor": multiphase.mrt_csf_rayleigh_taylor,
         "rk_static_droplet": multiphase.rk_static_droplet,
+        "csf_static_droplet": multiphase.csf_static_droplet,
         "rk_rayleigh_taylor": multiphase.rk_rayleigh_taylor,
         "cylinder_flow": obstacles.cylinder_flow,
         "rectangle_sedimentation": obstacles.rectangle_sedimentation,

@@ -180,6 +180,8 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                           gravity_magnitude: float | None = None,
                           snapshot_every: int | None = None,
                           fused: bool = False,
+                          checkpoint_dir: str | None = None,
+                          checkpoint_every: int = 10000,
                           dtype=jnp.float64) -> MultiphaseResult:
     """MRT-CG Rayleigh-Taylor.  Defaults follow the shipped TOML
     (/root/reference/mrtcg-rayleigh-taylor-gamma3.toml:4-22) with a
@@ -232,7 +234,23 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
             static_argnums=1)
         snaps = {"psi": [], "ux": []}
         done = 0
+        ckpt = None
+        last_ckpt = 0
+        if checkpoint_dir:
+            from ..io.checkpoint import Checkpointer
+
+            ckpt = Checkpointer(checkpoint_dir, every=checkpoint_every)
+            restored, at_step = ckpt.restore_latest(F)
+            if restored is not None:
+                F = jnp.asarray(restored)
+                done = last_ckpt = int(at_step)
         while done < T:
+            if ckpt is not None and done - last_ckpt >= checkpoint_every:
+                from ..io import checkpoint as _ck
+
+                _ck.save(ckpt.path(done), np.asarray(F), step=done)
+                ckpt._prune()
+                last_ckpt = done
             if snapshot_every and done % snapshot_every == 0:
                 r_rho = np.asarray(F[0].sum(0))
                 b_rho = np.asarray(F[1].sum(0))
@@ -346,5 +364,31 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
     b0 = init_rho_cosine(R, C, 1.0, fill_below=True, amplitude_sign=1.0)
     state = model.init_state(r0, b0, dtype=dtype)
     record = {"r_rho": lambda s: s.r_rho, "ux": lambda s: s.u[0]}
+    state, snaps = _run_chunks(model, state, T, snapshot_every, record)
+    return MultiphaseResult(state=state, steps=T, snapshots=snaps)
+
+
+def csf_static_droplet(L: int = 100, T: int = 100, radius: float = 25.0,
+                       sigma: float = 0.1,
+                       snapshot_every: int | None = None,
+                       dtype=jnp.float64) -> MultiphaseResult:
+    """Moment-space MRT + CSF static droplet (EXPERIMENTAL — the reference
+    driver is unvalidated WIP; see models/mrt_csf_droplet.py notes.  For
+    Laplace-law physics use mrtcg_static_droplet).
+    Constants cite /root/reference/test/static_droplet_test.cpp:476-486:
+    L=100, R=25, sigma=0.1, red/blue (rho_0=1, alpha=0.2, nu=0.1667,
+    A=0.5, beta=+/-0.7), T=100 (:500), sharpness-2 sigmoid init (:413-430)."""
+    from ..models.mrt_csf_droplet import CSFColour, CSFDropletModel
+
+    red = CSFColour(rho_0=1.0, alpha=0.2, nu=0.1667, A=0.5, beta=0.7)
+    blue = CSFColour(rho_0=1.0, alpha=0.2, nu=0.1667, A=0.5, beta=-0.7)
+    model = CSFDropletModel(red=red, blue=blue, sigma=sigma, delta=0.1)
+    r0 = init_rho_droplet(L, L, red.rho_0, inside=True, radius=radius,
+                          sharpness=2.0)
+    b0 = init_rho_droplet(L, L, blue.rho_0, inside=False, radius=radius,
+                          sharpness=2.0)
+    state = model.init_state(r0, b0, dtype=dtype)
+    record = {"rho": lambda s: s.red.rho + s.blue.rho,
+              "psi": lambda s: (s.red.rho - s.blue.rho) / (s.red.rho + s.blue.rho)}
     state, snaps = _run_chunks(model, state, T, snapshot_every, record)
     return MultiphaseResult(state=state, steps=T, snapshots=snaps)

@@ -133,3 +133,26 @@ def test_rk_mixture_step_conserves_mass():
     total = float(st.r_rho.sum() + st.b_rho.sum())
     assert total == pytest.approx(total0, rel=1e-10)
     assert np.isfinite(np.asarray(st.f)).all()
+
+
+def test_csf_static_droplet_conservation():
+    """Moment-space MRT+CSF droplet (static_droplet_test.cpp formulation).
+
+    This reference driver is exploratory WIP (scrambled-basis matmuls,
+    outward recolouring, TODO sign comments; never validated) — its
+    un-normalised recolour flux redistributes colour within tens of steps.
+    The preserved invariants are per-colour mass, total momentum symmetry
+    and finiteness; droplet coherence is NOT a property of this
+    formulation as shipped (use mrtcg_static_droplet for Laplace physics)."""
+    res = mp.csf_static_droplet(L=41, T=80, radius=10.0)
+    st = res.state
+    assert np.isfinite(np.asarray(st.red.f)).all()
+    r0 = float(mp.init_rho_droplet(41, 41, 1.0, True, 10.0, 2.0).sum())
+    b0 = float(mp.init_rho_droplet(41, 41, 1.0, False, 10.0, 2.0).sum())
+    assert float(st.red.rho.sum()) == pytest.approx(r0, rel=1e-10)
+    assert float(st.blue.rho.sum()) == pytest.approx(b0, rel=1e-10)
+    # psi bounded; mixture density stays near 1
+    psi = np.asarray((st.red.rho - st.blue.rho) / (st.red.rho + st.blue.rho))
+    assert np.abs(psi).max() <= 1.0 + 1e-9
+    rho = np.asarray(st.red.rho + st.blue.rho)
+    assert 0.5 < rho.min() and rho.max() < 1.5
