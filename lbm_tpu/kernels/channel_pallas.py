@@ -1,0 +1,206 @@
+"""Fused BGK channel step (pressure-periodic + no-slip walls) as one Pallas
+kernel — the horizontal-Poiseuille family (the reference's hard accuracy
+gate) at fused-kernel speed.
+
+Step order matches test/horizontal_poiseuille_test.cpp:128-152 exactly:
+  macroscopics -> incompressible equilibrium -> BGK -> pressure-BC rewrite
+  of the post-collision rows 0 / R-1 (virtual inlet/outlet built from rows
+  R-2 / 1) -> fully periodic streaming -> halfway bounce-back on the column
+  walls.
+
+The cross-row pressure coupling costs nothing extra here: block 0's top
+halo already contains rows R-8..R-1 (so row R-2), and block n-1's bottom
+halo contains rows 0..7 (so row 1); the rewrites are plain absolute-row
+masked selects, applied to halo copies too so every block sees consistent
+values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import lattice as lat
+from .collide_stream import HALO
+
+CX = tuple(int(v) for v in lat.C[0])
+CY = tuple(int(v) for v in lat.C[1])
+WQ = tuple(float(v) for v in lat.W)
+OPP = tuple(int(v) for v in lat.OPP)
+
+
+def _row_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _col_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _row_extract(x, abs_iota, abs_row: int):
+    """(1, C) copy of global row ``abs_row`` if present in the slab."""
+    return jnp.sum(jnp.where(abs_iota == abs_row, x, 0.0), axis=0,
+                   keepdims=True)
+
+
+def _kernel(f_hbm, out_hbm, *, omega, rho_in, rho_out, block_rows, n_blocks,
+            R, C, dtype):
+    B = block_rows
+
+    def body(slab, obuf, in_sems, out_sems):
+        def dma_in(slot, i):
+            start = pl.multiple_of(i * B, 8)
+            top = pl.multiple_of((start - HALO) % R, 8)
+            bot = pl.multiple_of((start + B) % R, 8)
+            return (
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(top, HALO), :],
+                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(start, B), :],
+                    slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(bot, HALO), :],
+                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                    in_sems.at[slot, 2]),
+            )
+
+        def dma_out(slot, i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
+                out_sems.at[slot])
+
+        for d in dma_in(0, 0):
+            d.start()
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                for d in dma_in(nxt, i + 1):
+                    d.start()
+
+            for d in dma_in(slot, i):
+                d.wait()
+
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, i - 2).wait()
+
+            f = [slab[slot, k] for k in range(9)]
+            shape = f[0].shape
+            rows = shape[0]
+            abs_iota = _row_iota(shape) + (i * B - HALO)
+            # halos wrap periodically (x64 tests promote python ints to
+            # int64; keep the rem in int32)
+            abs_iota = jax.lax.rem(abs_iota + jnp.int32(R), jnp.int32(R))
+            ci = _col_iota(shape)
+
+            # ---- incompressible macroscopics + BGK
+            rho = f[0]
+            for k in range(1, 9):
+                rho = rho + f[k]
+            ux = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+            uy = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+            feq, coll = [], []
+            for k in range(9):
+                cu = CX[k] * ux + CY[k] * uy if (CX[k] or CY[k]) else None
+                e = dtype(WQ[k]) * (rho + 3.0 * cu) if cu is not None \
+                    else dtype(WQ[k]) * rho
+                feq.append(e)
+                coll.append(dtype(1.0 - omega) * f[k] + dtype(omega) * e)
+
+            # ---- pressure-periodic rewrite of rows 0 / R-1
+            # (horizontal_poiseuille_test.cpp:25-45)
+            ux_out = _row_extract(ux, abs_iota, R - 2)
+            uy_out = _row_extract(uy, abs_iota, R - 2)
+            ux_in = _row_extract(ux, abs_iota, 1)
+            uy_in = _row_extract(uy, abs_iota, 1)
+            top_mask = abs_iota == 0
+            bot_mask = abs_iota == R - 1
+            for k in range(9):
+                cu_out = CX[k] * ux_out + CY[k] * uy_out
+                cu_in = CX[k] * ux_in + CY[k] * uy_in
+                vin = dtype(WQ[k]) * (dtype(rho_in) + 3.0 * cu_out) \
+                    + _row_extract(coll[k], abs_iota, R - 2) \
+                    - _row_extract(feq[k], abs_iota, R - 2)
+                vout = dtype(WQ[k]) * (dtype(rho_out) + 3.0 * cu_in) \
+                    + _row_extract(coll[k], abs_iota, 1) \
+                    - _row_extract(feq[k], abs_iota, 1)
+                coll[k] = jnp.where(top_mask, vin, coll[k])
+                coll[k] = jnp.where(bot_mask, vout, coll[k])
+
+            # ---- periodic streaming
+            new = []
+            for k in range(9):
+                t = coll[k]
+                if CY[k] != 0:
+                    t = pltpu.roll(t, CY[k] % C, axis=1)
+                if CX[k] != 0:
+                    t = pltpu.roll(t, CX[k] % rows, axis=0)
+                new.append(t)
+
+            # ---- halfway bounce-back column walls
+            # (horizontal_poiseuille_test.cpp:146-152)
+            for k in (2, 5, 6):      # outgoing at col C-1
+                new[OPP[k]] = jnp.where(ci == C - 1, coll[k], new[OPP[k]])
+            for k in (4, 7, 8):      # outgoing at col 0
+                new[OPP[k]] = jnp.where(ci == 0, coll[k], new[OPP[k]])
+
+            for k in range(9):
+                obuf[slot, k] = new[k][HALO:HALO + B, :]
+
+            dma_out(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+
+        @pl.when(n_blocks >= 2)
+        def _():
+            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
+        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        slab=pltpu.VMEM((2, 9, block_rows + 2 * HALO, C), dtype),
+        obuf=pltpu.VMEM((2, 9, block_rows, C), dtype),
+        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def make_channel_fused_step(R: int, C: int, omega: float, rho_inlet: float,
+                            rho_outlet: float, dtype=jnp.float32,
+                            block_rows: int | None = None,
+                            interpret: bool = False):
+    """Fused horizontal-Poiseuille step: f (9, R, C) -> (9, R, C)."""
+    from .collide_stream import pick_block_rows
+
+    if block_rows is None:
+        block_rows = pick_block_rows(R, C, dtype)
+    if R % block_rows != 0:
+        raise ValueError(f"rows {R} not divisible by block {block_rows}")
+    if C % 128 != 0:
+        raise ValueError(f"cols {C} must be a multiple of 128")
+    kernel = functools.partial(
+        _kernel, omega=omega, rho_in=rho_inlet, rho_out=rho_outlet,
+        block_rows=block_rows, n_blocks=R // block_rows, R=R, C=C,
+        dtype=jnp.dtype(dtype).type)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((9, R, C), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * R * C,
+            bytes_accessed=2 * 9 * R * C * jnp.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )

@@ -82,15 +82,45 @@ def _converged_run(model: SinglePhaseModel, f: jnp.ndarray, T: int,
 def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
                           u_max: float = 1.030985714e-1,
                           tau: float = TAU_DEFAULT,
+                          fused: bool = False,
                           dtype=jnp.float64) -> ChannelResult:
     """Pressure-driven flow along rows, no-slip walls on the first/last
     column, incompressible equilibrium.  Parameters cite
-    /root/reference/test/horizontal_poiseuille_test.cpp:50-67."""
+    /root/reference/test/horizontal_poiseuille_test.cpp:50-67.
+    ``fused=True`` runs the whole step (pressure BC + walls included) as
+    one Pallas kernel (f32, W%128==0, H%8==0)."""
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)
     rho_outlet = 1.0
     rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
+
+    if fused:
+        from ..kernels.channel_pallas import make_channel_fused_step
+        from ..ops import d2q9 as _d
+
+        step = make_channel_fused_step(H, W, omega, rho_inlet, rho_outlet,
+                                       dtype=jnp.float32)
+        f = _d.incomp_equilibrium(jnp.zeros((2, H, W), jnp.float32),
+                                  jnp.ones((H, W), jnp.float32))
+        chunk = jax.jit(
+            lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+            static_argnums=1)
+        steps, old_mean = 0, 1.0
+        f = chunk(f, 1)
+        steps += 1
+        while steps < T:
+            mean = float(jnp.mean(_d.calc_momentum(f)[0]))
+            if old_mean != 0.0 and abs(mean / old_mean - 1.0) < 1e-12:
+                break
+            old_mean = mean
+            n = min(2000, T - steps)
+            f = chunk(f, n)
+            steps += n
+        rho = _d.calc_rho(f)
+        u = _d.calc_momentum(f)
+        return ChannelResult(f=f, rho=rho, u=u, steps=steps,
+                             l2=poiseuille_l2(np.asarray(u[0]), u_max))
 
     model = SinglePhaseModel(
         omega=omega,

@@ -73,3 +73,33 @@ def test_temporal_blocking_matches_repeated_steps():
     got = four(f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_channel_fused_matches_model():
+    """Fused pressure-BC channel kernel vs the SinglePhaseModel step."""
+    from lbm_tpu.boundary import bc
+    from lbm_tpu.kernels.channel_pallas import make_channel_fused_step
+    from lbm_tpu.models.single_phase import SinglePhaseModel
+
+    R, C = 24, 128
+    omega = 1.0 / 0.9
+    rho_in, rho_out = 1.02, 1.0
+    model = SinglePhaseModel(
+        omega=omega, incompressible=True,
+        pre_stream_bcs=(lambda fc, fe, u, rho: bc.pressure_periodic(
+            fc, fe, u, rho_in, rho_out, axis=0,
+            eq_fn=d2q9.incomp_equilibrium),),
+        post_stream_bcs=(lambda fa, fc: bc.bounce_back(fa, fc, "colN"),
+                         lambda fa, fc: bc.bounce_back(fa, fc, "col0")),
+    )
+    f = model.init(R, C, dtype=jnp.float64)
+    step = make_channel_fused_step(R, C, omega, rho_in, rho_out,
+                                   dtype=jnp.float32, block_rows=8,
+                                   interpret=True)
+    got = f.astype(jnp.float32)
+    want = f
+    for _ in range(4):
+        got = step(got)
+        want = model.step(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-7)
