@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .collide_stream import CX, CY, HALO, _stream_slab, pick_block_rows
+from .collide_stream import HALO, _stream_slab, pick_block_rows
 
 
 def _halo_kernel(f_hbm, top_hbm, bot_hbm, out_hbm, *, collide_fn,

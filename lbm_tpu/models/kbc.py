@@ -19,8 +19,6 @@ Structure of one collide (ulbm.cpp:91-126):
 
 from __future__ import annotations
 
-from ..utils.xmath import esum, tdot
-
 from dataclasses import dataclass
 
 import jax.numpy as jnp

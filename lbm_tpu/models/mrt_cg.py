@@ -13,7 +13,7 @@ tensordots that XLA maps onto the MXU, and no {R,C,9,9} traffic.
 
 from __future__ import annotations
 
-from ..utils.xmath import esum, tdot
+from ..utils.xmath import tdot
 
 from dataclasses import dataclass
 from typing import NamedTuple

@@ -16,7 +16,7 @@ Two working formulations exist in the reference:
 
 from __future__ import annotations
 
-from ..utils.xmath import esum, tdot
+from ..utils.xmath import tdot
 
 from dataclasses import dataclass
 from typing import NamedTuple

@@ -11,10 +11,9 @@ Macroscopic fields: rho (R, C); u (2, R, C) with component 0 = x/rows.
 
 from __future__ import annotations
 
-from ..utils.xmath import esum, tdot
+from ..utils.xmath import tdot
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..core import lattice as lat
 

@@ -14,7 +14,6 @@ corner cells automatically.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..boundary import bc
 from ..core.params import ColourParams, DomainParams, GeneralParams, load_toml
-from ..models import mrt_cg, rk_cg
+from ..models import mrt_cg
 from ..models.mrt_cg import MRTCGModel, TwoPhaseState
 from ..models.rk_cg import RKDropletColour, RKDropletModel, RKMixtureModel
 

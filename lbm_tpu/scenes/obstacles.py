@@ -7,7 +7,7 @@ sedimentation with a passive advection-diffusion scalar.
 
 from __future__ import annotations
 
-from ..utils.xmath import esum, tdot
+from ..utils.xmath import tdot
 
 from dataclasses import dataclass
 
@@ -17,7 +17,6 @@ import numpy as np
 
 from ..boundary import bc
 from ..core import lattice as lat
-from ..models.single_phase import SinglePhaseModel
 from ..ops import d2q9
 from ..ops.ibm import IBM
 
