@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
+    ap.add_argument("--model", default="bgk",
+                    choices=["bgk", "kbc", "mrtcg"],
+                    help="collision family to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],
                     help="step implementation: XLA-fused jnp or Pallas kernel")
@@ -37,7 +40,7 @@ def main():
                          "to measure scaling, single chip here)")
     args = ap.parse_args()
     if args.quick:
-        args.rows, args.cols, args.steps = 1024, 1024, 20
+        args.rows, args.cols, args.steps = 1024, 1024, 400
 
     import jax
     import jax.numpy as jnp
@@ -62,7 +65,42 @@ def main():
     step = jnp_step
     if args.sharded:
         impl = "jnp"  # pallas sharding needs the shard_map halo variant
-    if impl in ("auto", "pallas"):
+    if args.model != "bgk" and args.sharded:
+        ap.error("--sharded currently benchmarks the bgk model only")
+
+    rho0 = jnp.ones((H, W), dtype)
+    u0 = jnp.zeros((2, H, W), dtype).at[0].set(0.05)
+    f = d2q9.equilibrium(u0, rho0)
+
+    if args.model == "kbc":
+        from lbm_tpu.kernels.collide_stream import make_kbc_fused_step
+        from lbm_tpu.models import kbc as kbc_model
+
+        step = make_kbc_fused_step(H, W, omega, dtype,
+                                   substeps=min(args.substeps, 8))
+        f = kbc_model.equilibrium(rho0, u0).astype(dtype)
+        impl = "pallas"
+    elif args.model == "mrtcg":
+        from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
+        from lbm_tpu.scenes.multiphase import (
+            DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+        from lbm_tpu.models.mrt_cg import MRTCGModel
+        from lbm_tpu.scenes.multiphase import mrtcg_boundary
+
+        if args.substeps != 1:
+            log("mrtcg kernel runs substeps=1 (gradient stencils consume "
+                "3 halo rows/sweep)")
+        step = make_mrtcg_fused_step(
+            H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
+            dtype=dtype)
+        model = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
+                           gravity=(6.25e-7, 0.0), boundary=mrtcg_boundary)
+        st = model.init_state(init_rho_cosine(H, W, 3.0, True, -1.0),
+                              init_rho_cosine(H, W, 1.0, False, -1.0),
+                              dtype=dtype)
+        f = jnp.stack([st.red.f, st.blue.f])
+        impl = "pallas"
+    elif impl in ("auto", "pallas"):
         try:
             from lbm_tpu.kernels.bgk_pallas import make_fused_step
 
@@ -73,10 +111,6 @@ def main():
                 raise
             log(f"pallas kernel unavailable ({e}); falling back to jnp")
             impl = "jnp"
-
-    rho0 = jnp.ones((H, W), dtype)
-    u0 = jnp.zeros((2, H, W), dtype).at[0].set(0.05)
-    f = d2q9.equilibrium(u0, rho0)
 
     if args.sharded:
         from lbm_tpu.parallel import mesh as meshmod
@@ -90,7 +124,7 @@ def main():
         static_argnums=1,
     )
 
-    substeps = args.substeps if impl == "pallas" else 1
+    substeps = args.substeps if (impl == "pallas" and args.model != "mrtcg") else 1
 
     def timed(n):
         """Full round-trip with a forced scalar read: through the axon relay
@@ -103,7 +137,7 @@ def main():
 
     t0 = time.perf_counter()
     n_small = max(2, args.steps // substeps // 8)
-    n_full = max(n_small + 1, args.steps // substeps)
+    n_full = max(4 * n_small, args.steps // substeps)
     timed(2)
     timed(n_small)  # compile+warm both trip counts outside the timed region
     timed(n_full)
@@ -124,12 +158,18 @@ def main():
     if not (ssum == ssum):  # NaN check on the forced read
         log("WARNING: non-finite state after benchmark run")
     marginal = sorted(marginals)[1]
+    if dt_full - dt_small < 0.02:
+        # marginal timing is below the relay's noise floor; report the
+        # end-to-end rate instead of a meaningless difference
+        marginal = H * W * n_full * substeps / dt_full / 1e6
+        log("marginal window under noise floor; using end-to-end rate")
     log(f"median marginal {marginal:.0f} MLUPS ({impl})")
     mlups = marginal
 
     baseline = 2000.0  # BASELINE.md north star, MLUPS/chip
     print(json.dumps({
-        "metric": "bgk_d2q9_collide_stream_mlups_" + impl + ("_sharded" if args.sharded else ""),
+        "metric": args.model + "_d2q9_collide_stream_mlups_" + impl
+                  + ("_sharded" if args.sharded else ""),
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / baseline, 3),

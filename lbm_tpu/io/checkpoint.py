@@ -99,3 +99,37 @@ class Checkpointer:
         if path is None:
             return None, None
         return load(path, like)
+
+
+class OrbaxCheckpointer:
+    """Orbax-backed variant for async / multi-host checkpointing of state
+    pytrees.  Same maybe_save/restore_latest surface as Checkpointer."""
+
+    def __init__(self, directory: str, every: int, keep: int = 2):
+        import orbax.checkpoint as ocp
+
+        self.every = every
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep),
+        )
+
+    def maybe_save(self, step: int, state) -> bool:
+        if self.every <= 0 or step % self.every != 0:
+            return False
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        return True
+
+    def restore_latest(self, like):
+        import orbax.checkpoint as ocp
+
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(like))
+        return restored, step
+
+    def wait(self):
+        self._mgr.wait_until_finished()

@@ -191,7 +191,8 @@ def kbc_collide_fn(s2: float):
 
 
 def make_kbc_fused_step(R: int, C: int, s2: float, dtype=jnp.float32,
-                        block_rows: int | None = None, interpret: bool = False):
+                        block_rows: int | None = None, interpret: bool = False,
+                        substeps: int = 1):
     """Fused KBC collide-stream (the ULBM family's 300k-step workloads,
     test/ulbm_poiseuille.cpp:64)."""
     if block_rows is None:
@@ -199,4 +200,4 @@ def make_kbc_fused_step(R: int, C: int, s2: float, dtype=jnp.float32,
         block_rows = pick_block_rows(R, C, dtype, vmem_budget=5 * 2 ** 20)
     return make_fused_step(R, C, kbc_collide_fn(s2), dtype=dtype,
                            block_rows=block_rows, interpret=interpret,
-                           flops_per_cell=400)
+                           flops_per_cell=400, substeps=substeps)

@@ -131,3 +131,18 @@ def test_native_snapshot_backend(tmp_path):
     a = snapshots.load_stream(prefix, "psi")
     assert a.shape == (20, 8, 16) and a.dtype == np.float32
     np.testing.assert_allclose(a[13], 13.0)
+
+
+def test_orbax_checkpointer_roundtrip(tmp_path):
+    from lbm_tpu.io.checkpoint import OrbaxCheckpointer
+
+    ck = OrbaxCheckpointer(str(tmp_path / "orb"), every=5, keep=2)
+    state = {"f": jnp.full((4, 4), 7.0), "rho": jnp.ones((4,))}
+    assert ck.maybe_save(5, state)
+    assert not ck.maybe_save(7, state)
+    assert ck.maybe_save(10, state)
+    ck.wait()
+    restored, step = ck.restore_latest(
+        {"f": jnp.zeros((4, 4)), "rho": jnp.zeros((4,))})
+    assert step == 10
+    np.testing.assert_allclose(np.asarray(restored["f"]), 7.0)
