@@ -1,0 +1,225 @@
+"""Fused RK (Rothman-Keller) colour-gradient mixture step as one Pallas
+kernel — the second multiphase family (models/rk_cg.py::RKMixtureModel,
+following src/rk.cpp's algebra driven by rk_rayleigh_taylor_test.cpp).
+
+State packing: (11, R, C) planes = colour-blind f (9) + r_rho + b_rho.
+One launch runs: mixture relaxation omega_rp, alpha/phi fields, the 5x5
+colour gradient F_kl (replicate edges, via kernels.mrtcg_pallas._corr5),
+BGK + Guo gravity + Reis perturbation, +/-beta recolouring, per-colour
+periodic streaming with the multiphase wall rules, and the macroscopic
+reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import lattice as lat
+from .collide_stream import HALO
+from .mrtcg_pallas import KX5, KY5, _corr5, _row_iota, _stream_with_bcs
+
+CX = tuple(int(v) for v in lat.C[0])
+CY = tuple(int(v) for v in lat.C[1])
+WQ = tuple(float(v) for v in lat.W)
+BQ = tuple(float(v) for v in lat.B_CG)
+NCX = tuple(float(v) for v in lat.NORM_C[0])
+NCY = tuple(float(v) for v in lat.NORM_C[1])
+
+
+def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
+    gx, gy = float(gravity[0]), float(gravity[1])
+
+    def collide(planes, abs_iota):
+        f = [planes[k] for k in range(9)]
+        r_rho = planes[9]
+        b_rho = planes[10]
+        rho = r_rho + b_rho
+        inv_rho = 1.0 / rho
+        mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+        my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+        ux = mx * inv_rho
+        uy = my * inv_rho
+        uu = ux * ux + uy * uy
+
+        # mixture relaxation rate (src/rk.cpp:184-194)
+        omega = rho / (3.0 * (r_rho * r_nu + b_rho * b_nu) + 0.5 * rho)
+        # alpha/phi fields (src/rk.cpp:127-154)
+        alpha = (r_alpha * r_rho + b_alpha * b_rho) * inv_rho
+        phi0 = alpha
+        phi_ax = 0.2 - 0.2 * alpha
+        phi_di = 0.05 - 0.05 * alpha
+
+        # colour gradient (src/rk.cpp:94-125), 5x5 replicate stencils
+        a_frac = r_rho * inv_rho
+        b_frac = b_rho * inv_rho
+        Fx = (b_rho * _corr5(a_frac, KX5, abs_iota, R, C)
+              - r_rho * _corr5(b_frac, KX5, abs_iota, R, C)) * inv_rho
+        Fy = (b_rho * _corr5(a_frac, KY5, abs_iota, R, C)
+              - r_rho * _corr5(b_frac, KY5, abs_iota, R, C)) * inv_rho
+        Fn = jnp.sqrt(Fx * Fx + Fy * Fy)
+        inv_Fn = 1.0 / (Fn + 1e-20)
+
+        C_kl = 1.0 - jnp.abs((r_rho - b_rho) * inv_rho)
+        A_kl = (4.5 * sigma) * omega
+        AC = A_kl * C_kl * Fn
+        inv_F2 = 1.0 / (1e-20 + Fn * Fn)
+
+        rb = r_rho * b_rho * inv_rho
+        ratio_r = r_rho * inv_rho
+        ratio_b = b_rho * inv_rho
+
+        coll_r, coll_b = [], []
+        for k in range(9):
+            phi = phi0 if k == 0 else (phi_ax if k < 5 else phi_di)
+            if CX[k] or CY[k]:
+                cu = CX[k] * ux + CY[k] * uy
+                feq = rho * (phi + WQ[k] * (3.0 * cu + 4.5 * cu * cu - 1.5 * uu))
+                cF = CX[k] * gx + CY[k] * gy
+                uF = ux * gx + uy * gy
+                src = (1.0 - 0.5 * omega) * (
+                    (3.0 + 9.0 * cu) * cF - 3.0 * uF) * WQ[k]
+                Fc = CX[k] * Fx + CY[k] * Fy
+            else:
+                feq = rho * (phi - WQ[k] * 1.5 * uu)
+                src = (1.0 - 0.5 * omega) * (-3.0 * (ux * gx + uy * gy)) * WQ[k]
+                Fc = None
+            omega1 = (1.0 - omega) * f[k] + omega * feq
+            if Fc is None:
+                omega2 = AC * (-BQ[k])
+            else:
+                omega2 = AC * (WQ[k] * Fc * Fc * inv_F2 - BQ[k])
+            post = omega1 + (src if (gx or gy) else 0.0) + omega2
+            # recolouring (src/rk.cpp:82-92) with +/-beta split
+            if NCX[k] or NCY[k]:
+                kap = rb * (NCX[k] * Fx + NCY[k] * Fy) * inv_Fn * phi
+            else:
+                kap = 0.0
+            coll_r.append(ratio_r * post + beta * kap)
+            coll_b.append(ratio_b * post - beta * kap)
+        return coll_r, coll_b
+
+    return collide
+
+
+def _kernel(s_hbm, out_hbm, *, collide, block_rows, n_blocks, R, C, dtype):
+    B = block_rows
+
+    def body(slab, obuf, in_sems, out_sems):
+        def dma_in(slot, i):
+            start = pl.multiple_of(i * B, 8)
+            top = pl.multiple_of((start - HALO) % R, 8)
+            bot = pl.multiple_of((start + B) % R, 8)
+            return (
+                pltpu.make_async_copy(
+                    s_hbm.at[:, pl.ds(top, HALO), :],
+                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    s_hbm.at[:, pl.ds(start, B), :],
+                    slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    s_hbm.at[:, pl.ds(bot, HALO), :],
+                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                    in_sems.at[slot, 2]),
+            )
+
+        def dma_out(slot, i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
+                out_sems.at[slot])
+
+        for d in dma_in(0, 0):
+            d.start()
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                for d in dma_in(nxt, i + 1):
+                    d.start()
+
+            for d in dma_in(slot, i):
+                d.wait()
+
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, i - 2).wait()
+
+            shape = (B + 2 * HALO, C)
+            abs_iota = _row_iota(shape) + (i * B - HALO)
+            planes = [slab[slot, k] for k in range(11)]
+            coll_r, coll_b = collide(planes, abs_iota)
+            new_r = _stream_with_bcs(coll_r, abs_iota, R, C)
+            new_b = _stream_with_bcs(coll_b, abs_iota, R, C)
+            r_rho_new = new_r[0]
+            b_rho_new = new_b[0]
+            for k in range(1, 9):
+                r_rho_new = r_rho_new + new_r[k]
+                b_rho_new = b_rho_new + new_b[k]
+            for k in range(9):
+                obuf[slot, k] = (new_r[k] + new_b[k])[HALO:HALO + B, :]
+            obuf[slot, 9] = r_rho_new[HALO:HALO + B, :]
+            obuf[slot, 10] = b_rho_new[HALO:HALO + B, :]
+
+            dma_out(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+
+        @pl.when(n_blocks >= 2)
+        def _():
+            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
+        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        slab=pltpu.VMEM((2, 11, block_rows + 2 * HALO, C), dtype),
+        obuf=pltpu.VMEM((2, 11, block_rows, C), dtype),
+        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
+                       r_nu: float, b_nu: float, sigma: float,
+                       beta: float = 0.7, gravity=(0.0, 0.0),
+                       dtype=jnp.float32, block_rows: int | None = None,
+                       interpret: bool = False):
+    """Fused RK mixture step: S (11, R, C) -> (11, R, C) with
+    S = [f(9), r_rho, b_rho]."""
+    if block_rows is None:
+        itemsize = jnp.dtype(dtype).itemsize
+        b = 128
+        while b > 8:
+            need = (2 * 11 * (b + 2 * HALO) + 2 * 11 * b) * C * itemsize
+            if need <= 6 * 2 ** 20 and R % b == 0:
+                break
+            b //= 2
+        block_rows = b
+    if R % block_rows != 0:
+        raise ValueError(f"rows {R} not divisible by block {block_rows}")
+    if C % 128 != 0:
+        raise ValueError(f"cols {C} must be a multiple of 128")
+    collide = _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta,
+                            gravity, R, C)
+    kernel = functools.partial(
+        _kernel, collide=collide, block_rows=block_rows,
+        n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((11, R, C), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=1200 * R * C,
+            bytes_accessed=2 * 11 * R * C * jnp.dtype(dtype).itemsize,
+            transcendentals=R * C),
+        interpret=interpret,
+    )
