@@ -27,14 +27,30 @@ class ULBMResult:
 
 def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
                     nu: float = 1e-4, u_max: float = 0.05,
+                    fused: bool = False,
                     dtype=jnp.float64) -> ULBMResult:
     """KBC channel with pressure-periodic inlet/outlet and no-slip side
-    walls.  Parameters cite /root/reference/test/ulbm_poiseuille.cpp:64-85."""
+    walls.  Parameters cite /root/reference/test/ulbm_poiseuille.cpp:64-85.
+    ``fused=True`` runs the whole step (BCs included) as one Pallas kernel
+    (f32, W%128==0, H%8==0)."""
     omega = 1.0 / (0.5 + 3.0 * nu)
     p_grad = 8.0 * nu * u_max / (W * W)
     rho_outlet = 1.0
     rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
     model = kbc.KBCModel(s2=omega)
+
+    if fused:
+        # KNOWN DEFECT (round-1): the fused KBC channel kernel
+        # (kernels/channel_pallas.py family='kbc') matches the jnp step
+        # bit-for-bit in interpret mode and every component (collide,
+        # equilibrium, masked row extraction) is bit-exact in isolated
+        # hardware kernels, but the combined kernel drifts ~1e-5/step at
+        # the virtual BC rows on the real chip and destabilises within a
+        # few hundred steps — an unisolated Mosaic compilation issue.
+        # Use the jnp path (fused=False) until resolved.
+        raise NotImplementedError(
+            "fused KBC channel deviates on hardware (Mosaic issue under "
+            "investigation); run with fused=False")
 
     def step(carry):
         f, m0, u = carry

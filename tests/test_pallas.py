@@ -103,3 +103,40 @@ def test_channel_fused_matches_model():
         want = model.step(want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-7)
+
+
+def test_kbc_channel_fused_matches_model():
+    """Fused KBC channel kernel vs the jnp ulbm_poiseuille step."""
+    from lbm_tpu.boundary import bc
+    from lbm_tpu.kernels.channel_pallas import make_channel_fused_step
+    from lbm_tpu.models import kbc as kbc_model
+
+    R, C = 24, 128
+    omega = 1.0 / (0.5 + 3.0 * 1e-2)
+    rho_in, rho_out = 1.01, 1.0
+    m0 = jnp.ones((R, C), jnp.float64)
+    u = jnp.zeros((2, R, C), jnp.float64)
+    f = kbc_model.equilibrium(m0, u)
+
+    def jnp_step(g):
+        m = d2q9.calc_rho(g)
+        v = d2q9.calc_u(g, m)
+        fc = kbc_model.collide(g, m, v, omega)
+        fe = kbc_model.equilibrium(m, v)
+        fc = bc.pressure_periodic(fc, fe, v, rho_in, rho_out, axis=0,
+                                  eq_fn=d2q9.incomp_equilibrium)
+        fn = d2q9.stream(fc)
+        fn = bc.bounce_back(fn, fc, "colN")
+        fn = bc.bounce_back(fn, fc, "col0")
+        return fn
+
+    step = make_channel_fused_step(R, C, omega, rho_in, rho_out,
+                                   dtype=jnp.float32, block_rows=8,
+                                   interpret=True, family="kbc")
+    got = f.astype(jnp.float32)
+    want = f
+    for _ in range(3):
+        got = step(got)
+        want = jnp_step(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-6)
