@@ -126,7 +126,9 @@ def _kernel(f_hbm, out_hbm, *, omega, rho_in, rho_out, block_rows, n_blocks,
                 inv_rho = 1.0 / rho
                 ux, uy = mx * inv_rho, my * inv_rho
                 u_st = jnp.stack([ux, uy], axis=0)
-                f_st = jnp.stack(f, axis=0)
+                # read the 3-D block directly (matches the working pure-KBC
+                # kernel) instead of re-stacking the per-plane slices
+                f_st = slab[slot]
                 coll_st = _kbc.collide(f_st, rho, u_st, omega)
                 feq_st = _kbc.equilibrium(rho, u_st)
                 coll = [coll_st[k] for k in range(9)]
@@ -213,6 +215,14 @@ def make_channel_fused_step(R: int, C: int, omega: float, rho_inlet: float,
     if block_rows is None:
         budget = 10 * 2 ** 20 if family == "bgk" else 5 * 2 ** 20
         block_rows = pick_block_rows(R, C, dtype, vmem_budget=budget)
+        while block_rows + 2 * HALO > R and block_rows > 8:
+            block_rows //= 2
+    if block_rows + 2 * HALO > R:
+        # a slab would contain some global rows twice (halo wrap overlapping
+        # the interior), double-counting the masked row extractions that
+        # build the pressure BC
+        raise ValueError(
+            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
     if R % block_rows != 0:
         raise ValueError(f"rows {R} not divisible by block {block_rows}")
     if C % 128 != 0:

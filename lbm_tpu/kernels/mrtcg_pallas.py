@@ -405,8 +405,15 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
     (index 0 = red, 1 = blue)."""
     if block_rows is None:
         block_rows = pick_block_rows(R, C, dtype)
+        while block_rows + 2 * HALO > R and block_rows > 8:
+            block_rows //= 2
     if R % block_rows != 0:
         raise ValueError(f"rows {R} not divisible by block {block_rows}")
+    if block_rows + 2 * HALO > R:
+        # duplicated rows in a slab break the masked row extractions used
+        # for replicate gradient edges and the absolute-row BC masks
+        raise ValueError(
+            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
     if C % 128 != 0:
         raise ValueError(f"cols {C} must be a multiple of 128")
     collide = _make_collide(red, blue, sigma, gravity, delta,

@@ -202,8 +202,13 @@ def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
                 break
             b //= 2
         block_rows = b
+        while block_rows + 2 * HALO > R and block_rows > 8:
+            block_rows //= 2
     if R % block_rows != 0:
         raise ValueError(f"rows {R} not divisible by block {block_rows}")
+    if block_rows + 2 * HALO > R:
+        raise ValueError(
+            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
     if C % 128 != 0:
         raise ValueError(f"cols {C} must be a multiple of 128")
     collide = _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta,

@@ -40,17 +40,23 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
     model = kbc.KBCModel(s2=omega)
 
     if fused:
-        # KNOWN DEFECT (round-1): the fused KBC channel kernel
-        # (kernels/channel_pallas.py family='kbc') matches the jnp step
-        # bit-for-bit in interpret mode and every component (collide,
-        # equilibrium, masked row extraction) is bit-exact in isolated
-        # hardware kernels, but the combined kernel drifts ~1e-5/step at
-        # the virtual BC rows on the real chip and destabilises within a
-        # few hundred steps — an unisolated Mosaic compilation issue.
-        # Use the jnp path (fused=False) until resolved.
-        raise NotImplementedError(
-            "fused KBC channel deviates on hardware (Mosaic issue under "
-            "investigation); run with fused=False")
+        from ..kernels.channel_pallas import make_channel_fused_step
+
+        step = make_channel_fused_step(H, W, omega, rho_inlet, rho_outlet,
+                                       dtype=jnp.float32, family="kbc")
+        f = model.equilibrium(jnp.ones((H, W), jnp.float32),
+                              jnp.zeros((2, H, W), jnp.float32))
+        chunk = jax.jit(
+            lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(20000, T - done)
+            f = chunk(f, n)
+            float(f[0, 0, 0])  # keep launches under the relay's ~2s ceiling
+            done += n
+        m0, u = model.macroscopics(f)
+        return ULBMResult(f=f, m0=m0, m1=u, steps=T)
 
     def step(carry):
         f, m0, u = carry
