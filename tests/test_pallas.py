@@ -140,3 +140,26 @@ def test_kbc_channel_fused_matches_model():
         want = jnp_step(want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-6)
+
+
+def test_channel_kernel_rejects_aliasing_blocks():
+    """Regression: with wrapped absolute rows, B + 2*HALO > R makes halo
+    rows alias interior rows and double-counts the BC row extractions —
+    such configurations must be rejected."""
+    from lbm_tpu.kernels.channel_pallas import make_channel_fused_step
+
+    with pytest.raises(ValueError, match="block"):
+        make_channel_fused_step(24, 128, 1.0, 1.01, 1.0,
+                                block_rows=16, interpret=True)
+    # auto-pick shrinks the block instead of failing
+    step = make_channel_fused_step(32, 128, 1.0, 1.01, 1.0, interpret=True)
+    assert step is not None
+
+
+def test_pick_block_rows_mosaic_ceiling():
+    from lbm_tpu.kernels.collide_stream import pick_block_rows
+
+    # measured Mosaic compile ceiling: (b+16)*C*4 <= 256 KiB
+    assert pick_block_rows(4096, 2048) == 16
+    assert pick_block_rows(4096, 1024) == 32
+    assert pick_block_rows(8192, 512) == 64
