@@ -81,15 +81,6 @@ def make_periodic_bgk_step(mesh: Mesh, omega: float,
     )
 
 
-def _send_lines(lines: jnp.ndarray, axis_name: str, src: int, dst: int):
-    """Move a small packet from rank src to rank dst over the ring (other
-    ranks receive zeros)."""
-    n = lax.axis_size(axis_name)
-    if n == 1:
-        return lines
-    return lax.ppermute(lines, axis_name, [(src, dst)])
-
-
 def make_channel_bgk_step(mesh: Mesh, omega: float, rho_inlet: float,
                           rho_outlet: float):
     """The horizontal-Poiseuille step sharded over rows ('x'), cols local:
