@@ -1,0 +1,85 @@
+"""2-D (rows x cols) sharded fused kernel vs the single-device jnp oracle
+on the 8-virtual-device CPU mesh in interpret mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.kernels.bgk_pallas import bgk_collide_fn
+from lbm_tpu.kernels.sharded2d_pallas import make_local_2d_step, make_sharded_fused_step_2d
+from lbm_tpu.ops import d2q9
+from lbm_tpu.parallel import mesh as meshmod
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _oracle(f, omega, steps=1):
+    for _ in range(steps):
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        feq = d2q9.equilibrium(u, rho)
+        f = d2q9.stream(d2q9.bgk_collision(f, feq, omega))
+    return f
+
+
+def test_local_2d_step_self_halos_match_periodic():
+    """Single rank in both axes: self-halos reproduce the periodic oracle."""
+    R, C = 32, 128
+    omega = 1.0 / 0.8
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.uniform(0.05, 0.3, (9, R, C)), jnp.float32)
+    rowpad = jnp.concatenate([f[:, -8:], f, f[:, :8]], axis=1)
+    left = rowpad[:, :, -128:]
+    right = rowpad[:, :, :128]
+    step = make_local_2d_step(R, C, bgk_collide_fn(omega, jnp.float32),
+                              block_rows=8, interpret=True)
+    got = step(rowpad, left, right)
+    want = _oracle(f.astype(jnp.float64), omega).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+@needs_8
+def test_sharded_2d_matches_oracle():
+    """2x4 mesh (rows AND cols sharded), two exchanged steps."""
+    m = meshmod.make_mesh(shape=(2, 4))
+    R, C = 32, 512
+    omega = 1.0 / 0.8
+    rng = np.random.default_rng(12)
+    f = jnp.asarray(rng.uniform(0.05, 0.3, (9, R, C)), jnp.float32)
+    step = make_sharded_fused_step_2d(m, R, C,
+                                      bgk_collide_fn(omega, jnp.float32),
+                                      block_rows=8, interpret=True)
+    got = step(step(meshmod.shard_state(m, f)))
+    want = _oracle(f.astype(jnp.float64), omega, steps=2).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-6)
+
+
+@needs_8
+def test_sharded_2d_temporal_blocking():
+    """substeps=4 per exchange == 4 plain steps on a 4x2 mesh."""
+    m = meshmod.make_mesh(shape=(4, 2))
+    R, C = 64, 256
+    omega = 1.0 / 0.8
+    rng = np.random.default_rng(13)
+    f = jnp.asarray(rng.uniform(0.05, 0.3, (9, R, C)), jnp.float32)
+    step4 = make_sharded_fused_step_2d(m, R, C,
+                                       bgk_collide_fn(omega, jnp.float32),
+                                       block_rows=8, substeps=4,
+                                       interpret=True)
+    got = step4(meshmod.shard_state(m, f))
+    want = _oracle(f.astype(jnp.float64), omega, steps=4).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-6)
+
+
+def test_sharded_2d_validates_geometry():
+    m = meshmod.make_mesh(shape=(2, 4))
+    fn = bgk_collide_fn(1.0, jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_fused_step_2d(m, 30, 512, fn)
+    with pytest.raises(ValueError, match=">= 128"):
+        # C_loc = 64 < CHALO
+        make_sharded_fused_step_2d(m, 32, 256, fn)
