@@ -17,6 +17,7 @@ import numpy as np
 from ..boundary import bc
 from ..core.params import ColourParams, DomainParams, GeneralParams, load_toml
 from ..models import mrt_cg
+from ..utils import observe
 from ..models.mrt_cg import MRTCGModel, TwoPhaseState
 from ..models.rk_cg import RKDropletColour, RKDropletModel, RKMixtureModel
 
@@ -79,14 +80,19 @@ class MultiphaseResult:
 
 
 def _run_chunks(model, state, T: int, snapshot_every: int | None,
-                record: dict[str, callable] | None = None):
-    """Host loop over jitted chunks with optional snapshot recording."""
+                record: dict[str, callable] | None = None,
+                cells: int | None = None):
+    """Host loop over jitted chunks with optional snapshot recording.
+    Progress (step count + MLUPS) is logged every ~10 s via StepMeter —
+    the structured replacement for the reference's ``cout << t << "\\t\\r"``
+    loops (e.g. mrtcg_rayleigh_taylor.cpp:229)."""
     step = jax.jit(model.step)
     chunk_n = snapshot_every or max(1, min(T, 1000))
     chunk = jax.jit(
         lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: model.step(x), s),
         static_argnums=1,
     )
+    meter = observe.StepMeter(cells or _state_cells(state), total_steps=T)
     snaps: dict[str, list] = {k: [] for k in (record or {})}
     done = 0
     while done < T:
@@ -96,7 +102,14 @@ def _run_chunks(model, state, T: int, snapshot_every: int | None,
         n = min(chunk_n, T - done)
         state = chunk(state, n)
         done += n
+        meter.update(n)
     return state, {k: np.stack(v) if v else None for k, v in snaps.items()}
+
+
+def _state_cells(state) -> int:
+    """Grid size of a model state (rows*cols of the first array leaf)."""
+    leaf = jax.tree.leaves(state)[0]
+    return int(leaf.shape[-1] * leaf.shape[-2])
 
 
 def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
@@ -139,6 +152,7 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
             static_argnums=1)
         done = 0
         snaps = {"rho": [], "psi": []}
+        meter = observe.StepMeter(R * C, total_steps=T)
         while done < T:
             if snapshot_every and done % snapshot_every == 0:
                 r_rho = np.asarray(F[0].sum(0))
@@ -149,6 +163,7 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
             n = min(snapshot_every or 5000, T - done, 20000)
             F = chunk(F, n)
             done += n
+            meter.update(n)
         r_rho = F[0].sum(0)
         b_rho = F[1].sum(0)
         rho = r_rho + b_rho
@@ -234,6 +249,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
             static_argnums=1)
         snaps = {"psi": [], "ux": []}
         done = 0
+        meter = observe.StepMeter(R * C, total_steps=T)
         ckpt = None
         last_ckpt = 0
         if checkpoint_dir:
@@ -265,6 +281,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
             n = min(n, 20000)
             F = chunk(F, n)
             done += n
+            meter.update(n)
         r_rho = F[0].sum(0)
         b_rho = F[1].sum(0)
         rho = r_rho + b_rho
@@ -381,6 +398,7 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
             static_argnums=1)
         snaps = {"r_rho": [], "ux": []}
         done = 0
+        meter = observe.StepMeter(R * C, total_steps=T)
         while done < T:
             if snapshot_every and done % snapshot_every == 0:
                 Sn = np.asarray(S)
@@ -391,6 +409,7 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
             n = min(snapshot_every or 1000, T - done, 20000)
             S = chunk(S, n)
             done += n
+            meter.update(n)
         rho = S[9] + S[10]
         from ..ops import d2q9 as _d2q9
 

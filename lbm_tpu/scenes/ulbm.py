@@ -15,6 +15,7 @@ import numpy as np
 from ..boundary import bc
 from ..models import kbc
 from ..ops import d2q9
+from ..utils import observe
 
 
 @dataclass
@@ -50,11 +51,13 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
         done = 0
+        meter = observe.StepMeter(H * W, total_steps=T)
         while done < T:
             n = min(20000, T - done)
             f = chunk(f, n)
             float(f[0, 0, 0])  # keep launches under the relay's ~2s ceiling
             done += n
+            meter.update(n)
         m0, u = model.macroscopics(f)
         return ULBMResult(f=f, m0=m0, m1=u, steps=T)
 
@@ -88,10 +91,12 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
     )
     carry = (f, m0, u)
     done = 0
+    meter = observe.StepMeter(H * W, total_steps=T)
     while done < T:
         n = min(10000, T - done)
         carry = chunk(carry, n)
         done += n
+        meter.update(n)
     f, m0, u = carry
     return ULBMResult(f=f, m0=m0, m1=u, steps=T)
 
@@ -139,10 +144,12 @@ def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
             lambda x, n: jax.lax.fori_loop(0, n, lambda _, y: step(y), x),
             static_argnums=1)
         done = 0
+        meter = observe.StepMeter(H * W, total_steps=T)
         while done < T:
             n = min(20000, T - done)
             g = chunk(g, n)
             done += n
+            meter.update(n)
         m0_f, u_f = model.macroscopics(g)
         return ULBMResult(f=g, m0=m0_f, m1=u_f, steps=T)
 
@@ -159,9 +166,11 @@ def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
     )
     carry = (f, m0, u)
     done = 0
+    meter = observe.StepMeter(H * W, total_steps=T)
     while done < T:
         n = min(10000, T - done)
         carry = chunk(carry, n)
         done += n
+        meter.update(n)
     f, m0, u = carry
     return ULBMResult(f=f, m0=m0, m1=u, steps=T)

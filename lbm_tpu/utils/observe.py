@@ -66,7 +66,7 @@ class StepMeter:
     def summary(self) -> str:
         frac = f"/{self.total}" if self.total else ""
         return (f"step {self.steps}{frac}  "
-                f"{self.mlups():.0f} MLUPS  "
+                f"{self.mlups():.3g} MLUPS  "
                 f"{time.perf_counter() - self.t0:.1f}s elapsed")
 
 
