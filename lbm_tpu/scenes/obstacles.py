@@ -38,6 +38,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                   n_markers: int = 64, u_stream: float = 0.05,
                   omega: float = 1.0 / 0.55,
                   ibm: IBM | None = None,
+                  fused: bool = False,
                   dtype=jnp.float64) -> CylinderResult:
     """Uniform stream past an IBM cylinder: ABB inlet/outlet (rows),
     specular side walls (cols), multi-direct-forcing body force over the
@@ -48,12 +49,51 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
 
     The marker TOML the reference expects does not ship (SURVEY.md 5.6);
     markers default to a generated circle, or pass an ``IBM`` built from
-    ``IBM.from_markers``/TOML arrays."""
+    ``IBM.from_markers``/TOML arrays.
+
+    ``fused=True`` (f32, W%128==0) runs the grid-wide work — collide, Guo,
+    stream, ABB/specular walls — as one Pallas launch per step
+    (kernels.cylinder_pallas); the per-marker IBM forcing stays in jnp and
+    feeds the kernel a full-grid force field."""
     ib = ibm or IBM.circle(center[0], center[1], radius, n_markers)
     u_w = jnp.asarray([u_stream, 0.0], dtype)
 
     r0, r1 = ib.roi_rows
     c0, c1 = ib.roi_cols
+
+    if fused:
+        from ..kernels.cylinder_pallas import make_cylinder_fused_step
+
+        kstep = make_cylinder_fused_step(
+            H, W, omega, u_wall=(u_stream, 0.0), guo=_WEAK_GUO,
+            dtype=jnp.float32)
+
+        def fused_step(carry):
+            f, _F, _Fs = carry
+            rho = d2q9.calc_rho(f)
+            u = d2q9.calc_u(f, rho)
+            F = ib.eulerian_force_density(u, rho)
+            F_s = F.sum(axis=(1, 2))
+            F_full = jnp.zeros((2, H, W), f.dtype).at[:, r0:r1, c0:c1].set(F)
+            return kstep(f, F_full), F, F_s
+
+        u0 = jnp.zeros((2, H, W), jnp.float32).at[0].set(u_stream)
+        f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), jnp.float32))
+        carry = (f, jnp.zeros((2,) + ib.roi_shape, jnp.float32),
+                 jnp.zeros((2,), jnp.float32))
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: fused_step(x), c),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(20000, T - done)
+            carry = chunk(carry, n)
+            done += n
+        f, F, F_s = carry
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        return CylinderResult(f=f, rho=rho, u=u, F_roi=F, surface_force=F_s,
+                              steps=T)
 
     def step(carry):
         f, _F, _Fs = carry
