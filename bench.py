@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
     ap.add_argument("--model", default="bgk",
-                    choices=["bgk", "kbc", "mrtcg"],
+                    choices=["bgk", "kbc", "mrtcg", "rk"],
                     help="collision family to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],
@@ -100,6 +100,22 @@ def main():
                               dtype=dtype)
         f = jnp.stack([st.red.f, st.blue.f])
         impl = "pallas"
+    elif args.model == "rk":
+        from lbm_tpu.kernels.rk_pallas import make_rk_fused_step
+        from lbm_tpu.scenes.multiphase import init_rho_cosine
+
+        if args.substeps != 1:
+            log("rk kernel runs substeps=1 (gradient stencils consume "
+                "3 halo rows/sweep)")
+        step = make_rk_fused_step(
+            H, W, r_alpha=11.0 / 15.0, b_alpha=0.2, r_nu=0.04, b_nu=0.04,
+            sigma=0.1, beta=0.7, gravity=(-6.25e-6, 0.0), dtype=dtype)
+        r0 = jnp.asarray(init_rho_cosine(H, W, 3.0, False, 1.0), dtype)
+        b0 = jnp.asarray(init_rho_cosine(H, W, 1.0, True, 1.0), dtype)
+        rho = r0 + b0
+        f0 = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho)
+        f = jnp.concatenate([f0, r0[None], b0[None]], axis=0)
+        impl = "pallas"
     elif impl in ("auto", "pallas"):
         try:
             from lbm_tpu.kernels.bgk_pallas import make_fused_step
@@ -124,7 +140,8 @@ def main():
         static_argnums=1,
     )
 
-    substeps = args.substeps if (impl == "pallas" and args.model != "mrtcg") else 1
+    substeps = args.substeps if (impl == "pallas"
+                                 and args.model not in ("mrtcg", "rk")) else 1
 
     def timed(n):
         """Full round-trip with a forced scalar read: through the axon relay

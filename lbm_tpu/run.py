@@ -74,6 +74,25 @@ def _save_result(out: str, result) -> None:
                     save_array(f"{fld.name}{i}", leaf)
 
 
+def _summarise(result) -> str:
+    """One line of headline scalars from a scene result (drag, L2, step
+    count, ...) so interactive runs end with numbers, not just 'finished'."""
+    import numpy as np
+
+    parts = []
+    if dataclasses.is_dataclass(result):
+        for fld in dataclasses.fields(result):
+            val = getattr(result, fld.name)
+            if isinstance(val, (int, float)):
+                parts.append(f"{fld.name}={val:g}" if isinstance(val, float)
+                             else f"{fld.name}={val}")
+            elif hasattr(val, "shape") and getattr(val, "ndim", None) == 1 \
+                    and val.shape[0] <= 4:
+                vec = ", ".join(f"{float(x):.6g}" for x in np.asarray(val))
+                parts.append(f"{fld.name}=({vec})")
+    return "  ".join(parts) if parts else ""
+
+
 def main(argv=None):
     _register_all()
     ap = argparse.ArgumentParser(
@@ -121,7 +140,8 @@ def main(argv=None):
     logger.info(f"scene {args.scene} kwargs={kwargs}")
     with profile(args.profile):
         result = scene(**kwargs)
-    logger.info("scene finished")
+    summary = _summarise(result)
+    logger.info(f"scene finished  {summary}" if summary else "scene finished")
     if args.out:
         _save_result(args.out, result)
     return 0
