@@ -38,6 +38,8 @@ def _register_all():
         "ulbm_double_shear": ulbm.ulbm_double_shear,
         "mrtcg_static_droplet": multiphase.mrtcg_static_droplet,
         "mrtcg_rayleigh_taylor": multiphase.mrtcg_rayleigh_taylor,
+        "mrtcg_multimode_rayleigh_taylor":
+            multiphase.mrtcg_multimode_rayleigh_taylor,
         "mrt_csf_rayleigh_taylor": multiphase.mrt_csf_rayleigh_taylor,
         "rk_static_droplet": multiphase.rk_static_droplet,
         "csf_static_droplet": multiphase.csf_static_droplet,

@@ -55,6 +55,23 @@ def init_rho_cosine(R: int, C: int, rho_0: float, fill_below: bool,
     return rho_0 * mask.astype(np.float64)
 
 
+def init_rho_modes(R: int, C: int, rho_0: float, fill_below: bool,
+                   modes=((1, -0.1), (3, 0.03), (5, 0.015))) -> np.ndarray:
+    """Multi-mode RT interface: s(c) = R/2 + C * sum_m a_m cos(2 pi m c / C).
+
+    The reference declares a driver for this study
+    (`mrtcg_multiple_mode_rayleigh_taylor`, CMakeLists.txt:149-152) but its
+    source file is absent from the snapshot (SURVEY.md section 4); this is
+    the natural multi-mode generalisation of init_rho_cosine.  ``modes`` is
+    a sequence of (mode_number, amplitude_fraction_of_C) pairs."""
+    r = np.arange(R)[:, None] * np.ones((1, C))
+    c = np.ones((R, 1)) * np.arange(C)[None, :]
+    s = R / 2.0 + C * sum(
+        a * np.cos(2.0 * 3.141592 * m * c / C) for m, a in modes)
+    mask = (r < s) if fill_below else (r >= s)
+    return rho_0 * mask.astype(np.float64)
+
+
 def mrtcg_boundary(f_adve, f_coll):
     """The multiphase drivers' wall rule: periodic left-right (no diagonal
     offset, rows 1..-2) then bounce-back top/bottom.
@@ -197,12 +214,16 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                           fused: bool = False,
                           checkpoint_dir: str | None = None,
                           checkpoint_every: int = 10000,
+                          modes=None,
                           dtype=jnp.float64) -> MultiphaseResult:
     """MRT-CG Rayleigh-Taylor.  Defaults follow the shipped TOML
     (/root/reference/mrtcg-rayleigh-taylor-gamma3.toml:4-22) with a
     [general] table as required by mrtcg_rayleigh_taylor.cpp:360-362.
     Heavy (red) fluid on top (init_rho_cosine sign -1, fill r<s).
-    Explicit keyword arguments take precedence over the config file."""
+    Explicit keyword arguments take precedence over the config file.
+    ``modes`` (sequence of (mode_number, amplitude) pairs) switches the
+    interface to the multi-mode perturbation of init_rho_modes — the study
+    the reference names but ships no source for (CMakeLists.txt:149-152)."""
     if config_path:
         tbl = load_toml(config_path)
         dom = DomainParams.from_toml(tbl)
@@ -230,8 +251,14 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
         gravity=(gravity_magnitude, 0.0),
         apply_gravity_source=True, boundary=mrtcg_boundary,
     )
-    r0 = init_rho_cosine(R, C, red.rho_0, fill_below=True, amplitude_sign=-1.0)
-    b0 = init_rho_cosine(R, C, blue.rho_0, fill_below=False, amplitude_sign=-1.0)
+    if modes is not None:
+        r0 = init_rho_modes(R, C, red.rho_0, fill_below=True, modes=modes)
+        b0 = init_rho_modes(R, C, blue.rho_0, fill_below=False, modes=modes)
+    else:
+        r0 = init_rho_cosine(R, C, red.rho_0, fill_below=True,
+                             amplitude_sign=-1.0)
+        b0 = init_rho_cosine(R, C, blue.rho_0, fill_below=False,
+                             amplitude_sign=-1.0)
     state = model.init_state(r0, b0, dtype=dtype)
 
     if fused:
@@ -302,6 +329,21 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
     }
     state, snaps = _run_chunks(model, state, T, snapshot_every, record)
     return MultiphaseResult(state=state, steps=T, snapshots=snaps)
+
+
+def mrtcg_multimode_rayleigh_taylor(
+        modes=((1, -0.1), (3, 0.03), (5, 0.015)), **kwargs):
+    """Multi-mode MRT-CG Rayleigh-Taylor — the reference's declared-but-
+    unshipped `mrtcg_multiple_mode_rayleigh_taylor` study
+    (CMakeLists.txt:149-152): mrtcg_rayleigh_taylor with a superposition of
+    interface perturbation modes.
+
+    Note the capillary cutoff: with the default sigma=1e-4 / g=6.25e-7 only
+    wavelengths above ~80 cells are RT-unstable, so on C=128 the extra modes
+    correctly *decay* (measured: mode-3 amp 244->39 over 20k steps).  For
+    all-mode growth use e.g. sigma=1e-5, gravity_magnitude=5e-6 (measured:
+    interface std 9.6->24.9, mode-1 amp 821->2157 over 20k steps)."""
+    return mrtcg_rayleigh_taylor(modes=modes, **kwargs)
 
 
 def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,

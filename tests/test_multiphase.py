@@ -156,3 +156,27 @@ def test_csf_static_droplet_conservation():
     assert np.abs(psi).max() <= 1.0 + 1e-9
     rho = np.asarray(st.red.rho + st.blue.rho)
     assert 0.5 < rho.min() and rho.max() < 1.5
+
+
+def test_mrtcg_multimode_rt():
+    """Multi-mode interface init has the requested spectral content and the
+    scene runs stably (the reference's declared-but-unshipped
+    mrtcg_multiple_mode_rayleigh_taylor study)."""
+    modes = ((1, -0.05), (3, 0.02))
+    r0 = mp.init_rho_modes(64, 32, 3.0, fill_below=True, modes=modes)
+    # interface height per column = number of heavy rows; its FFT must show
+    # exactly the seeded modes
+    h = (r0 > 0).sum(axis=0).astype(float)
+    spec = np.abs(np.fft.rfft(h - h.mean()))
+    assert spec[1] > 5.0 and spec[3] > 2.0        # seeded modes present
+    assert spec[2] < 0.6 * spec[3]                # unseeded mode absent
+    res = mp.mrtcg_multimode_rayleigh_taylor(
+        modes=modes, R=64, C=32, T=200, sigma=1e-4, gravity_magnitude=5e-5)
+    st = res.state
+    psi = np.asarray(mrt_cg.phase_field(st.red.rho, 3.0, st.blue.rho, 1.0))
+    assert np.isfinite(psi).all()
+    # total mass drifts only by the reference's faithful no-diagonal
+    # periodic-edge leak (~1e-7/step for the wall-touching phase)
+    total = np.asarray(st.red.rho + st.blue.rho)
+    assert abs(total.sum() / (r0.sum() + mp.init_rho_modes(
+        64, 32, 1.0, fill_below=False, modes=modes).sum()) - 1) < 1e-4
