@@ -72,62 +72,66 @@ def _abs_row_val(x, abs_iota, abs_row: int):
     return jnp.sum(jnp.where(mask, x, 0.0), axis=0, keepdims=True)
 
 
-def _corr5(x, kern, abs_iota, R: int, C: int):
-    """5x5 cross-correlation with replicate padding on all four global
-    edges, on a slab whose absolute row index is ``abs_iota`` (rows beyond
-    the validity margin produce garbage the caller discards)."""
+def _corr5_multi(x, kerns, abs_iota, R: int, C: int):
+    """5x5 cross-correlations of ``x`` with each kernel in ``kerns``, with
+    replicate padding on all four global edges, on a slab whose absolute row
+    index is ``abs_iota`` (rows beyond the validity margin produce garbage
+    the caller discards).
+
+    The expensive per-tap work — the column roll + column-replicate fixup of
+    x and of the two global edge rows — depends only on db, so it is hoisted
+    out of the row loop and shared across all kernels (the main stencil cost
+    of the two-phase kernels; computing grad-x and grad-y together here is
+    ~2x cheaper than two independent passes)."""
     left = _edge_col(x, 0, C)
     right = _edge_col(x, C - 1, C)
     top = _abs_row_val(x, abs_iota, 0)
     bot = _abs_row_val(x, abs_iota, R - 1)
     rows = x.shape[0]
     ci = _col_iota(x.shape)
-    out = None
-    for a in range(5):
-        da = a - 2
-        for b in range(5):
-            db = b - 2
-            w = kern[a][b]
-            if w == 0.0:
+    outs = [None] * len(kerns)
+
+    def colshift(v, db, ci_v):
+        t = pltpu.roll(v, (-db) % C, axis=1)
+        # column replicate: positions whose source col fell off the grid
+        # take the edge column's value (row-wise)
+        if db < 0:
+            return jnp.where(ci_v < -db, _edge_col(v, 0, C), t)
+        return jnp.where(ci_v >= C - db, _edge_col(v, C - 1, C), t)
+
+    for b in range(5):
+        db = b - 2
+        if not any(k[a][b] != 0.0 for k in kerns for a in range(5)):
+            continue
+        t_db = colshift(x, db, ci) if db else x
+        # replicate rows use the (column-shifted) edge row value
+        rep_top = colshift(top, db, ci[:1]) if db else top
+        rep_bot = colshift(bot, db, ci[:1]) if db else bot
+        for a in range(5):
+            da = a - 2
+            if not any(k[a][b] != 0.0 for k in kerns):
                 continue
-            t = x
-            if db:
-                t = pltpu.roll(t, (-db) % C, axis=1)
-                # column replicate: positions whose source col fell off the
-                # grid take the edge column's value (row-wise)
-                if db < 0:
-                    t = jnp.where(ci < -db, left, t)
-                else:
-                    t = jnp.where(ci >= C - db, right, t)
+            t = t_db
             if da:
                 t = pltpu.roll(t, (-da) % rows, axis=0)
-            # row replicate at the global edges (mask on absolute row of the
-            # *source*: abs+da < 0 or >= R).  The replacement row itself must
-            # get its column-replicated value, so recompute cheap fixups.
+            # row replicate at the global edges (mask on absolute row of
+            # the *source*: abs+da < 0 or >= R)
             if da < 0:
-                src_off = abs_iota + da < 0
-                # replicate rows use the (column-shifted) edge row value
-                rep = top
-                if db:
-                    rep = pltpu.roll(top, (-db) % C, axis=1)
-                    if db < 0:
-                        rep = jnp.where(ci[:1] < -db, _edge_col(top, 0, C), rep)
-                    else:
-                        rep = jnp.where(ci[:1] >= C - db, _edge_col(top, C - 1, C), rep)
-                t = jnp.where(src_off, rep, t)
+                t = jnp.where(abs_iota + da < 0, rep_top, t)
             elif da > 0:
-                src_off = abs_iota + da >= R
-                rep = bot
-                if db:
-                    rep = pltpu.roll(bot, (-db) % C, axis=1)
-                    if db < 0:
-                        rep = jnp.where(ci[:1] < -db, _edge_col(bot, 0, C), rep)
-                    else:
-                        rep = jnp.where(ci[:1] >= C - db, _edge_col(bot, C - 1, C), rep)
-                t = jnp.where(src_off, rep, t)
-            term = w * t
-            out = term if out is None else out + term
-    return out
+                t = jnp.where(abs_iota + da >= R, rep_bot, t)
+            for i, k in enumerate(kerns):
+                w = k[a][b]
+                if w == 0.0:
+                    continue
+                term = w * t
+                outs[i] = term if outs[i] is None else outs[i] + term
+    return outs
+
+
+def _corr5(x, kern, abs_iota, R: int, C: int):
+    """Single-kernel 5x5 cross-correlation (see _corr5_multi)."""
+    return _corr5_multi(x, (kern,), abs_iota, R, C)[0]
 
 
 def _mrt_omega1(df, c1, c7, s_nu):
@@ -202,8 +206,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         s_nu = relax(psi)
 
         # gradients: phase field + per-colour correction fields
-        gpx = _corr5(psi, KX5, abs_iota, R, C)
-        gpy = _corr5(psi, KY5, abs_iota, R, C)
+        gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C)
         gn = jnp.sqrt(gpx * gpx + gpy * gpy)
         inv_gn = 1.0 / (1e-20 + gn)
 

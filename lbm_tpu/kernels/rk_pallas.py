@@ -21,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import lattice as lat
 from .collide_stream import HALO
-from .mrtcg_pallas import KX5, KY5, _corr5, _row_iota, _stream_with_bcs
+from .mrtcg_pallas import KX5, KY5, _corr5_multi, _row_iota, _stream_with_bcs
 
 CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
@@ -57,10 +57,10 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
         # colour gradient (src/rk.cpp:94-125), 5x5 replicate stencils
         a_frac = r_rho * inv_rho
         b_frac = b_rho * inv_rho
-        Fx = (b_rho * _corr5(a_frac, KX5, abs_iota, R, C)
-              - r_rho * _corr5(b_frac, KX5, abs_iota, R, C)) * inv_rho
-        Fy = (b_rho * _corr5(a_frac, KY5, abs_iota, R, C)
-              - r_rho * _corr5(b_frac, KY5, abs_iota, R, C)) * inv_rho
+        gax, gay = _corr5_multi(a_frac, (KX5, KY5), abs_iota, R, C)
+        gbx, gby = _corr5_multi(b_frac, (KX5, KY5), abs_iota, R, C)
+        Fx = (b_rho * gax - r_rho * gbx) * inv_rho
+        Fy = (b_rho * gay - r_rho * gby) * inv_rho
         Fn = jnp.sqrt(Fx * Fx + Fy * Fy)
         inv_Fn = 1.0 / (Fn + 1e-20)
 
