@@ -98,11 +98,16 @@ class MultiphaseResult:
 
 def _run_chunks(model, state, T: int, snapshot_every: int | None,
                 record: dict[str, callable] | None = None,
-                cells: int | None = None):
+                cells: int | None = None, writer=None):
     """Host loop over jitted chunks with optional snapshot recording.
     Progress (step count + MLUPS) is logged every ~10 s via StepMeter —
     the structured replacement for the reference's ``cout << t << "\\t\\r"``
-    loops (e.g. mrtcg_rayleigh_taylor.cpp:229)."""
+    loops (e.g. mrtcg_rayleigh_taylor.cpp:229).
+
+    With ``writer`` (an io.snapshots.SnapshotWriter) frames stream to disk
+    incrementally — constant host memory, vs the reference's O(T)
+    accumulate-then-torch::save (mrtcg_rayleigh_taylor.cpp:480-487) — and
+    the returned snapshots dict is empty."""
     step = jax.jit(model.step)
     chunk_n = snapshot_every or max(1, min(T, 1000))
     chunk = jax.jit(
@@ -115,7 +120,10 @@ def _run_chunks(model, state, T: int, snapshot_every: int | None,
     while done < T:
         if record and snapshot_every and done % snapshot_every == 0:
             for k, fn in record.items():
-                snaps[k].append(np.asarray(fn(state)))
+                if writer is not None:
+                    writer.append(k, np.asarray(fn(state)))
+                else:
+                    snaps[k].append(np.asarray(fn(state)))
         n = min(chunk_n, T - done)
         state = chunk(state, n)
         done += n
@@ -215,6 +223,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                           checkpoint_dir: str | None = None,
                           checkpoint_every: int = 10000,
                           modes=None,
+                          snapshot_prefix: str | None = None,
                           dtype=jnp.float64) -> MultiphaseResult:
     """MRT-CG Rayleigh-Taylor.  Defaults follow the shipped TOML
     (/root/reference/mrtcg-rayleigh-taylor-gamma3.toml:4-22) with a
@@ -223,7 +232,11 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
     Explicit keyword arguments take precedence over the config file.
     ``modes`` (sequence of (mode_number, amplitude) pairs) switches the
     interface to the multi-mode perturbation of init_rho_modes — the study
-    the reference names but ships no source for (CMakeLists.txt:149-152)."""
+    the reference names but ships no source for (CMakeLists.txt:149-152).
+    ``snapshot_prefix`` streams snapshot frames to {prefix}-{name}.npy
+    incrementally (io.snapshots.SnapshotWriter; the native C++ writer
+    thread when built) instead of accumulating them in host RAM — the
+    production mode for the reference's 2000-snapshot 100k-step runs."""
     if config_path:
         tbl = load_toml(config_path)
         dom = DomainParams.from_toml(tbl)
@@ -261,6 +274,12 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                              amplitude_sign=-1.0)
     state = model.init_state(r0, b0, dtype=dtype)
 
+    writer = None
+    if snapshot_prefix:
+        from ..io.snapshots import SnapshotWriter
+
+        writer = SnapshotWriter(snapshot_prefix)
+
     if fused:
         # fully fused two-phase Pallas step (f32; 630x faster than the jnp
         # path on the axon v5e — 0.011 ms/step at 256x128)
@@ -297,12 +316,17 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
             if snapshot_every and done % snapshot_every == 0:
                 r_rho = np.asarray(F[0].sum(0))
                 b_rho = np.asarray(F[1].sum(0))
-                snaps["psi"].append(np.asarray(mrt_cg.phase_field(
-                    r_rho, red.rho_0, b_rho, blue.rho_0)))
+                psi_fr = np.asarray(mrt_cg.phase_field(
+                    r_rho, red.rho_0, b_rho, blue.rho_0))
                 mom = np.asarray(F.sum(0))
-                snaps["ux"].append(
-                    (mom[1] - mom[3] + mom[5] - mom[6] - mom[7] + mom[8])
-                    / (r_rho + b_rho))
+                ux_fr = (mom[1] - mom[3] + mom[5] - mom[6] - mom[7] + mom[8]) \
+                    / (r_rho + b_rho)
+                if writer is not None:
+                    writer.append("psi", psi_fr)
+                    writer.append("ux", ux_fr)
+                else:
+                    snaps["psi"].append(psi_fr)
+                    snaps["ux"].append(ux_fr)
             n = min(snapshot_every or 1000, T - done)
             # the axon relay hangs on single launches >~2s; cap trip counts
             n = min(n, 20000)
@@ -318,6 +342,8 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
         u = _d2q9.calc_u(F[0] + F[1], rho) + 0.5 * fgv[:, None, None] / rho
         state = mrt_cg.TwoPhaseState(
             ColourFields(F[0], r_rho), ColourFields(F[1], b_rho), u)
+        if writer is not None:
+            writer.close()
         return MultiphaseResult(
             state=state, steps=T,
             snapshots={k: np.stack(v) if v else None for k, v in snaps.items()})
@@ -327,7 +353,10 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                                             s.blue.rho, blue.rho_0),
         "ux": lambda s: s.u[0],
     }
-    state, snaps = _run_chunks(model, state, T, snapshot_every, record)
+    state, snaps = _run_chunks(model, state, T, snapshot_every, record,
+                               writer=writer)
+    if writer is not None:
+        writer.close()
     return MultiphaseResult(state=state, steps=T, snapshots=snaps)
 
 
