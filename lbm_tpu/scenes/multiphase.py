@@ -306,6 +306,22 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
             if restored is not None:
                 F = jnp.asarray(restored)
                 done = last_ckpt = int(at_step)
+                if writer is not None:
+                    # a fresh SnapshotWriter would overwrite the previous
+                    # run's stream; move it aside so no frames are lost
+                    import glob as _glob
+                    import os as _os
+
+                    for old in _glob.glob(f"{snapshot_prefix}-*.npy") + \
+                            _glob.glob(f"{snapshot_prefix}-meta.json"):
+                        base = _os.path.basename(old)
+                        _os.replace(old, _os.path.join(
+                            _os.path.dirname(old) or ".",
+                            f"upto{done}-{base}"))
+                    observe.logger.info(
+                        f"resumed at step {done}; previous snapshot stream "
+                        f"preserved as upto{done}-*")
+                meter.steps = meter.start = done  # absolute progress lines
         while done < T:
             if ckpt is not None and done - last_ckpt >= checkpoint_every:
                 from ..io import checkpoint as _ck

@@ -44,11 +44,14 @@ class StepMeter:
     """Tracks steps/s and MLUPS across chunked execution."""
 
     def __init__(self, cells: int, total_steps: int | None = None,
-                 log_every_s: float = 10.0):
+                 log_every_s: float = 10.0, start_steps: int = 0):
         self.cells = cells
         self.total = total_steps
         self.log_every_s = log_every_s
-        self.steps = 0
+        # ``steps`` is the absolute step counter (seed with start_steps when
+        # resuming from a checkpoint); the rate only counts steps run here
+        self.steps = start_steps
+        self.start = start_steps
         self.t0 = time.perf_counter()
         self._last_log = self.t0
 
@@ -61,7 +64,7 @@ class StepMeter:
 
     def mlups(self) -> float:
         dt = time.perf_counter() - self.t0
-        return self.cells * self.steps / max(dt, 1e-9) / 1e6
+        return self.cells * (self.steps - self.start) / max(dt, 1e-9) / 1e6
 
     def summary(self) -> str:
         frac = f"/{self.total}" if self.total else ""
