@@ -201,13 +201,11 @@ def make_channel_fused_step(R: int, C: int, omega: float, rho_inlet: float,
     f (9, R, C) -> (9, R, C).  family='bgk' is the horizontal-Poiseuille
     driver; family='kbc' the cascaded ULBM one (ulbm_poiseuille.cpp).
 
-    WARNING (round-1 known defect): family='kbc' is bit-exact vs the jnp
-    step in interpret mode and all of its components are bit-exact in
-    isolated hardware kernels, but the combined kernel drifts ~1e-5/step at
-    the virtual BC rows when Mosaic-compiled on the real chip and
-    destabilises within a few hundred steps; family='bgk' is hardware-clean
-    (one-step diff 3e-8 from a developed state).  Keep 'kbc' for debugging
-    only."""
+    Both families are hardware-clean (the two round-1 Mosaic defects —
+    re-stacked slab slices and halo/interior row aliasing at
+    B + 2*HALO > R — are fixed; measured one-step diff vs the jnp step
+    from a developed state: 3e-8 'bgk', 3.6e-7 'kbc', and the full 300k
+    ULBM workload runs stably)."""
     from .collide_stream import pick_block_rows
 
     if family not in ("bgk", "kbc"):
