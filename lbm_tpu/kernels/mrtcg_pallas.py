@@ -20,6 +20,16 @@ Mosaic constraints shape the implementation: no captured array constants
 (edge rows/cols are extracted with masked reductions, shifts are rolls),
 and validity accounting: one sweep consumes 3 halo rows (2 for the 5x5
 stencils + 1 for streaming), well within the 8-row halo.
+
+Cost breakdown (measured by stage ablation at 1024x512 on the v5e, f32):
+full kernel 1.95 GLUPS; gradients stubbed 4.3; MRT algebra stubbed (which
+also dead-codes the correction stencils) 4.1; stream/BC masks stubbed 2.4.
+I.e. the four 5x5 stencil passes are ~55% of the time, the MRT moment
+algebra ~25%, the BC masks ~19% — and the gradient-free variant already
+sits near the 18-plane HBM ceiling (~5.6 GLUPS), so temporal blocking
+would not pay until the stencil work shrinks.  Round-2 lever: skip the
+row-replicate fixup masks on interior blocks (only blocks touching global
+rows 0..1 / R-2..R-1 need them).
 """
 
 from __future__ import annotations
