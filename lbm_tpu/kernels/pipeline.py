@@ -1,0 +1,151 @@
+"""Generic double-buffered block pipeline for fused LBM kernels.
+
+Every fused kernel in this package shares the same skeleton: stream the
+(P, R, C) state through VMEM in row blocks with an 8-row periodic halo,
+double-buffering the HBM->VMEM input DMAs against compute, and
+double-buffering the output DMAs against the next block.  This module
+factors that skeleton out; a kernel supplies only its per-block physics:
+
+    body(block, abs_iota, i) -> (P_out, B, C) array
+
+where ``block`` is the (P, B + 2*HALO, C) halo-padded slab (halos wrap
+periodically over rows; callers' BC masks overwrite whatever wrapped
+values are physically wrong, matching the reference's
+advect-then-overwrite order), ``abs_iota`` the absolute global row index
+of every slab row (int32, NOT wrapped — compare against 0..R-1 directly;
+halo rows beyond the edges are negative / >= R), and ``i`` the block
+index.  The body's output block is written to rows [i*B, (i+1)*B).
+
+Used by kernels.sediment_pallas; the older kernels (bgk/channel/mrtcg/rk/
+cylinder) predate it and carry their own copies of the skeleton.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .collide_stream import HALO
+
+
+def _kernel(s_hbm, out_hbm, *, body, planes_out, block_rows, n_blocks, R, C,
+            dtype):
+    B = block_rows
+
+    def scoped(slab, obuf, in_sems, out_sems):
+        def dma_in(slot, i):
+            start = pl.multiple_of(i * B, 8)
+            top = pl.multiple_of((start - HALO) % R, 8)
+            bot = pl.multiple_of((start + B) % R, 8)
+            return (
+                pltpu.make_async_copy(
+                    s_hbm.at[:, pl.ds(top, HALO), :],
+                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    s_hbm.at[:, pl.ds(start, B), :],
+                    slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    s_hbm.at[:, pl.ds(bot, HALO), :],
+                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                    in_sems.at[slot, 2]),
+            )
+
+        def dma_out(slot, i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
+                out_sems.at[slot])
+
+        for d in dma_in(0, 0):
+            d.start()
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                for d in dma_in(nxt, i + 1):
+                    d.start()
+
+            for d in dma_in(slot, i):
+                d.wait()
+
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, i - 2).wait()
+
+            shape = (B + 2 * HALO, C)
+            abs_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0) \
+                + (i * B - HALO)
+            obuf[slot] = body(slab[slot], abs_iota, i)
+
+            dma_out(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+
+        @pl.when(n_blocks >= 2)
+        def _():
+            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
+        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
+
+    pl.run_scoped(
+        scoped,
+        slab=pltpu.VMEM((2, s_hbm.shape[0], block_rows + 2 * HALO, C), dtype),
+        obuf=pltpu.VMEM((2, planes_out, block_rows, C), dtype),
+        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def make_block_pipeline(planes: int, R: int, C: int, body,
+                        planes_out: int | None = None, dtype=jnp.float32,
+                        block_rows: int | None = None,
+                        vmem_budget: int = 6 * 2 ** 20,
+                        flops_per_cell: int = 200,
+                        interpret: bool = False):
+    """Fused step over a (planes, R, C) state: one launch per call.
+
+    ``body(block, abs_iota, i)`` runs on each halo-padded row block and
+    returns the (planes_out, B, C) output block (see module docstring)."""
+    planes_out = planes_out if planes_out is not None else planes
+    if block_rows is None:
+        itemsize = jnp.dtype(dtype).itemsize
+        b = 128
+        while b > 8:
+            need = (2 * planes * (b + 2 * HALO)
+                    + 2 * planes_out * b) * C * itemsize
+            plane = (b + 2 * HALO) * C * itemsize
+            if need <= vmem_budget and plane <= 256 * 1024 and R % b == 0:
+                break
+            b //= 2
+        block_rows = b
+        while block_rows + 2 * HALO > R and block_rows > 8:
+            block_rows //= 2
+    if R % block_rows != 0:
+        raise ValueError(f"rows {R} not divisible by block {block_rows}")
+    if block_rows + 2 * HALO > R:
+        raise ValueError(
+            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
+    if C % 128 != 0:
+        raise ValueError(f"cols {C} must be a multiple of 128")
+    kernel = functools.partial(
+        _kernel, body=body, planes_out=planes_out, block_rows=block_rows,
+        n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((planes_out, R, C), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * R * C,
+            bytes_accessed=(planes + planes_out) * R * C
+            * jnp.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )

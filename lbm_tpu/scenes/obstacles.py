@@ -198,7 +198,7 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
                             u_in: float = 0.02, omega: float = 1.0 / 0.55,
                             w_s: float = 3e-3, C_w: float = 1e-3,
                             R23: int = -151, C28: int = 200, C38: int = 250,
-                            inlet_rows: int = 50,
+                            inlet_rows: int = 50, fused: bool = False,
                             dtype=jnp.float64) -> SedimentationResult:
     """Sediment-laden flow along cols past a bottom-mounted rectangle.
 
@@ -212,8 +212,37 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
       rectangle bounce-back (:184-196);
       scalar: ADE Dirichlet inlet with 2 g_eq (:204-218),
       rectangle anti-bounce-back (:220-232), bounce-back rowN (:233-236).
-    """
+
+    ``fused=True`` (f32, W%128==0) runs the whole coupled step as one
+    Pallas launch per step (kernels.sediment_pallas)."""
     R23 = R23 % H if R23 < 0 else R23
+
+    if fused:
+        from ..kernels.sediment_pallas import make_sediment_fused_step
+
+        step = make_sediment_fused_step(
+            H, W, omega=omega, u_in=u_in, w_s=w_s, C_w=C_w, R23=R23,
+            C28=C28, C38=C38, inlet_rows=inlet_rows, dtype=jnp.float32)
+        u0 = jnp.zeros((2, H, W), jnp.float32).at[1].set(u_in)
+        rho0 = jnp.ones((H, W), jnp.float32)
+        cw0 = np.zeros((H, W), np.float32)
+        cw0[-inlet_rows:, 0] = C_w
+        f0 = d2q9.incomp_equilibrium(u0, rho0)
+        g0 = d2q9.equilibrium(u0, jnp.asarray(cw0))
+        S = jnp.concatenate([f0, g0], axis=0)
+        chunk = jax.jit(
+            lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), s),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(20000, T - done)
+            S = chunk(S, n)
+            done += n
+        f, g = S[:9], S[9:]
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        return SedimentationResult(f=f, g=g, rho=rho, u=u,
+                                   C=d2q9.calc_rho(g), steps=T)
 
     fixed_u_w = jnp.zeros((2, H), dtype).at[1].set(u_in)  # inlet wall velocity
     cw_profile = np.zeros(H)
