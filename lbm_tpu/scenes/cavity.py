@@ -53,18 +53,48 @@ def _block_wall_assignments(L: int):
 
 def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
                 tau: float | None = None, mesh_shape: tuple[int, int] | None = None,
+                fused: bool = False,
                 dtype=jnp.float64) -> CavityResult:
     """Force-driven circulation in a square annulus of width L/4.
 
     Workload parity: L=512, tau=sqrt(3/16)+1/2, F=(3e-3, 0) applied on rows
     [L/4+5, L/4+55) of the left strip (decompose_domain_loop.cpp:41-78).
     Pass ``mesh_shape`` to run the same step sharded over a device mesh
-    (GSPMD; XLA inserts the halo collectives)."""
+    (GSPMD; XLA inserts the halo collectives).  ``fused=True`` (f32,
+    L%128==0) runs the step as one Pallas launch (kernels.cavity_pallas).
+
+    Stability envelope (measured): the reference's F=3e-3 is super-critical
+    — continuous forcing accelerates the annulus past lattice validity
+    (max|u| > 0.5 by t=500; NaN by t~2500 in f32 AND ~2000 in f64, so the
+    reference's own 50k-step run cannot have produced finite fields).
+    F=3e-5 gives a steady circulation over the full 50k steps
+    (max|u| = 0.023, anti-symmetric arm flow +-1.07e-2)."""
     import math
 
     tau = tau if tau is not None else math.sqrt(3.0 / 16.0) + 0.5
     omega = 1.0 / tau
     a = L // 4
+
+    if fused:
+        if mesh_shape is not None:
+            raise ValueError("fused=True runs single-chip; for a sharded "
+                             "run use mesh_shape without fused")
+        from ..kernels.cavity_pallas import make_cavity_fused_step
+
+        kstep = make_cavity_fused_step(L, omega=omega, force=force,
+                                       dtype=jnp.float32)
+        f = d2q9.equilibrium(jnp.zeros((2, L, L), jnp.float32),
+                             jnp.ones((L, L), jnp.float32))
+        chunk = jax.jit(
+            lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: kstep(x), s),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(20000, T - done)
+            f = chunk(f, n)
+            done += n
+        rho = d2q9.calc_rho(f)
+        return CavityResult(f=f, rho=rho, u=d2q9.calc_u(f, rho), steps=T)
     fg = jnp.asarray([force, 0.0])
     frows = slice(a + 5, a + 55)
     fcols = slice(0, a)

@@ -29,3 +29,25 @@ def test_ring_cavity_sharded_equals_single():
     r2 = ring_cavity(L=32, T=60, force=3e-3, mesh_shape=(4, 2))
     np.testing.assert_allclose(
         np.asarray(r2.f), np.asarray(r1.f), rtol=0, atol=1e-13)
+
+
+def test_ring_cavity_fused_matches_jnp():
+    import jax.numpy as jnp
+    from lbm_tpu.kernels import cavity_pallas
+
+    orig = cavity_pallas.make_cavity_fused_step
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    cavity_pallas.make_cavity_fused_step = patched
+    try:
+        rf = ring_cavity(L=128, T=30, fused=True)
+    finally:
+        cavity_pallas.make_cavity_fused_step = orig
+    rj = ring_cavity(L=128, T=30, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(rf.u), np.asarray(rj.u),
+                               rtol=5e-4, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(rf.rho), np.asarray(rj.rho),
+                               rtol=5e-5, atol=5e-6)
