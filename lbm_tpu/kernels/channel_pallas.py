@@ -17,11 +17,8 @@ values.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import lattice as lat
@@ -31,10 +28,6 @@ CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
 WQ = tuple(float(v) for v in lat.W)
 OPP = tuple(int(v) for v in lat.OPP)
-
-
-def _row_iota(shape):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
 
 def _col_iota(shape):
@@ -47,150 +40,89 @@ def _row_extract(x, abs_iota, abs_row: int):
                    keepdims=True)
 
 
-def _kernel(f_hbm, out_hbm, *, omega, rho_in, rho_out, block_rows, n_blocks,
-            R, C, dtype, family="bgk"):
-    B = block_rows
+def _make_body(*, omega, rho_in, rho_out, R, C, dtype, family):
+    """Per-block physics for kernels.pipeline."""
 
-    def body(slab, obuf, in_sems, out_sems):
-        def dma_in(slot, i):
-            start = pl.multiple_of(i * B, 8)
-            top = pl.multiple_of((start - HALO) % R, 8)
-            bot = pl.multiple_of((start + B) % R, 8)
-            return (
-                pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(top, HALO), :],
-                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(start, B), :],
-                    slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(bot, HALO), :],
-                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
-                    in_sems.at[slot, 2]),
-            )
+    def body(block, abs_iota, i):
+        f = [block[k] for k in range(9)]
+        shape = f[0].shape
+        rows = shape[0]
+        # halos wrap periodically (x64 tests promote python ints to
+        # int64; keep the rem in int32)
+        abs_iota = jax.lax.rem(abs_iota + jnp.int32(R), jnp.int32(R))
+        ci = _col_iota(shape)
 
-        def dma_out(slot, i):
-            return pltpu.make_async_copy(
-                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
-                out_sems.at[slot])
-
-        for d in dma_in(0, 0):
-            d.start()
-
-        def loop(i, _):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < n_blocks)
-            def _():
-                for d in dma_in(nxt, i + 1):
-                    d.start()
-
-            for d in dma_in(slot, i):
-                d.wait()
-
-            @pl.when(i >= 2)
-            def _():
-                dma_out(slot, i - 2).wait()
-
-            f = [slab[slot, k] for k in range(9)]
-            shape = f[0].shape
-            rows = shape[0]
-            abs_iota = _row_iota(shape) + (i * B - HALO)
-            # halos wrap periodically (x64 tests promote python ints to
-            # int64; keep the rem in int32)
-            abs_iota = jax.lax.rem(abs_iota + jnp.int32(R), jnp.int32(R))
-            ci = _col_iota(shape)
-
-            rho = f[0]
-            for k in range(1, 9):
-                rho = rho + f[k]
-            mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
-            my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
-            if family == "bgk":
-                # incompressible: the BC "velocity" is the momentum
-                # (calc_incomp_u, horizontal_poiseuille_test.cpp:131)
-                ux, uy = mx, my
-                feq, coll = [], []
-                for k in range(9):
-                    cu = CX[k] * ux + CY[k] * uy if (CX[k] or CY[k]) else None
-                    e = dtype(WQ[k]) * (rho + 3.0 * cu) if cu is not None \
-                        else dtype(WQ[k]) * rho
-                    feq.append(e)
-                    coll.append(dtype(1.0 - omega) * f[k] + dtype(omega) * e)
-            else:  # cascaded KBC (ulbm_poiseuille.cpp:119-130): the BC
-                # velocity is the true m1 and f_equi the product-form
-                # equilibrium (the driver passes iequi_f^-1, :120)
-                from ..models import kbc as _kbc
-
-                inv_rho = 1.0 / rho
-                ux, uy = mx * inv_rho, my * inv_rho
-                u_st = jnp.stack([ux, uy], axis=0)
-                # read the 3-D block directly (matches the working pure-KBC
-                # kernel) instead of re-stacking the per-plane slices
-                f_st = slab[slot]
-                coll_st = _kbc.collide(f_st, rho, u_st, omega)
-                feq_st = _kbc.equilibrium(rho, u_st)
-                coll = [coll_st[k] for k in range(9)]
-                feq = [feq_st[k] for k in range(9)]
-
-            # ---- pressure-periodic rewrite of rows 0 / R-1
-            # (horizontal_poiseuille_test.cpp:25-45)
-            ux_out = _row_extract(ux, abs_iota, R - 2)
-            uy_out = _row_extract(uy, abs_iota, R - 2)
-            ux_in = _row_extract(ux, abs_iota, 1)
-            uy_in = _row_extract(uy, abs_iota, 1)
-            top_mask = abs_iota == 0
-            bot_mask = abs_iota == R - 1
+        rho = f[0]
+        for k in range(1, 9):
+            rho = rho + f[k]
+        mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+        my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+        if family == "bgk":
+            # incompressible: the BC "velocity" is the momentum
+            # (calc_incomp_u, horizontal_poiseuille_test.cpp:131)
+            ux, uy = mx, my
+            feq, coll = [], []
             for k in range(9):
-                cu_out = CX[k] * ux_out + CY[k] * uy_out
-                cu_in = CX[k] * ux_in + CY[k] * uy_in
-                vin = dtype(WQ[k]) * (dtype(rho_in) + 3.0 * cu_out) \
-                    + _row_extract(coll[k], abs_iota, R - 2) \
-                    - _row_extract(feq[k], abs_iota, R - 2)
-                vout = dtype(WQ[k]) * (dtype(rho_out) + 3.0 * cu_in) \
-                    + _row_extract(coll[k], abs_iota, 1) \
-                    - _row_extract(feq[k], abs_iota, 1)
-                coll[k] = jnp.where(top_mask, vin, coll[k])
-                coll[k] = jnp.where(bot_mask, vout, coll[k])
+                cu = CX[k] * ux + CY[k] * uy if (CX[k] or CY[k]) else None
+                e = dtype(WQ[k]) * (rho + 3.0 * cu) if cu is not None \
+                    else dtype(WQ[k]) * rho
+                feq.append(e)
+                coll.append(dtype(1.0 - omega) * f[k] + dtype(omega) * e)
+        else:  # cascaded KBC (ulbm_poiseuille.cpp:119-130): the BC
+            # velocity is the true m1 and f_equi the product-form
+            # equilibrium (the driver passes iequi_f^-1, :120)
+            from ..models import kbc as _kbc
 
-            # ---- periodic streaming
-            new = []
-            for k in range(9):
-                t = coll[k]
-                if CY[k] != 0:
-                    t = pltpu.roll(t, CY[k] % C, axis=1)
-                if CX[k] != 0:
-                    t = pltpu.roll(t, CX[k] % rows, axis=0)
-                new.append(t)
+            inv_rho = 1.0 / rho
+            ux, uy = mx * inv_rho, my * inv_rho
+            u_st = jnp.stack([ux, uy], axis=0)
+            # pass the whole 3-D block (re-stacking the per-plane slices
+            # miscompiles under Mosaic; see the round-1 defect notes)
+            coll_st = _kbc.collide(block, rho, u_st, omega)
+            feq_st = _kbc.equilibrium(rho, u_st)
+            coll = [coll_st[k] for k in range(9)]
+            feq = [feq_st[k] for k in range(9)]
 
-            # ---- halfway bounce-back column walls
-            # (horizontal_poiseuille_test.cpp:146-152)
-            for k in (2, 5, 6):      # outgoing at col C-1
-                new[OPP[k]] = jnp.where(ci == C - 1, coll[k], new[OPP[k]])
-            for k in (4, 7, 8):      # outgoing at col 0
-                new[OPP[k]] = jnp.where(ci == 0, coll[k], new[OPP[k]])
+        # ---- pressure-periodic rewrite of rows 0 / R-1
+        # (horizontal_poiseuille_test.cpp:25-45)
+        ux_out = _row_extract(ux, abs_iota, R - 2)
+        uy_out = _row_extract(uy, abs_iota, R - 2)
+        ux_in = _row_extract(ux, abs_iota, 1)
+        uy_in = _row_extract(uy, abs_iota, 1)
+        top_mask = abs_iota == 0
+        bot_mask = abs_iota == R - 1
+        for k in range(9):
+            cu_out = CX[k] * ux_out + CY[k] * uy_out
+            cu_in = CX[k] * ux_in + CY[k] * uy_in
+            vin = dtype(WQ[k]) * (dtype(rho_in) + 3.0 * cu_out) \
+                + _row_extract(coll[k], abs_iota, R - 2) \
+                - _row_extract(feq[k], abs_iota, R - 2)
+            vout = dtype(WQ[k]) * (dtype(rho_out) + 3.0 * cu_in) \
+                + _row_extract(coll[k], abs_iota, 1) \
+                - _row_extract(feq[k], abs_iota, 1)
+            coll[k] = jnp.where(top_mask, vin, coll[k])
+            coll[k] = jnp.where(bot_mask, vout, coll[k])
 
-            for k in range(9):
-                obuf[slot, k] = new[k][HALO:HALO + B, :]
+        # ---- periodic streaming
+        new = []
+        for k in range(9):
+            t = coll[k]
+            if CY[k] != 0:
+                t = pltpu.roll(t, CY[k] % C, axis=1)
+            if CX[k] != 0:
+                t = pltpu.roll(t, CX[k] % rows, axis=0)
+            new.append(t)
 
-            dma_out(slot, i).start()
-            return 0
+        # ---- halfway bounce-back column walls
+        # (horizontal_poiseuille_test.cpp:146-152)
+        for k in (2, 5, 6):      # outgoing at col C-1
+            new[OPP[k]] = jnp.where(ci == C - 1, coll[k], new[OPP[k]])
+        for k in (4, 7, 8):      # outgoing at col 0
+            new[OPP[k]] = jnp.where(ci == 0, coll[k], new[OPP[k]])
 
-        jax.lax.fori_loop(0, n_blocks, loop, 0)
+        return jnp.stack([p[HALO:rows - HALO] for p in new], axis=0)
 
-        @pl.when(n_blocks >= 2)
-        def _():
-            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
-        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
-
-    pl.run_scoped(
-        body,
-        slab=pltpu.VMEM((2, 9, block_rows + 2 * HALO, C), dtype),
-        obuf=pltpu.VMEM((2, 9, block_rows, C), dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
-        out_sems=pltpu.SemaphoreType.DMA((2,)),
-    )
+    return body
 
 
 def make_channel_fused_step(R: int, C: int, omega: float, rho_inlet: float,
@@ -207,6 +139,7 @@ def make_channel_fused_step(R: int, C: int, omega: float, rho_inlet: float,
     from a developed state: 3e-8 'bgk', 3.6e-7 'kbc', and the full 300k
     ULBM workload runs stably)."""
     from .collide_stream import pick_block_rows
+    from .pipeline import make_block_pipeline
 
     if family not in ("bgk", "kbc"):
         raise ValueError(f"unknown family {family!r}")
@@ -221,23 +154,9 @@ def make_channel_fused_step(R: int, C: int, omega: float, rho_inlet: float,
         # build the pressure BC
         raise ValueError(
             f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
-    if R % block_rows != 0:
-        raise ValueError(f"rows {R} not divisible by block {block_rows}")
-    if C % 128 != 0:
-        raise ValueError(f"cols {C} must be a multiple of 128")
-    kernel = functools.partial(
-        _kernel, omega=omega, rho_in=rho_inlet, rho_out=rho_outlet,
-        block_rows=block_rows, n_blocks=R // block_rows, R=R, C=C,
-        dtype=jnp.dtype(dtype).type, family=family)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((9, R, C), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=80 * R * C,
-            bytes_accessed=2 * 9 * R * C * jnp.dtype(dtype).itemsize,
-            transcendentals=0),
-        interpret=interpret,
-    )
+    body = _make_body(omega=omega, rho_in=rho_inlet, rho_out=rho_outlet,
+                      R=R, C=C, dtype=jnp.dtype(dtype).type, family=family)
+    return make_block_pipeline(9, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               flops_per_cell=80 if family == "bgk" else 400,
+                               interpret=interpret)

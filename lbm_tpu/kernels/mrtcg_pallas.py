@@ -34,8 +34,6 @@ rows 0..1 / R-2..R-1 need them).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -321,93 +319,6 @@ def _stream_with_bcs(coll, abs_iota, R, C):
     return out
 
 
-def _kernel(f_hbm, out_hbm, *, collide, block_rows, n_blocks, R, C, dtype):
-    B = block_rows
-
-    def body(slab, obuf, in_sems, out_sems):
-        def dma_in(slot, i):
-            start = pl.multiple_of(i * B, 8)
-            top = pl.multiple_of((start - HALO) % R, 8)
-            bot = pl.multiple_of((start + B) % R, 8)
-            return (
-                pltpu.make_async_copy(
-                    f_hbm.at[:, :, pl.ds(top, HALO), :],
-                    slab.at[slot, :, :, 0:HALO, :], in_sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    f_hbm.at[:, :, pl.ds(start, B), :],
-                    slab.at[slot, :, :, HALO:HALO + B, :], in_sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    f_hbm.at[:, :, pl.ds(bot, HALO), :],
-                    slab.at[slot, :, :, HALO + B:HALO + 2 * HALO + B, :],
-                    in_sems.at[slot, 2]),
-            )
-
-        def dma_out(slot, i):
-            return pltpu.make_async_copy(
-                obuf.at[slot], out_hbm.at[:, :, pl.ds(i * B, B), :],
-                out_sems.at[slot])
-
-        for d in dma_in(0, 0):
-            d.start()
-
-        def loop(i, _):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < n_blocks)
-            def _():
-                for d in dma_in(nxt, i + 1):
-                    d.start()
-
-            for d in dma_in(slot, i):
-                d.wait()
-
-            @pl.when(i >= 2)
-            def _():
-                dma_out(slot, i - 2).wait()
-
-            shape = (B + 2 * HALO, C)
-            abs_iota = _row_iota(shape) + (i * B - HALO)
-            rf = [slab[slot, 0, k] for k in range(9)]
-            bf = [slab[slot, 1, k] for k in range(9)]
-            coll_r, coll_b = collide(rf, bf, abs_iota)
-            new_r = _stream_with_bcs(coll_r, abs_iota, R, C)
-            new_b = _stream_with_bcs(coll_b, abs_iota, R, C)
-            for k in range(9):
-                obuf[slot, 0, k] = new_r[k][HALO:HALO + B, :]
-                obuf[slot, 1, k] = new_b[k][HALO:HALO + B, :]
-
-            dma_out(slot, i).start()
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, loop, 0)
-
-        @pl.when(n_blocks >= 2)
-        def _():
-            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
-        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
-
-    pl.run_scoped(
-        body,
-        slab=pltpu.VMEM((2, 2, 9, block_rows + 2 * HALO, C), dtype),
-        obuf=pltpu.VMEM((2, 2, 9, block_rows, C), dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
-        out_sems=pltpu.SemaphoreType.DMA((2,)),
-    )
-
-
-def pick_block_rows(R: int, C: int, dtype=jnp.float32,
-                    vmem_budget=6 * 2 ** 20) -> int:
-    itemsize = jnp.dtype(dtype).itemsize
-    b = 128
-    while b > 8:
-        need = (2 * 18 * (b + 2 * HALO) + 2 * 18 * b) * C * itemsize
-        if need <= vmem_budget and R % b == 0:
-            return b
-        b //= 2
-    return 8
-
-
 def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
                           blue: ColourParams, sigma: float,
                           gravity=(0.0, 0.0), delta: float = 0.1,
@@ -415,34 +326,29 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
                           dtype=jnp.float32, block_rows: int | None = None,
                           interpret: bool = False):
     """Fused MRT-CG two-phase step: F (2, 9, R, C) -> (2, 9, R, C)
-    (index 0 = red, 1 = blue)."""
-    if block_rows is None:
-        block_rows = pick_block_rows(R, C, dtype)
-        while block_rows + 2 * HALO > R and block_rows > 8:
-            block_rows //= 2
-    if R % block_rows != 0:
-        raise ValueError(f"rows {R} not divisible by block {block_rows}")
-    if block_rows + 2 * HALO > R:
-        # duplicated rows in a slab break the masked row extractions used
-        # for replicate gradient edges and the absolute-row BC masks
-        raise ValueError(
-            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
-    if C % 128 != 0:
-        raise ValueError(f"cols {C} must be a multiple of 128")
+    (index 0 = red, 1 = blue).  Built on kernels.pipeline; the state is
+    viewed as 18 planes for the block pipeline (a free reshape)."""
+    from .pipeline import make_block_pipeline
+
     collide = _make_collide(red, blue, sigma, gravity, delta,
                             apply_gravity_source, R, C, dtype)
-    kernel = functools.partial(
-        _kernel, collide=collide, block_rows=block_rows,
-        n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((2, 9, R, C), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=2000 * R * C,
-            bytes_accessed=4 * 18 * R * C * jnp.dtype(dtype).itemsize,
-            transcendentals=R * C),
-        interpret=interpret,
-    )
+
+    def body(block, abs_iota, i):
+        rf = [block[k] for k in range(9)]
+        bf = [block[9 + k] for k in range(9)]
+        coll_r, coll_b = collide(rf, bf, abs_iota)
+        new_r = _stream_with_bcs(coll_r, abs_iota, R, C)
+        new_b = _stream_with_bcs(coll_b, abs_iota, R, C)
+        rows = block.shape[1]
+        return jnp.stack(
+            [p[HALO:rows - HALO] for p in new_r + new_b], axis=0)
+
+    step = make_block_pipeline(18, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               vmem_budget=6 * 2 ** 20,
+                               flops_per_cell=2000, interpret=interpret)
+
+    def wrapped(F):
+        return step(F.reshape(18, R, C)).reshape(2, 9, R, C)
+
+    return wrapped

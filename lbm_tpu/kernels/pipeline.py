@@ -16,8 +16,12 @@ of every slab row (int32, NOT wrapped — compare against 0..R-1 directly;
 halo rows beyond the edges are negative / >= R), and ``i`` the block
 index.  The body's output block is written to rows [i*B, (i+1)*B).
 
-Used by kernels.sediment_pallas; the older kernels (bgk/channel/mrtcg/rk/
-cylinder) predate it and carry their own copies of the skeleton.
+Hosts every single-input BC kernel: channel_pallas, mrtcg_pallas,
+rk_pallas, sediment_pallas, cavity_pallas.  Three kernels stay standalone
+on purpose: collide_stream/bgk_pallas (temporal blocking re-runs the body
+``substeps`` times per block, amortising the DMA), cylinder_pallas (two
+input arrays — f and the IBM force field — need a second DMA set), and
+the sharded kernels (halo inputs replace the periodic wrap).
 """
 
 from __future__ import annotations

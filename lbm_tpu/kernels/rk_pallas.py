@@ -12,16 +12,11 @@ reductions.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..core import lattice as lat
 from .collide_stream import HALO
-from .mrtcg_pallas import KX5, KY5, _corr5_multi, _row_iota, _stream_with_bcs
+from .mrtcg_pallas import KX5, KY5, _corr5_multi, _stream_with_bcs
 
 CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
@@ -106,125 +101,33 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
     return collide
 
 
-def _kernel(s_hbm, out_hbm, *, collide, block_rows, n_blocks, R, C, dtype):
-    B = block_rows
-
-    def body(slab, obuf, in_sems, out_sems):
-        def dma_in(slot, i):
-            start = pl.multiple_of(i * B, 8)
-            top = pl.multiple_of((start - HALO) % R, 8)
-            bot = pl.multiple_of((start + B) % R, 8)
-            return (
-                pltpu.make_async_copy(
-                    s_hbm.at[:, pl.ds(top, HALO), :],
-                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    s_hbm.at[:, pl.ds(start, B), :],
-                    slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    s_hbm.at[:, pl.ds(bot, HALO), :],
-                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
-                    in_sems.at[slot, 2]),
-            )
-
-        def dma_out(slot, i):
-            return pltpu.make_async_copy(
-                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
-                out_sems.at[slot])
-
-        for d in dma_in(0, 0):
-            d.start()
-
-        def loop(i, _):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < n_blocks)
-            def _():
-                for d in dma_in(nxt, i + 1):
-                    d.start()
-
-            for d in dma_in(slot, i):
-                d.wait()
-
-            @pl.when(i >= 2)
-            def _():
-                dma_out(slot, i - 2).wait()
-
-            shape = (B + 2 * HALO, C)
-            abs_iota = _row_iota(shape) + (i * B - HALO)
-            planes = [slab[slot, k] for k in range(11)]
-            coll_r, coll_b = collide(planes, abs_iota)
-            new_r = _stream_with_bcs(coll_r, abs_iota, R, C)
-            new_b = _stream_with_bcs(coll_b, abs_iota, R, C)
-            r_rho_new = new_r[0]
-            b_rho_new = new_b[0]
-            for k in range(1, 9):
-                r_rho_new = r_rho_new + new_r[k]
-                b_rho_new = b_rho_new + new_b[k]
-            for k in range(9):
-                obuf[slot, k] = (new_r[k] + new_b[k])[HALO:HALO + B, :]
-            obuf[slot, 9] = r_rho_new[HALO:HALO + B, :]
-            obuf[slot, 10] = b_rho_new[HALO:HALO + B, :]
-
-            dma_out(slot, i).start()
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, loop, 0)
-
-        @pl.when(n_blocks >= 2)
-        def _():
-            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
-        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
-
-    pl.run_scoped(
-        body,
-        slab=pltpu.VMEM((2, 11, block_rows + 2 * HALO, C), dtype),
-        obuf=pltpu.VMEM((2, 11, block_rows, C), dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
-        out_sems=pltpu.SemaphoreType.DMA((2,)),
-    )
-
-
 def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
                        r_nu: float, b_nu: float, sigma: float,
                        beta: float = 0.7, gravity=(0.0, 0.0),
                        dtype=jnp.float32, block_rows: int | None = None,
                        interpret: bool = False):
     """Fused RK mixture step: S (11, R, C) -> (11, R, C) with
-    S = [f(9), r_rho, b_rho]."""
-    if block_rows is None:
-        itemsize = jnp.dtype(dtype).itemsize
-        b = 128
-        while b > 8:
-            need = (2 * 11 * (b + 2 * HALO) + 2 * 11 * b) * C * itemsize
-            if need <= 6 * 2 ** 20 and R % b == 0:
-                break
-            b //= 2
-        block_rows = b
-        while block_rows + 2 * HALO > R and block_rows > 8:
-            block_rows //= 2
-    if R % block_rows != 0:
-        raise ValueError(f"rows {R} not divisible by block {block_rows}")
-    if block_rows + 2 * HALO > R:
-        raise ValueError(
-            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
-    if C % 128 != 0:
-        raise ValueError(f"cols {C} must be a multiple of 128")
+    S = [f(9), r_rho, b_rho].  Built on kernels.pipeline."""
+    from .pipeline import make_block_pipeline
+
     collide = _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta,
                             gravity, R, C)
-    kernel = functools.partial(
-        _kernel, collide=collide, block_rows=block_rows,
-        n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((11, R, C), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=1200 * R * C,
-            bytes_accessed=2 * 11 * R * C * jnp.dtype(dtype).itemsize,
-            transcendentals=R * C),
-        interpret=interpret,
-    )
+
+    def body(block, abs_iota, i):
+        planes = [block[k] for k in range(11)]
+        coll_r, coll_b = collide(planes, abs_iota)
+        new_r = _stream_with_bcs(coll_r, abs_iota, R, C)
+        new_b = _stream_with_bcs(coll_b, abs_iota, R, C)
+        r_rho_new = new_r[0]
+        b_rho_new = new_b[0]
+        for k in range(1, 9):
+            r_rho_new = r_rho_new + new_r[k]
+            b_rho_new = b_rho_new + new_b[k]
+        rows = block.shape[1]
+        out = [new_r[k] + new_b[k] for k in range(9)] + [r_rho_new, b_rho_new]
+        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+
+    return make_block_pipeline(11, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               vmem_budget=6 * 2 ** 20,
+                               flops_per_cell=1200, interpret=interpret)
