@@ -16,11 +16,7 @@ inside the kernel.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import lattice as lat
@@ -42,84 +38,6 @@ def _stream_slab(coll, C, rows):
             shifted = pltpu.roll(shifted, CX[k] % rows, axis=0)
         out.append(shifted)
     return jnp.stack(out, axis=0)
-
-
-def _kernel(f_hbm, out_hbm, *, collide_fn, block_rows, n_blocks, R, C, dtype,
-            substeps=1):
-    B = block_rows
-
-    def body(slab, obuf, in_sems, out_sems):
-        def dma_in(slot, i):
-            start = pl.multiple_of(i * B, 8)
-            top = pl.multiple_of((start - HALO) % R, 8)
-            bot = pl.multiple_of((start + B) % R, 8)
-            return (
-                pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(top, HALO), :], slab.at[slot, :, 0:HALO, :],
-                    in_sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(start, B), :],
-                    slab.at[slot, :, HALO:HALO + B, :],
-                    in_sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(bot, HALO), :],
-                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
-                    in_sems.at[slot, 2]),
-            )
-
-        def dma_out(slot, i):
-            return pltpu.make_async_copy(
-                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
-                out_sems.at[slot])
-
-        for d in dma_in(0, 0):
-            d.start()
-
-        def loop(i, _):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < n_blocks)
-            def _():
-                for d in dma_in(nxt, i + 1):
-                    d.start()
-
-            for d in dma_in(slot, i):
-                d.wait()
-
-            @pl.when(i >= 2)
-            def _():
-                dma_out(slot, i - 2).wait()
-
-            # Temporal blocking: apply `substeps` collide-stream sweeps on
-            # the slab before writing back.  Columns are fully resident
-            # (exact periodic wrap); along rows each sweep invalidates one
-            # more edge row, so the HALO-deep halo supports substeps <= HALO
-            # and the kept interior [HALO, HALO+B) stays exact.  HBM traffic
-            # drops by the substep factor.
-            rows = B + 2 * HALO
-            cur = slab[slot]
-            for _ in range(substeps):
-                cur = _stream_slab(collide_fn(cur), C, rows)
-            obuf[slot] = cur[:, HALO:HALO + B, :]
-
-            dma_out(slot, i).start()
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, loop, 0)
-
-        @pl.when(n_blocks >= 2)
-        def _():
-            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
-        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
-
-    pl.run_scoped(
-        body,
-        slab=pltpu.VMEM((2, 9, block_rows + 2 * HALO, C), dtype),
-        obuf=pltpu.VMEM((2, 9, block_rows, C), dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
-        out_sems=pltpu.SemaphoreType.DMA((2,)),
-    )
 
 
 def pick_block_rows(R: int, C: int, dtype=jnp.float32,
@@ -149,33 +67,33 @@ def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,
     ``substeps`` > 1 enables temporal blocking: one launch advances the
     state by that many LBM steps while reading/writing HBM once (valid for
     substeps <= HALO and fully periodic domains)."""
+    from .pipeline import make_block_pipeline
+
     if not 1 <= substeps <= HALO:
         raise ValueError(f"substeps must be in [1, {HALO}]")
     if block_rows is None:
         block_rows = pick_block_rows(R, C, dtype)
-    if R % block_rows != 0:
-        raise ValueError(f"rows {R} not divisible by block {block_rows}")
-    if C % 128 != 0:
-        raise ValueError(f"cols {C} must be a multiple of 128")
-    n_blocks = R // block_rows
 
-    kernel = functools.partial(
-        _kernel, collide_fn=collide_fn, block_rows=block_rows,
-        n_blocks=n_blocks, R=R, C=C, dtype=jnp.dtype(dtype).type,
-        substeps=substeps)
+    def body(block, abs_iota, i):
+        # Temporal blocking: apply `substeps` collide-stream sweeps on the
+        # slab before writing back.  Columns are fully resident (exact
+        # periodic wrap); along rows each sweep invalidates one more edge
+        # row, so the HALO-deep halo supports substeps <= HALO and the kept
+        # interior [HALO, HALO+B) stays exact.  HBM traffic drops by the
+        # substep factor.
+        rows = block.shape[1]
+        cur = block
+        for _ in range(substeps):
+            cur = _stream_slab(collide_fn(cur), C, rows)
+        return cur[:, HALO:rows - HALO, :]
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((9, R, C), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_cell * R * C,
-            bytes_accessed=2 * 9 * R * C * jnp.dtype(dtype).itemsize,
-            transcendentals=0),
-        interpret=interpret,
-    )
+    # the purely periodic body is alias-safe: wrapped halo rows are exact
+    # periodic images, no absolute-row masks are involved
+    return make_block_pipeline(9, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               flops_per_cell=flops_per_cell,
+                               allow_row_alias=True,
+                               interpret=interpret)
 
 
 def kbc_collide_fn(s2: float):

@@ -20,16 +20,13 @@ cross-row extractions, hence no slab-aliasing constraint)."""
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import lattice as lat
-from .collide_stream import HALO, pick_block_rows
+from .collide_stream import HALO
 
 CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
@@ -50,133 +47,66 @@ def _abb_coeffs(u_wall) -> tuple[float, ...]:
     return tuple(out)
 
 
-def _kernel(f_hbm, F_hbm, out_hbm, *, omega, guo, abb, block_rows, n_blocks,
-            R, C, dtype):
-    B = block_rows
+def _make_body(*, omega, guo, abb, R, C, dtype):
     ics2, ics4 = guo
     pref = 1.0 - 0.5 * omega
 
-    def body(slab, fslab, obuf, in_sems, out_sems):
-        def dma_in(slot, i):
-            start = pl.multiple_of(i * B, 8)
-            top = pl.multiple_of((start - HALO) % R, 8)
-            bot = pl.multiple_of((start + B) % R, 8)
-            cps = []
-            for src, dst, s0 in ((f_hbm, slab, 0), (F_hbm, fslab, 3)):
-                cps += [
-                    pltpu.make_async_copy(
-                        src.at[:, pl.ds(top, HALO), :],
-                        dst.at[slot, :, 0:HALO, :], in_sems.at[slot, s0]),
-                    pltpu.make_async_copy(
-                        src.at[:, pl.ds(start, B), :],
-                        dst.at[slot, :, HALO:HALO + B, :],
-                        in_sems.at[slot, s0 + 1]),
-                    pltpu.make_async_copy(
-                        src.at[:, pl.ds(bot, HALO), :],
-                        dst.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
-                        in_sems.at[slot, s0 + 2]),
-                ]
-            return cps
+    def body(block, fblock, abs_iota, i):
+        f = [block[k] for k in range(9)]
+        Fx = fblock[0]
+        Fy = fblock[1]
+        shape = f[0].shape
+        rows = shape[0]
+        abs_iota = jax.lax.rem(abs_iota + jnp.int32(R), jnp.int32(R))
+        ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
-        def dma_out(slot, i):
-            return pltpu.make_async_copy(
-                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
-                out_sems.at[slot])
+        rho = f[0]
+        for k in range(1, 9):
+            rho = rho + f[k]
+        inv_rho = 1.0 / rho
+        ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
+        uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+        uu = ux * ux + uy * uy
+        uF = ux * Fx + uy * Fy
 
-        for d in dma_in(0, 0):
-            d.start()
+        coll = []
+        for k in range(9):
+            if CX[k] or CY[k]:
+                cu = CX[k] * ux + CY[k] * uy
+                poly = 1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu
+                cF = CX[k] * Fx + CY[k] * Fy
+                src = pref * ((ics2 + ics4 * cu) * cF - ics2 * uF)
+            else:
+                poly = 1.0 - 1.5 * uu
+                src = pref * (-ics2 * uF)
+            feq = dtype(WQ[k]) * rho * poly
+            coll.append(dtype(1.0 - omega) * f[k] + dtype(omega) * feq
+                        + dtype(WQ[k]) * src)
 
-        def loop(i, _):
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
+        # periodic streaming
+        new = []
+        for k in range(9):
+            t = coll[k]
+            if CY[k] != 0:
+                t = pltpu.roll(t, CY[k] % C, axis=1)
+            if CX[k] != 0:
+                t = pltpu.roll(t, CX[k] % rows, axis=0)
+            new.append(t)
 
-            @pl.when(i + 1 < n_blocks)
-            def _():
-                for d in dma_in(nxt, i + 1):
-                    d.start()
-
-            for d in dma_in(slot, i):
-                d.wait()
-
-            @pl.when(i >= 2)
-            def _():
-                dma_out(slot, i - 2).wait()
-
-            f = [slab[slot, k] for k in range(9)]
-            Fx = fslab[slot, 0]
-            Fy = fslab[slot, 1]
-            shape = f[0].shape
-            rows = shape[0]
-            abs_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0) \
-                + (i * B - HALO)
-            abs_iota = jax.lax.rem(abs_iota + jnp.int32(R), jnp.int32(R))
-            ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-
-            rho = f[0]
+        # ABB inlet/outlet rows (all 8 moving dirs, cylinder_test.cpp:132-154)
+        for mask_rows in (abs_iota == 0, abs_iota == R - 1):
             for k in range(1, 9):
-                rho = rho + f[k]
-            inv_rho = 1.0 / rho
-            ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
-            uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
-            uu = ux * ux + uy * uy
-            uF = ux * Fx + uy * Fy
+                new[OPP[k]] = jnp.where(
+                    mask_rows, -coll[k] + dtype(abb[k]), new[OPP[k]])
+        # specular side walls (cylinder_test.cpp:156-163)
+        for k in (2, 5, 6):      # outgoing at col C-1
+            new[SPEC_Y[k]] = jnp.where(ci == C - 1, coll[k], new[SPEC_Y[k]])
+        for k in (4, 7, 8):      # outgoing at col 0
+            new[SPEC_Y[k]] = jnp.where(ci == 0, coll[k], new[SPEC_Y[k]])
 
-            coll = []
-            for k in range(9):
-                if CX[k] or CY[k]:
-                    cu = CX[k] * ux + CY[k] * uy
-                    poly = 1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu
-                    cF = CX[k] * Fx + CY[k] * Fy
-                    src = pref * ((ics2 + ics4 * cu) * cF - ics2 * uF)
-                else:
-                    poly = 1.0 - 1.5 * uu
-                    src = pref * (-ics2 * uF)
-                feq = dtype(WQ[k]) * rho * poly
-                coll.append(dtype(1.0 - omega) * f[k] + dtype(omega) * feq
-                            + dtype(WQ[k]) * src)
+        return jnp.stack([p[HALO:rows - HALO] for p in new], axis=0)
 
-            # periodic streaming
-            new = []
-            for k in range(9):
-                t = coll[k]
-                if CY[k] != 0:
-                    t = pltpu.roll(t, CY[k] % C, axis=1)
-                if CX[k] != 0:
-                    t = pltpu.roll(t, CX[k] % rows, axis=0)
-                new.append(t)
-
-            # ABB inlet/outlet rows (all 8 moving dirs, cylinder_test.cpp:132-154)
-            for mask_rows in (abs_iota == 0, abs_iota == R - 1):
-                for k in range(1, 9):
-                    new[OPP[k]] = jnp.where(
-                        mask_rows, -coll[k] + dtype(abb[k]), new[OPP[k]])
-            # specular side walls (cylinder_test.cpp:156-163)
-            for k in (2, 5, 6):      # outgoing at col C-1
-                new[SPEC_Y[k]] = jnp.where(ci == C - 1, coll[k], new[SPEC_Y[k]])
-            for k in (4, 7, 8):      # outgoing at col 0
-                new[SPEC_Y[k]] = jnp.where(ci == 0, coll[k], new[SPEC_Y[k]])
-
-            for k in range(9):
-                obuf[slot, k] = new[k][HALO:HALO + B, :]
-
-            dma_out(slot, i).start()
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, loop, 0)
-
-        @pl.when(n_blocks >= 2)
-        def _():
-            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
-        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
-
-    pl.run_scoped(
-        body,
-        slab=pltpu.VMEM((2, 9, block_rows + 2 * HALO, C), dtype),
-        fslab=pltpu.VMEM((2, 2, block_rows + 2 * HALO, C), dtype),
-        obuf=pltpu.VMEM((2, 9, block_rows, C), dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2, 6)),
-        out_sems=pltpu.SemaphoreType.DMA((2,)),
-    )
+    return body
 
 
 def make_cylinder_fused_step(R: int, C: int, omega: float,
@@ -190,26 +120,14 @@ def make_cylinder_fused_step(R: int, C: int, omega: float,
     ``F`` is the Eulerian IBM force density on the full grid (zero outside
     the marker ROI); ``u_wall`` the constant ABB wall velocity; ``guo`` the
     (ics2, ics4) source coefficients — the cylinder driver's weak (1/3, 1/9)
-    by default (cylinder_test.cpp:66-67)."""
-    if block_rows is None:
-        block_rows = pick_block_rows(R, C, dtype, vmem_budget=8 * 2 ** 20)
-    if R % block_rows != 0:
-        raise ValueError(f"rows {R} not divisible by block {block_rows}")
-    if C % 128 != 0:
-        raise ValueError(f"cols {C} must be a multiple of 128")
-    kernel = functools.partial(
-        _kernel, omega=omega, guo=(float(guo[0]), float(guo[1])),
-        abb=_abb_coeffs(u_wall), block_rows=block_rows,
-        n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((9, R, C), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=110 * R * C,
-            bytes_accessed=(2 * 9 + 2) * R * C * jnp.dtype(dtype).itemsize,
-            transcendentals=0),
-        interpret=interpret,
-    )
+    by default (cylinder_test.cpp:66-67).  Built on the two-input form of
+    kernels.pipeline."""
+    from .pipeline import make_block_pipeline
+
+    body = _make_body(omega=omega, guo=(float(guo[0]), float(guo[1])),
+                      abb=_abb_coeffs(u_wall), R=R, C=C,
+                      dtype=jnp.dtype(dtype).type)
+    return make_block_pipeline((9, 2), R, C, body, planes_out=9,
+                               dtype=dtype, block_rows=block_rows,
+                               vmem_budget=8 * 2 ** 20,
+                               flops_per_cell=110, interpret=interpret)

@@ -36,27 +36,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .collide_stream import HALO
 
 
-def _kernel(s_hbm, out_hbm, *, body, planes_out, block_rows, n_blocks, R, C,
-            dtype):
+def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
+    ins, out_hbm = refs[:-1], refs[-1]
     B = block_rows
+    n_in = len(ins)
 
-    def scoped(slab, obuf, in_sems, out_sems):
+    def scoped(slabs, obuf, in_sems, out_sems):
         def dma_in(slot, i):
             start = pl.multiple_of(i * B, 8)
             top = pl.multiple_of((start - HALO) % R, 8)
             bot = pl.multiple_of((start + B) % R, 8)
-            return (
-                pltpu.make_async_copy(
-                    s_hbm.at[:, pl.ds(top, HALO), :],
-                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    s_hbm.at[:, pl.ds(start, B), :],
-                    slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    s_hbm.at[:, pl.ds(bot, HALO), :],
-                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
-                    in_sems.at[slot, 2]),
-            )
+            cps = []
+            for j, src in enumerate(ins):
+                slab = slabs[j]
+                cps += [
+                    pltpu.make_async_copy(
+                        src.at[:, pl.ds(top, HALO), :],
+                        slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 3 * j]),
+                    pltpu.make_async_copy(
+                        src.at[:, pl.ds(start, B), :],
+                        slab.at[slot, :, HALO:HALO + B, :],
+                        in_sems.at[slot, 3 * j + 1]),
+                    pltpu.make_async_copy(
+                        src.at[:, pl.ds(bot, HALO), :],
+                        slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                        in_sems.at[slot, 3 * j + 2]),
+                ]
+            return cps
 
         def dma_out(slot, i):
             return pltpu.make_async_copy(
@@ -85,7 +91,8 @@ def _kernel(s_hbm, out_hbm, *, body, planes_out, block_rows, n_blocks, R, C,
             shape = (B + 2 * HALO, C)
             abs_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0) \
                 + (i * B - HALO)
-            obuf[slot] = body(slab[slot], abs_iota, i)
+            blocks = tuple(slabs[j][slot] for j in range(n_in))
+            obuf[slot] = body(*blocks, abs_iota, i)
 
             dma_out(slot, i).start()
             return 0
@@ -99,40 +106,54 @@ def _kernel(s_hbm, out_hbm, *, body, planes_out, block_rows, n_blocks, R, C,
 
     pl.run_scoped(
         scoped,
-        slab=pltpu.VMEM((2, s_hbm.shape[0], block_rows + 2 * HALO, C), dtype),
+        slabs=tuple(
+            pltpu.VMEM((2, src.shape[0], block_rows + 2 * HALO, C), dtype)
+            for src in ins),
         obuf=pltpu.VMEM((2, planes_out, block_rows, C), dtype),
-        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+        in_sems=pltpu.SemaphoreType.DMA((2, 3 * n_in)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
-def make_block_pipeline(planes: int, R: int, C: int, body,
+def make_block_pipeline(planes, R: int, C: int, body,
                         planes_out: int | None = None, dtype=jnp.float32,
                         block_rows: int | None = None,
                         vmem_budget: int = 6 * 2 ** 20,
                         flops_per_cell: int = 200,
+                        allow_row_alias: bool = False,
                         interpret: bool = False):
-    """Fused step over a (planes, R, C) state: one launch per call.
+    """Fused step over one or more (P_j, R, C) inputs: one launch per call.
 
-    ``body(block, abs_iota, i)`` runs on each halo-padded row block and
-    returns the (planes_out, B, C) output block (see module docstring)."""
-    planes_out = planes_out if planes_out is not None else planes
+    ``allow_row_alias=True`` skips the ``R >= B + 2*HALO`` guard — safe
+    ONLY for purely periodic bodies with no absolute-row masks or masked
+    row extractions (wrapped halo rows then legitimately duplicate
+    interior rows).
+
+    ``planes`` is an int (single input) or a tuple of ints (one per input
+    array, each halo-slabbed independently — e.g. the cylinder kernel's
+    f + force field).  ``body(*blocks, abs_iota, i)`` runs on each
+    halo-padded row block and returns the (planes_out, B, C) output block
+    (see module docstring)."""
+    planes_tup = (planes,) if isinstance(planes, int) else tuple(planes)
+    planes_out = planes_out if planes_out is not None else planes_tup[0]
+    p_sum = sum(planes_tup)
     if block_rows is None:
         itemsize = jnp.dtype(dtype).itemsize
         b = 128
         while b > 8:
-            need = (2 * planes * (b + 2 * HALO)
+            need = (2 * p_sum * (b + 2 * HALO)
                     + 2 * planes_out * b) * C * itemsize
             plane = (b + 2 * HALO) * C * itemsize
             if need <= vmem_budget and plane <= 256 * 1024 and R % b == 0:
                 break
             b //= 2
         block_rows = b
-        while block_rows + 2 * HALO > R and block_rows > 8:
+        while not allow_row_alias \
+                and block_rows + 2 * HALO > R and block_rows > 8:
             block_rows //= 2
     if R % block_rows != 0:
         raise ValueError(f"rows {R} not divisible by block {block_rows}")
-    if block_rows + 2 * HALO > R:
+    if not allow_row_alias and block_rows + 2 * HALO > R:
         raise ValueError(
             f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
     if C % 128 != 0:
@@ -143,12 +164,12 @@ def make_block_pipeline(planes: int, R: int, C: int, body,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((planes_out, R, C), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(planes_tup),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * R * C,
-            bytes_accessed=(planes + planes_out) * R * C
+            bytes_accessed=(p_sum + planes_out) * R * C
             * jnp.dtype(dtype).itemsize,
             transcendentals=0),
         interpret=interpret,
