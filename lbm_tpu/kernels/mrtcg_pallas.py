@@ -80,7 +80,8 @@ def _abs_row_val(x, abs_iota, abs_row: int):
     return jnp.sum(jnp.where(mask, x, 0.0), axis=0, keepdims=True)
 
 
-def _corr5_multi(x, kerns, abs_iota, R: int, C: int):
+def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
+                 row_edges: bool = True):
     """5x5 cross-correlations of ``x`` with each kernel in ``kerns``, with
     replicate padding on all four global edges, on a slab whose absolute row
     index is ``abs_iota`` (rows beyond the validity margin produce garbage
@@ -93,8 +94,11 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int):
     ~2x cheaper than two independent passes)."""
     left = _edge_col(x, 0, C)
     right = _edge_col(x, C - 1, C)
-    top = _abs_row_val(x, abs_iota, 0)
-    bot = _abs_row_val(x, abs_iota, R - 1)
+    # row-replicate fixups only matter in blocks whose slab touches global
+    # rows 0..1 / R-2..R-1; interior blocks pass row_edges=False and skip
+    # the edge-row extractions and per-tap selects entirely
+    top = _abs_row_val(x, abs_iota, 0) if row_edges else None
+    bot = _abs_row_val(x, abs_iota, R - 1) if row_edges else None
     rows = x.shape[0]
     ci = _col_iota(x.shape)
     outs = [None] * len(kerns)
@@ -112,9 +116,10 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int):
         if not any(k[a][b] != 0.0 for k in kerns for a in range(5)):
             continue
         t_db = colshift(x, db, ci) if db else x
-        # replicate rows use the (column-shifted) edge row value
-        rep_top = colshift(top, db, ci[:1]) if db else top
-        rep_bot = colshift(bot, db, ci[:1]) if db else bot
+        if row_edges:
+            # replicate rows use the (column-shifted) edge row value
+            rep_top = colshift(top, db, ci[:1]) if db else top
+            rep_bot = colshift(bot, db, ci[:1]) if db else bot
         for a in range(5):
             da = a - 2
             if not any(k[a][b] != 0.0 for k in kerns):
@@ -124,9 +129,9 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int):
                 t = pltpu.roll(t, (-da) % rows, axis=0)
             # row replicate at the global edges (mask on absolute row of
             # the *source*: abs+da < 0 or >= R)
-            if da < 0:
+            if row_edges and da < 0:
                 t = jnp.where(abs_iota + da < 0, rep_top, t)
-            elif da > 0:
+            elif row_edges and da > 0:
                 t = jnp.where(abs_iota + da >= R, rep_bot, t)
             for i, k in enumerate(kerns):
                 w = k[a][b]
@@ -192,7 +197,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
     r0, b0 = red.rho_0, blue.rho_0
     beta_r, beta_b = red.beta, blue.beta
 
-    def collide(rf, bf, abs_iota):
+    def collide(rf, bf, abs_iota, row_edges=True):
         r_rho = rf[0]
         b_rho = bf[0]
         for k in range(1, 9):
@@ -214,7 +219,8 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         s_nu = relax(psi)
 
         # gradients: phase field + per-colour correction fields
-        gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C)
+        gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C,
+                                row_edges=row_edges)
         gn = jnp.sqrt(gpx * gpx + gpy * gpy)
         inv_gn = 1.0 / (1e-20 + gn)
 
@@ -238,8 +244,10 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             df = [rho_k * feq[k] - f[k] for k in range(9)]
             qx = alpha_c * rho_k * ux
             qy = alpha_c * rho_k * uy
-            dxqx = _corr5(qx, KX5, abs_iota, R, C)
-            dyqy = _corr5(qy, KY5, abs_iota, R, C)
+            dxqx = _corr5_multi(qx, (KX5,), abs_iota, R, C,
+                                row_edges=row_edges)[0]
+            dyqy = _corr5_multi(qy, (KY5,), abs_iota, R, C,
+                                row_edges=row_edges)[0]
             c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
             c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
             return _mrt_omega1(df, c1, c7, s_nu), rho_k, cu
@@ -287,13 +295,18 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
     return collide
 
 
-def _stream_with_bcs(coll, abs_iota, R, C):
+def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True):
     """Periodic streaming + the multiphase drivers' wall rules:
     cols periodic WITHOUT the diagonal row offset (rows 1..R-2), rows
-    bounce-back.  cites mrtcg_rayleigh_taylor.cpp:495-533."""
+    bounce-back.  cites mrtcg_rayleigh_taylor.cpp:495-533.
+
+    ``row_edges=False`` (interior blocks) skips the row bounce-back masks
+    and the interior-rows restriction on the column repair: every slab row
+    the kept interior can read from lies in [1, R-2] there, so the result
+    is identical where it matters."""
     rows = coll[0].shape[0]
     ci = _col_iota(coll[0].shape)
-    interior = (abs_iota >= 1) & (abs_iota <= R - 2)
+    interior = ((abs_iota >= 1) & (abs_iota <= R - 2)) if row_edges else True
     out = [None] * 9
     col_rolled = [None] * 9
     for k in range(9):
@@ -309,13 +322,14 @@ def _stream_with_bcs(coll, abs_iota, R, C):
         out[k] = jnp.where((ci == 0) & interior, col_rolled[k], out[k])
     for k in (4, 7, 8):  # entering through col C-1
         out[k] = jnp.where((ci == C - 1) & interior, col_rolled[k], out[k])
-    # bounce-back rows (full lanes, overwrite corners last)
-    bottom = abs_iota == R - 1
-    for k in (1, 5, 8):
-        out[lat.OPP[k]] = jnp.where(bottom, coll[k], out[lat.OPP[k]])
-    top = abs_iota == 0
-    for k in (3, 6, 7):
-        out[lat.OPP[k]] = jnp.where(top, coll[k], out[lat.OPP[k]])
+    if row_edges:
+        # bounce-back rows (full lanes, overwrite corners last)
+        bottom = abs_iota == R - 1
+        for k in (1, 5, 8):
+            out[lat.OPP[k]] = jnp.where(bottom, coll[k], out[lat.OPP[k]])
+        top = abs_iota == 0
+        for k in (3, 6, 7):
+            out[lat.OPP[k]] = jnp.where(top, coll[k], out[lat.OPP[k]])
     return out
 
 
@@ -333,15 +347,35 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
     collide = _make_collide(red, blue, sigma, gravity, delta,
                             apply_gravity_source, R, C, dtype)
 
-    def body(block, abs_iota, i):
+    from .pipeline import resolve_block_rows
+
+    block_rows = resolve_block_rows(
+        (18,), 18, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+    n_blocks = R // block_rows
+
+    def run(block, abs_iota, row_edges):
         rf = [block[k] for k in range(9)]
         bf = [block[9 + k] for k in range(9)]
-        coll_r, coll_b = collide(rf, bf, abs_iota)
-        new_r = _stream_with_bcs(coll_r, abs_iota, R, C)
-        new_b = _stream_with_bcs(coll_b, abs_iota, R, C)
+        coll_r, coll_b = collide(rf, bf, abs_iota, row_edges=row_edges)
+        new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
+        new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
         rows = block.shape[1]
         return jnp.stack(
             [p[HALO:rows - HALO] for p in new_r + new_b], axis=0)
+
+    def body(block, abs_iota, i):
+        # only the first/last blocks can see global rows 0..1 / R-2..R-1
+        # (B >= 8 and the kept interior reads at most 3 rows into the halo);
+        # interior blocks take the mask-free fast path (~19% of kernel time
+        # per the ablation in the module docstring)
+        if n_blocks <= 2:
+            return run(block, abs_iota, True)
+        edge = (i == 0) | (i == n_blocks - 1)
+        return jax.lax.cond(
+            edge,
+            lambda b, a: run(b, a, True),
+            lambda b, a: run(b, a, False),
+            block, abs_iota)
 
     step = make_block_pipeline(18, R, C, body, dtype=dtype,
                                block_rows=block_rows,

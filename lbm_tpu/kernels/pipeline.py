@@ -115,27 +115,13 @@ def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
     )
 
 
-def make_block_pipeline(planes, R: int, C: int, body,
-                        planes_out: int | None = None, dtype=jnp.float32,
-                        block_rows: int | None = None,
-                        vmem_budget: int = 6 * 2 ** 20,
-                        flops_per_cell: int = 200,
-                        allow_row_alias: bool = False,
-                        interpret: bool = False):
-    """Fused step over one or more (P_j, R, C) inputs: one launch per call.
-
-    ``allow_row_alias=True`` skips the ``R >= B + 2*HALO`` guard — safe
-    ONLY for purely periodic bodies with no absolute-row masks or masked
-    row extractions (wrapped halo rows then legitimately duplicate
-    interior rows).
-
-    ``planes`` is an int (single input) or a tuple of ints (one per input
-    array, each halo-slabbed independently — e.g. the cylinder kernel's
-    f + force field).  ``body(*blocks, abs_iota, i)`` runs on each
-    halo-padded row block and returns the (planes_out, B, C) output block
-    (see module docstring)."""
-    planes_tup = (planes,) if isinstance(planes, int) else tuple(planes)
-    planes_out = planes_out if planes_out is not None else planes_tup[0]
+def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
+                       vmem_budget: int, block_rows: int | None,
+                       allow_row_alias: bool) -> int:
+    """Auto-pick (or validate) the row-block size: largest power-of-two
+    dividing R whose double-buffered slabs fit the VMEM budget and whose
+    planes stay under the empirical 256 KiB Mosaic ceiling.  Exposed so
+    kernels that branch on the block index can learn the pick up front."""
     p_sum = sum(planes_tup)
     if block_rows is None:
         itemsize = jnp.dtype(dtype).itemsize
@@ -158,6 +144,33 @@ def make_block_pipeline(planes, R: int, C: int, body,
             f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
     if C % 128 != 0:
         raise ValueError(f"cols {C} must be a multiple of 128")
+    return block_rows
+
+
+def make_block_pipeline(planes, R: int, C: int, body,
+                        planes_out: int | None = None, dtype=jnp.float32,
+                        block_rows: int | None = None,
+                        vmem_budget: int = 6 * 2 ** 20,
+                        flops_per_cell: int = 200,
+                        allow_row_alias: bool = False,
+                        interpret: bool = False):
+    """Fused step over one or more (P_j, R, C) inputs: one launch per call.
+
+    ``allow_row_alias=True`` skips the ``R >= B + 2*HALO`` guard — safe
+    ONLY for purely periodic bodies with no absolute-row masks or masked
+    row extractions (wrapped halo rows then legitimately duplicate
+    interior rows).
+
+    ``planes`` is an int (single input) or a tuple of ints (one per input
+    array, each halo-slabbed independently — e.g. the cylinder kernel's
+    f + force field).  ``body(*blocks, abs_iota, i)`` runs on each
+    halo-padded row block and returns the (planes_out, B, C) output block
+    (see module docstring)."""
+    planes_tup = (planes,) if isinstance(planes, int) else tuple(planes)
+    planes_out = planes_out if planes_out is not None else planes_tup[0]
+    p_sum = sum(planes_tup)
+    block_rows = resolve_block_rows(planes_tup, planes_out, R, C, dtype,
+                                    vmem_budget, block_rows, allow_row_alias)
     kernel = functools.partial(
         _kernel, body=body, planes_out=planes_out, block_rows=block_rows,
         n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)

@@ -12,6 +12,7 @@ reductions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import lattice as lat
@@ -29,7 +30,7 @@ NCY = tuple(float(v) for v in lat.NORM_C[1])
 def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
     gx, gy = float(gravity[0]), float(gravity[1])
 
-    def collide(planes, abs_iota):
+    def collide(planes, abs_iota, row_edges=True):
         f = [planes[k] for k in range(9)]
         r_rho = planes[9]
         b_rho = planes[10]
@@ -52,8 +53,10 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
         # colour gradient (src/rk.cpp:94-125), 5x5 replicate stencils
         a_frac = r_rho * inv_rho
         b_frac = b_rho * inv_rho
-        gax, gay = _corr5_multi(a_frac, (KX5, KY5), abs_iota, R, C)
-        gbx, gby = _corr5_multi(b_frac, (KX5, KY5), abs_iota, R, C)
+        gax, gay = _corr5_multi(a_frac, (KX5, KY5), abs_iota, R, C,
+                                row_edges=row_edges)
+        gbx, gby = _corr5_multi(b_frac, (KX5, KY5), abs_iota, R, C,
+                                row_edges=row_edges)
         Fx = (b_rho * gax - r_rho * gbx) * inv_rho
         Fy = (b_rho * gay - r_rho * gby) * inv_rho
         Fn = jnp.sqrt(Fx * Fx + Fy * Fy)
@@ -113,11 +116,17 @@ def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
     collide = _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta,
                             gravity, R, C)
 
-    def body(block, abs_iota, i):
+    from .pipeline import resolve_block_rows
+
+    block_rows = resolve_block_rows(
+        (11,), 11, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+    n_blocks = R // block_rows
+
+    def run(block, abs_iota, row_edges):
         planes = [block[k] for k in range(11)]
-        coll_r, coll_b = collide(planes, abs_iota)
-        new_r = _stream_with_bcs(coll_r, abs_iota, R, C)
-        new_b = _stream_with_bcs(coll_b, abs_iota, R, C)
+        coll_r, coll_b = collide(planes, abs_iota, row_edges=row_edges)
+        new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
+        new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
         r_rho_new = new_r[0]
         b_rho_new = new_b[0]
         for k in range(1, 9):
@@ -126,6 +135,17 @@ def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
         rows = block.shape[1]
         out = [new_r[k] + new_b[k] for k in range(9)] + [r_rho_new, b_rho_new]
         return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+
+    def body(block, abs_iota, i):
+        # interior blocks skip the global-row-edge masks (see mrtcg_pallas)
+        if n_blocks <= 2:
+            return run(block, abs_iota, True)
+        edge = (i == 0) | (i == n_blocks - 1)
+        return jax.lax.cond(
+            edge,
+            lambda b, a: run(b, a, True),
+            lambda b, a: run(b, a, False),
+            block, abs_iota)
 
     return make_block_pipeline(11, R, C, body, dtype=dtype,
                                block_rows=block_rows,
