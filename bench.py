@@ -48,7 +48,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from lbm_tpu.ops import d2q9
 
