@@ -1,0 +1,171 @@
+"""Hardware validation battery: physics gates on the real TPU chip.
+
+The pytest suite runs the f64 oracles on the CPU backend; this script is
+the complementary half — it drives the f32 fused kernels on the actual
+chip and checks the physics numbers recorded in the docstrings/README.
+Each check prints PASS/FAIL with the measured value; exit code 1 if any
+fail.
+
+    python scripts/validate_tpu.py              # the quick set (~2 min)
+    python scripts/validate_tpu.py all          # + the long checks (~10 min)
+    python scripts/validate_tpu.py laplace strouhal   # pick checks
+
+Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity
+Checks (long):  strouhal (200k-step shedding run)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+PASS = []
+FAIL = []
+
+
+def check(name, value, lo, hi, unit=""):
+    ok = lo <= value <= hi
+    (PASS if ok else FAIL).append(name)
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}: {value:.6g}{unit} "
+          f"(gate [{lo:g}, {hi:g}])", flush=True)
+
+
+def poiseuille():
+    """f32 fused channel kernel vs the analytic parabola.  The fused
+    kernel needs W%128==0; at 128x128 the measured f32 convergence floor
+    is L2 ~ 3e-4 (bitwise-stationary at ~176k steps) — the reference's
+    1e-11 gate belongs to the f64 CPU path (tests/test_channel.py)."""
+    from lbm_tpu.scenes import channel
+
+    res = channel.horizontal_poiseuille(H=128, W=128, T=200000, fused=True)
+    check("poiseuille_f32_L2", res.l2, 0.0, 5e-4)
+
+
+def laplace():
+    """MRT-CG droplet pressure jump vs 2*sigma/R (the measured
+    sigma_eff = 2*sigma calibration, mrtcg docstrings)."""
+    import jax.numpy as jnp
+    from lbm_tpu.scenes import multiphase as mp
+
+    res = mp.mrtcg_static_droplet(R=128, C=128, T=40000, radius=25.0,
+                                  sigma=0.1, fused=True)
+    st = res.state
+    p = np.asarray(st.red.rho * mp.DEFAULT_RED.cs2
+                   + st.blue.rho * mp.DEFAULT_BLUE.cs2)
+    dp = p[61:67, 61:67].mean() - np.concatenate(
+        [p[:4, :].ravel(), p[-4:, :].ravel()]).mean()
+    check("laplace_dp_over_2sigmaR", dp / (2 * 0.1 / 25.0), 0.95, 1.1)
+    check("laplace_spurious_umax", float(jnp.abs(st.u).max()), 0.0, 5e-3)
+
+
+def taylor_green():
+    """Viscous decay of a Taylor-Green vortex through the fused BGK
+    kernel (8 substeps/launch) vs the analytic rate."""
+    import jax, jax.numpy as jnp
+    from lbm_tpu.kernels.bgk_pallas import make_fused_step
+    from lbm_tpu.ops import d2q9
+
+    R, C = 256, 256
+    nu = 0.05
+    omega = 1.0 / (3 * nu + 0.5)
+    u0 = 0.02
+    kx = ky = 2 * np.pi / R
+    X = np.arange(R)[:, None] * np.ones((1, C))
+    Y = np.ones((R, 1)) * np.arange(C)[None, :]
+    ux = u0 * np.cos(kx * X) * np.sin(ky * Y)
+    uy = -u0 * np.sin(kx * X) * np.cos(ky * Y)
+    f = d2q9.equilibrium(jnp.asarray(np.stack([ux, uy]), jnp.float32),
+                         jnp.ones((R, C), jnp.float32))
+    step = make_fused_step(R, C, omega, substeps=8)
+    T = 400
+    g = jax.jit(lambda s: jax.lax.fori_loop(0, T // 8,
+                                            lambda _, x: step(x), s))(f)
+    rho = d2q9.calc_rho(g)
+    u = d2q9.calc_u(g, rho)
+    decay = float((u ** 2).sum()) / float(np.stack([ux, uy]).astype(
+        np.float32).__pow__(2).sum())
+    expect = float(np.exp(-2 * nu * (kx * kx + ky * ky) * T))
+    check("taylor_green_decay_ratio", decay / expect, 0.97, 1.03)
+
+
+def rt_growth():
+    """Unstable-regime MRT-CG Rayleigh-Taylor growth through the fused
+    two-phase kernel (interface std 9 -> ~25 over 20k steps)."""
+    from lbm_tpu.scenes import multiphase as mp
+
+    res = mp.mrtcg_rayleigh_taylor(R=256, C=128, T=20000, fused=True,
+                                   sigma=1e-5, gravity_magnitude=5e-6,
+                                   snapshot_every=20000)
+    psi = res.snapshots["psi"]
+    import jax.numpy as jnp
+    from lbm_tpu.models.mrt_cg import phase_field
+
+    st = res.state
+    psi_end = np.asarray(phase_field(st.red.rho, 3.0, st.blue.rho, 1.0))
+    h = (psi_end > 0).sum(axis=0).astype(float)
+    check("rt_growth_interface_std", h.std(), 18.0, 40.0)
+
+
+def cavity():
+    """Sub-critical ring cavity: steady anti-symmetric circulation."""
+    from lbm_tpu.scenes import cavity as cav
+
+    res = cav.ring_cavity(L=512, T=50000, force=3e-5, fused=True)
+    u = np.asarray(res.u)
+    check("cavity_finite_max_u", float(np.abs(u).max()), 1e-4, 0.1)
+    left = u[0][:, :128].mean()
+    right = u[0][:, -128:].mean()
+    check("cavity_circulation_antisym", left / (-right + 1e-30), 0.9, 1.1)
+
+
+def strouhal():
+    """IBM cylinder vortex shedding at Re=96 (literature St 0.16-0.17,
+    blockage-shifted): measured 0.176."""
+    import jax.numpy as jnp
+    from lbm_tpu.ops.ibm import IBM
+    from lbm_tpu.scenes import obstacles
+
+    ib = IBM.circle(300.0, 128.0, 16.0, 64)
+    res = obstacles.cylinder_flow(H=1024, W=256, T=200000, ibm=ib,
+                                  fused=True, guo_coeffs=(3.0, 9.0),
+                                  record_every=40)
+    Fy = res.forces[:, 1]
+    sig = Fy[2000:] - Fy[2000:].mean()
+    spec = np.abs(np.fft.rfft(sig))
+    freqs = np.fft.rfftfreq(len(sig), d=40)
+    St = freqs[np.argmax(spec[1:]) + 1] * 32.0 / 0.05
+    check("strouhal_Re96", St, 0.15, 0.20)
+    check("shedding_lift_rms", float(sig.std()), 0.02, 0.5)
+
+
+QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity"]
+LONG = ["strouhal"]
+
+
+def main(argv):
+    names = argv or QUICK
+    if names == ["all"]:
+        names = QUICK + LONG
+    unknown = [n for n in names if n not in QUICK + LONG]
+    if unknown:
+        print(f"unknown check(s): {', '.join(unknown)}; "
+              f"available: {', '.join(QUICK + LONG)} (or 'all')")
+        return 2
+    t0 = time.perf_counter()
+    for n in names:
+        print(f"--- {n}", flush=True)
+        globals()[n]()
+    print(f"\n{len(PASS)} passed, {len(FAIL)} failed "
+          f"in {time.perf_counter() - t0:.0f}s")
+    if FAIL:
+        print("FAILED:", ", ".join(FAIL))
+    return 1 if FAIL else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
