@@ -3,7 +3,8 @@
 One kernel launch per time step replaces the ~50 XLA fusions of the jnp
 oracle (moments -> equilibrium -> BGK -> 9 streaming rolls, compare
 /root/reference/src/solver.cpp:23-131 where each op is a separate CUDA
-kernel).  The block pipeline lives in kernels.collide_stream; this module
+kernel).  The block pipeline lives in kernels.pipeline (via
+kernels.collide_stream); this module
 provides the hand-unrolled BGK collision (explicit 9-term moment sums — no
 dot_general, so no f32->bf16 precision loss) and the public
 ``make_fused_step`` used by bench.py.

@@ -6,9 +6,10 @@ cell) fuses with periodic streaming into one kernel launch per step:
     make_fused_step(R, C, collide_fn)  with
     collide_fn: f_slab (9, rows, C) -> post-collision (9, rows, C)
 
-The harness supplies the double-buffered HBM->VMEM block pipeline and the
-streaming-as-output-addressing trick of kernels.bgk_pallas (see that module
-for the design notes); collide_fn runs on each (9, B+16, C) slab entirely
+The double-buffered HBM->VMEM block pipeline is kernels.pipeline (this
+module supplies the substeps temporal-blocking body and the
+streaming-as-output-addressing trick; see kernels.bgk_pallas for the BGK
+design notes); collide_fn runs on each (9, B+16, C) slab entirely
 in VMEM, so ordinary jnp code — including the model-layer collision
 functions (models.kbc.collide, ops.d2q9.bgk_collision) — works unchanged
 inside the kernel.

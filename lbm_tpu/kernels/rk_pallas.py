@@ -4,7 +4,8 @@ following src/rk.cpp's algebra driven by rk_rayleigh_taylor_test.cpp).
 
 State packing: (11, R, C) planes = colour-blind f (9) + r_rho + b_rho.
 One launch runs: mixture relaxation omega_rp, alpha/phi fields, the 5x5
-colour gradient F_kl (replicate edges, via kernels.mrtcg_pallas._corr5),
+colour gradient F_kl (replicate edges, via kernels.mrtcg_pallas
+._corr5_multi),
 BGK + Guo gravity + Reis perturbation, +/-beta recolouring, per-colour
 periodic streaming with the multiphase wall rules, and the macroscopic
 reductions.
