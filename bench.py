@@ -20,13 +20,12 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    # default geometry: tall-narrow with rows divisible by 112 — the block
-    # picker then fills the 256 KiB Mosaic plane ceiling exactly,
-    # minimising temporal-blocking halo redundancy (measured 21.1 GLUPS at
-    # B=112 vs 20.0 at B=64/8192 rows vs 14.7 at 4096x2048 whose wide rows
-    # force 16-row blocks)
-    ap.add_argument("--rows", type=int, default=7168)
-    ap.add_argument("--cols", type=int, default=512)
+    # default geometry: tall-narrow at C=128 — column rolls stay within one
+    # 128-lane tile and the 496-row blocks fill the 256 KiB Mosaic plane
+    # ceiling, minimising temporal-blocking halo redundancy (measured
+    # 33.7 GLUPS here vs 21.5 at 7168x512 vs 14.7 at 4096x2048)
+    ap.add_argument("--rows", type=int, default=7936)
+    ap.add_argument("--cols", type=int, default=128)
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
@@ -161,8 +160,19 @@ def main():
     n_full = max(4 * n_small, args.steps // substeps)
     timed(2)
     timed(n_small)  # compile+warm both trip counts outside the timed region
-    timed(n_full)
-    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
+    timed(n_full)   # first execution of a fresh executable can be very slow
+    dt_probe, _ = timed(n_full)
+    # widen the marginal window on fast kernels: if the full run is too
+    # close to the per-launch noise floor, scale the trip counts up rather
+    # than fall back to a launch-overhead-polluted end-to-end rate
+    while dt_probe < 0.1 and n_full < 500000:
+        n_small *= 4
+        n_full *= 4
+        timed(n_small)
+        timed(n_full)
+        dt_probe, _ = timed(n_full)
+    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s "
+        f"(n_full={n_full}, {dt_probe:.3f}s/launch)")
 
     # marginal rate removes the per-launch relay overhead (erratic through
     # the axon tunnel), measuring sustained kernel throughput; median of 3

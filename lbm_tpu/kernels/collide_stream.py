@@ -50,14 +50,19 @@ def pick_block_rows(R: int, C: int, dtype=jnp.float32,
     not).  Larger blocks cut temporal-blocking compute redundancy: measured
     14.7 GLUPS at B=16/C=2048 vs 20.2 GLUPS at B=64/C=512, substeps=8."""
     itemsize = jnp.dtype(dtype).itemsize
-    # candidates include non-powers-of-two (multiples of 8 for DMA
-    # alignment): B=112 fills the 256 KiB plane ceiling exactly at C=512
-    # and measures 21.1 GLUPS vs 20.0 at B=64 (less halo redundancy)
-    for b in (256, 128, 112, 96, 64, 48, 32, 24, 16):
+    # Largest multiple of 8 (DMA alignment) that fills the plane ceiling:
+    # taller blocks cut temporal-blocking halo redundancy, and narrow
+    # columns compound the win because 1-cell column rolls stay within a
+    # single 128-lane tile (measured: 21.5 GLUPS at 7168x512/B=112,
+    # 25.9 at 7680x256/B=240, 33.7 at 7936x128/B=496).
+    b_max = 256 * 1024 // (C * itemsize) - 2 * HALO
+    b_max = min(512, b_max - b_max % 8)
+    b = b_max
+    while b >= 8:
         need = 2 * 9 * (b + 2 * HALO) * C * itemsize + 2 * 9 * b * C * itemsize
-        plane = (b + 2 * HALO) * C * itemsize
-        if need <= vmem_budget and plane <= 256 * 1024 and R % b == 0:
+        if need <= vmem_budget and R % b == 0:
             return b
+        b -= 8
     return 8
 
 

@@ -125,17 +125,19 @@ def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
     p_sum = sum(planes_tup)
     if block_rows is None:
         itemsize = jnp.dtype(dtype).itemsize
-        b = 8
-        # multiples of 8 (DMA alignment), largest first; non-powers-of-two
-        # admit fuller use of the 256 KiB plane ceiling on divisible grids
-        for cand in (128, 112, 96, 64, 48, 32, 24, 16):
-            need = (2 * p_sum * (cand + 2 * HALO)
-                    + 2 * planes_out * cand) * C * itemsize
-            plane = (cand + 2 * HALO) * C * itemsize
-            if need <= vmem_budget and plane <= 256 * 1024 and R % cand == 0:
-                b = cand
+        # largest multiple of 8 (DMA alignment) under the 256 KiB Mosaic
+        # plane ceiling and the VMEM budget that divides R (taller blocks
+        # cut halo redundancy; see kernels.collide_stream.pick_block_rows)
+        b_max = 256 * 1024 // (C * itemsize) - 2 * HALO
+        b_max = min(512, b_max - b_max % 8)
+        b = b_max
+        while b > 8:
+            need = (2 * p_sum * (b + 2 * HALO)
+                    + 2 * planes_out * b) * C * itemsize
+            if need <= vmem_budget and R % b == 0:
                 break
-        block_rows = b
+            b -= 8
+        block_rows = max(b, 8)
         while not allow_row_alias \
                 and block_rows + 2 * HALO > R and block_rows > 8:
             block_rows //= 2
