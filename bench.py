@@ -164,10 +164,15 @@ def main():
     dt_probe, _ = timed(n_full)
     # widen the marginal window on fast kernels: if the full run is too
     # close to the per-launch noise floor, scale the trip counts up rather
-    # than fall back to a launch-overhead-polluted end-to-end rate
-    while dt_probe < 0.1 and n_full < 500000:
-        n_small *= 4
-        n_full *= 4
+    # than fall back to a launch-overhead-polluted end-to-end rate.  One
+    # computed rescale (vs repeated x4) keeps it to a single extra
+    # compile pair through the slow relay.
+    import math
+    if dt_probe < 0.1 and n_full < 500000:
+        scale = max(2, math.ceil(0.12 / max(dt_probe, 1e-3)))
+        scale = min(scale, max(2, 500000 // n_full))
+        n_small *= scale
+        n_full *= scale
         timed(n_small)
         timed(n_full)
         dt_probe, _ = timed(n_full)

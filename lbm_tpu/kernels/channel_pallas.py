@@ -138,22 +138,15 @@ def make_channel_fused_step(R: int, C: int, omega: float, rho_inlet: float,
     B + 2*HALO > R — are fixed; measured one-step diff vs the jnp step
     from a developed state: 3e-8 'bgk', 3.6e-7 'kbc', and the full 300k
     ULBM workload runs stably)."""
-    from .collide_stream import pick_block_rows
-    from .pipeline import make_block_pipeline
+    from .pipeline import make_block_pipeline, resolve_block_rows
 
     if family not in ("bgk", "kbc"):
         raise ValueError(f"unknown family {family!r}")
-    if block_rows is None:
-        budget = 10 * 2 ** 20 if family == "bgk" else 5 * 2 ** 20
-        block_rows = pick_block_rows(R, C, dtype, vmem_budget=budget)
-        while block_rows + 2 * HALO > R and block_rows > 8:
-            block_rows //= 2
-    if block_rows + 2 * HALO > R:
-        # a slab would contain some global rows twice (halo wrap overlapping
-        # the interior), double-counting the masked row extractions that
-        # build the pressure BC
-        raise ValueError(
-            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
+    budget = 10 * 2 ** 20 if family == "bgk" else 5 * 2 ** 20
+    # alias-free picks only: a slab containing some global row twice would
+    # double-count the masked row extractions that build the pressure BC
+    block_rows = resolve_block_rows((9,), 9, R, C, dtype, budget,
+                                    block_rows, allow_row_alias=False)
     body = _make_body(omega=omega, rho_in=rho_inlet, rho_out=rho_outlet,
                       R=R, C=C, dtype=jnp.dtype(dtype).type, family=family)
     return make_block_pipeline(9, R, C, body, dtype=dtype,

@@ -43,27 +43,20 @@ def _stream_slab(coll, C, rows):
 
 def pick_block_rows(R: int, C: int, dtype=jnp.float32,
                     vmem_budget=10 * 2 ** 20) -> int:
-    """Largest power-of-two row block that (a) divides R, (b) fits the
-    double-buffered slabs in the VMEM budget, and (c) keeps each slab plane
-    under the empirical Mosaic ceiling ((b+16)*C*itemsize <= 256 KiB for
-    f32 — measured: B=16@C=2048 and B=64@C=512 compile, B=32@C=2048 does
-    not).  Larger blocks cut temporal-blocking compute redundancy: measured
-    14.7 GLUPS at B=16/C=2048 vs 20.2 GLUPS at B=64/C=512, substeps=8."""
-    itemsize = jnp.dtype(dtype).itemsize
-    # Largest multiple of 8 (DMA alignment) that fills the plane ceiling:
-    # taller blocks cut temporal-blocking halo redundancy, and narrow
-    # columns compound the win because 1-cell column rolls stay within a
-    # single 128-lane tile (measured: 21.5 GLUPS at 7168x512/B=112,
-    # 25.9 at 7680x256/B=240, 33.7 at 7936x128/B=496).
-    b_max = 256 * 1024 // (C * itemsize) - 2 * HALO
-    b_max = min(512, b_max - b_max % 8)
-    b = b_max
-    while b >= 8:
-        need = 2 * 9 * (b + 2 * HALO) * C * itemsize + 2 * 9 * b * C * itemsize
-        if need <= vmem_budget and R % b == 0:
-            return b
-        b -= 8
-    return 8
+    """Largest multiple-of-8 row block (9-plane state) that (a) divides R,
+    (b) fits the double-buffered slabs in the VMEM budget, and (c) keeps
+    each slab plane under the empirical Mosaic ceiling ((b+16)*C*itemsize
+    <= 256 KiB for f32 — measured: B=16@C=2048 and B=64@C=512 compile,
+    B=32@C=2048 does not).  Larger blocks cut temporal-blocking compute
+    redundancy: 14.7 GLUPS at B=16/C=2048 vs 20.2 at B=64/C=512
+    (substeps=8), and narrow columns compound the win because 1-cell
+    column rolls stay within a single 128-lane tile (21.5 GLUPS at
+    7168x512/B=112, 25.9 at 7680x256/B=240, 33.7 at 7936x128/B=496).
+    Raises when C is too wide for any legal block."""
+    from .pipeline import resolve_block_rows
+
+    return resolve_block_rows((9,), 9, R, C, dtype, vmem_budget,
+                              None, allow_row_alias=True)
 
 
 def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,

@@ -118,18 +118,32 @@ def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
 def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
                        vmem_budget: int, block_rows: int | None,
                        allow_row_alias: bool) -> int:
-    """Auto-pick (or validate) the row-block size: largest power-of-two
-    dividing R whose double-buffered slabs fit the VMEM budget and whose
-    planes stay under the empirical 256 KiB Mosaic ceiling.  Exposed so
-    kernels that branch on the block index can learn the pick up front."""
+    """Auto-pick (or validate) the row-block size: largest multiple of 8
+    (DMA alignment) dividing R whose double-buffered slabs fit the VMEM
+    budget and whose planes stay under the empirical 256 KiB Mosaic
+    ceiling.  Exposed so kernels that branch on the block index can learn
+    the pick up front."""
     p_sum = sum(planes_tup)
     if block_rows is None:
         itemsize = jnp.dtype(dtype).itemsize
-        # largest multiple of 8 (DMA alignment) under the 256 KiB Mosaic
-        # plane ceiling and the VMEM budget that divides R (taller blocks
-        # cut halo redundancy; see kernels.collide_stream.pick_block_rows)
+        # taller blocks cut halo redundancy; see
+        # kernels.collide_stream.pick_block_rows for the measurements
         b_max = 256 * 1024 // (C * itemsize) - 2 * HALO
+        if not allow_row_alias:
+            # a slab must not contain any global row twice (wrapped halo
+            # rows overlapping the interior would double-count the
+            # absolute-row masked extractions) — cap candidates so every
+            # pick honours B + 2*HALO <= R.  Every candidate stays a
+            # multiple of 8: halving a pick after the fact can break the
+            # pl.multiple_of(i*B, 8) DMA alignment promise.
+            b_max = min(b_max, R - 2 * HALO)
         b_max = min(512, b_max - b_max % 8)
+        if b_max < 8:
+            raise ValueError(
+                f"no legal block: need C*itemsize <= "
+                f"{256 * 1024 // (3 * HALO)} (C={C}, {jnp.dtype(dtype).name})"
+                + ("" if allow_row_alias else f" and R >= {3 * HALO} "
+                   f"(R={R}) for an alias-free slab"))
         b = b_max
         while b > 8:
             need = (2 * p_sum * (b + 2 * HALO)
@@ -137,10 +151,7 @@ def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
             if need <= vmem_budget and R % b == 0:
                 break
             b -= 8
-        block_rows = max(b, 8)
-        while not allow_row_alias \
-                and block_rows + 2 * HALO > R and block_rows > 8:
-            block_rows //= 2
+        block_rows = b
     if R % block_rows != 0:
         raise ValueError(f"rows {R} not divisible by block {block_rows}")
     if not allow_row_alias and block_rows + 2 * HALO > R:

@@ -69,3 +69,34 @@ def test_resolve_block_rows_rules():
     # alias opt-out admits B + 16 > R
     assert resolve_block_rows((9,), 9, 16, 128, jnp.float32,
                               10 * 2 ** 20, 8, True) == 8
+
+
+def test_resolve_block_rows_alias_aware_picks():
+    # non-power-of-two grids: auto-picks must stay multiples of 8 (DMA
+    # alignment promise pl.multiple_of(i*B, 8)) AND alias-free — the old
+    # post-pick halving produced 28-row blocks here
+    b = resolve_block_rows((9,), 9, 56, 128, jnp.float32,
+                           10 * 2 ** 20, None, False)
+    assert b % 8 == 0 and b + 16 <= 56
+    assert resolve_block_rows((9,), 9, 120, 128, jnp.float32,
+                              10 * 2 ** 20, None, False) == 40
+    # columns too wide for the Mosaic plane ceiling: clear error, not a
+    # bogus 8-row fallback that dies inside Mosaic
+    with pytest.raises(ValueError, match="no legal block"):
+        resolve_block_rows((9,), 9, 4096, 4096, jnp.float32,
+                           10 * 2 ** 20, None, True)
+    # R too small for any alias-free slab
+    with pytest.raises(ValueError, match="no legal block"):
+        resolve_block_rows((9,), 9, 16, 128, jnp.float32,
+                           10 * 2 ** 20, None, False)
+
+
+def test_channel_picker_stays_aligned():
+    # the channel kernel's old pick-then-halve produced B=60 at R=120
+    from lbm_tpu.kernels.channel_pallas import make_channel_fused_step
+
+    step = make_channel_fused_step(120, 128, 1.0, 1.01, 1.0,
+                                   interpret=True)
+    f = jnp.ones((9, 120, 128), jnp.float32) / 9.0
+    out = np.asarray(step(f))
+    assert np.isfinite(out).all()
