@@ -21,15 +21,16 @@ Mosaic constraints shape the implementation: no captured array constants
 and validity accounting: one sweep consumes 3 halo rows (2 for the 5x5
 stencils + 1 for streaming), well within the 8-row halo.
 
-Cost breakdown (measured by stage ablation at 1024x512 on the v5e, f32):
-full kernel 1.95 GLUPS; gradients stubbed 4.3; MRT algebra stubbed (which
-also dead-codes the correction stencils) 4.1; stream/BC masks stubbed 2.4.
-I.e. the four 5x5 stencil passes are ~55% of the time, the MRT moment
-algebra ~25%, the BC masks ~19% — and the gradient-free variant already
-sits near the 18-plane HBM ceiling (~5.6 GLUPS), so temporal blocking
-would not pay until the stencil work shrinks.  Round-2 lever: skip the
-row-replicate fixup masks on interior blocks (only blocks touching global
-rows 0..1 / R-2..R-1 need them).
+Cost breakdown (measured by stage ablation at 1024x512 on the v5e, f32,
+before the grouped-row stencil rewrite): full kernel 1.95 GLUPS;
+gradients stubbed 4.3; MRT algebra stubbed 4.1; stream/BC masks stubbed
+2.4 — stencils ~55%, MRT moment algebra ~25%, BC masks ~19%.  Two levers
+since applied: interior blocks skip the global-edge masks (1.95 -> 2.23),
+and _corr5_multi's column-filter-first grouped-row evaluation (2.23 ->
+2.47; stencils now ~40%).  Measured dead ends: fusing Mi*S_base*M into
+one precomputed matrix is denser than the factored form (81 vs 76 FMAs),
+and temporal blocking cannot pay while the kernel is compute-bound
+(356 GB/s of 819 at 2.47 GLUPS).
 """
 
 from __future__ import annotations
@@ -67,8 +68,16 @@ def _col_iota(shape):
 
 
 def _edge_col(x, col: int, C: int):
-    """(rows, 1) copy of column ``col`` extracted without lane slicing."""
-    mask = _col_iota(x.shape) == (col % C)
+    """(rows, 1) copy of column ``col`` extracted via a masked reduction
+    (Mosaic cannot slice single lanes).  For wide grids the reduction is
+    confined to one 128-lane tile: lane slices at 128-aligned offsets are
+    legal, so only the tile containing the column is reduced."""
+    col = col % C
+    off = 0
+    if C > 128:
+        off = min(col - col % 128, C - 128)
+        x = jax.lax.slice_in_dim(x, off, off + 128, axis=1)
+    mask = _col_iota(x.shape) == (col - off)
     return jnp.sum(jnp.where(mask, x, 0.0), axis=1, keepdims=True)
 
 
@@ -86,58 +95,94 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
     index is ``abs_iota`` (rows beyond the validity margin produce garbage
     the caller discards).
 
-    The expensive per-tap work — the column roll + column-replicate fixup of
-    x and of the two global edge rows — depends only on db, so it is hoisted
-    out of the row loop and shared across all kernels (the main stencil cost
-    of the two-phase kernels; computing grad-x and grad-y together here is
-    ~2x cheaper than two independent passes)."""
-    left = _edge_col(x, 0, C)
-    right = _edge_col(x, C - 1, C)
-    # row-replicate fixups only matter in blocks whose slab touches global
-    # rows 0..1 / R-2..R-1; interior blocks pass row_edges=False and skip
-    # the edge-row extractions and per-tap selects entirely
-    top = _abs_row_val(x, abs_iota, 0) if row_edges else None
-    bot = _abs_row_val(x, abs_iota, R - 1) if row_edges else None
+    Column-filter-first evaluation: the column shifts of x (the expensive
+    ops — roll + edge-column reduction + replicate select) are hoisted and
+    shared across ALL kernels; then each DISTINCT kernel row direction
+    (rows grouped by proportionality — the isotropic 5x5 derivative
+    kernels have only 2-3 distinct row vectors, e.g. KX5 rows are
+    -2/-1/0/+1/+2 times the two XI rows) becomes one 5-tap column filter;
+    each kernel output is a handful of scaled row-shifts of those filtered
+    fields.  Replicate semantics are preserved exactly: column filtering
+    commutes with row replication, so the row fixup uses the filtered
+    field's own global edge rows (corners included).  vs the tap-by-tap
+    form this cuts the KX5+KY5 pair from 20 row rolls + 40 FMAs to 8 row
+    rolls + ~25 FMAs at the same 4 column shifts.
+
+    Interior blocks pass row_edges=False and skip the edge-row
+    extractions and replicate selects entirely."""
     rows = x.shape[0]
     ci = _col_iota(x.shape)
-    outs = [None] * len(kerns)
 
-    def colshift(v, db, ci_v):
-        t = pltpu.roll(v, (-db) % C, axis=1)
-        # column replicate: positions whose source col fell off the grid
-        # take the edge column's value (row-wise)
-        if db < 0:
-            return jnp.where(ci_v < -db, _edge_col(v, 0, C), t)
-        return jnp.where(ci_v >= C - db, _edge_col(v, C - 1, C), t)
-
-    for b in range(5):
-        db = b - 2
-        if not any(k[a][b] != 0.0 for k in kerns for a in range(5)):
-            continue
-        t_db = colshift(x, db, ci) if db else x
-        if row_edges:
-            # replicate rows use the (column-shifted) edge row value
-            rep_top = colshift(top, db, ci[:1]) if db else top
-            rep_bot = colshift(bot, db, ci[:1]) if db else bot
+    # ---- group kernel rows by direction (exact proportionality)
+    bases, base_ids, plans = [], {}, []
+    for k in kerns:
+        plan = []
         for a in range(5):
-            da = a - 2
-            if not any(k[a][b] != 0.0 for k in kerns):
+            row = tuple(float(k[a][b]) for b in range(5))
+            if not any(row):
                 continue
-            t = t_db
-            if da:
-                t = pltpu.roll(t, (-da) % rows, axis=0)
-            # row replicate at the global edges (mask on absolute row of
-            # the *source*: abs+da < 0 or >= R)
+            scale = next(v for v in row if v != 0.0)
+            norm = tuple(v / scale for v in row)
+            bid = base_ids.get(norm)
+            if bid is None:
+                bid = base_ids[norm] = len(bases)
+                bases.append(norm)
+            plan.append((scale, a - 2, bid))
+        plans.append(plan)
+
+    # ---- hoisted column shifts with column-replicate fixup
+    used_db = sorted({b - 2 for base in bases for b in range(5) if base[b]})
+    xs = {}
+    if used_db != [0]:
+        left = _edge_col(x, 0, C)
+        right = _edge_col(x, C - 1, C)
+    for db in used_db:
+        if db == 0:
+            xs[0] = x
+        else:
+            t = pltpu.roll(x, (-db) % C, axis=1)
+            xs[db] = jnp.where(ci < -db, left, t) if db < 0 \
+                else jnp.where(ci >= C - db, right, t)
+
+    # ---- one 5-tap column filter per distinct row direction
+    cf = []
+    for base in bases:
+        acc = None
+        for b in range(5):
+            w = base[b]
+            if w == 0.0:
+                continue
+            term = xs[b - 2] if w == 1.0 else w * xs[b - 2]
+            acc = term if acc is None else acc + term
+        cf.append(acc)
+
+    # ---- cached row shifts (with row replicate) of the filtered fields
+    tops, bots, shifts = {}, {}, {}
+
+    def rowshift(bid, da):
+        key = (bid, da)
+        if key not in shifts:
+            y = cf[bid]
+            t = y if da == 0 else pltpu.roll(y, (-da) % rows, axis=0)
             if row_edges and da < 0:
-                t = jnp.where(abs_iota + da < 0, rep_top, t)
+                if bid not in tops:
+                    tops[bid] = _abs_row_val(y, abs_iota, 0)
+                t = jnp.where(abs_iota + da < 0, tops[bid], t)
             elif row_edges and da > 0:
-                t = jnp.where(abs_iota + da >= R, rep_bot, t)
-            for i, k in enumerate(kerns):
-                w = k[a][b]
-                if w == 0.0:
-                    continue
-                term = w * t
-                outs[i] = term if outs[i] is None else outs[i] + term
+                if bid not in bots:
+                    bots[bid] = _abs_row_val(y, abs_iota, R - 1)
+                t = jnp.where(abs_iota + da >= R, bots[bid], t)
+            shifts[key] = t
+        return shifts[key]
+
+    outs = []
+    for plan in plans:
+        acc = None
+        for scale, da, bid in plan:
+            t = rowshift(bid, da)
+            term = t if scale == 1.0 else scale * t
+            acc = term if acc is None else acc + term
+        outs.append(acc)
     return outs
 
 
