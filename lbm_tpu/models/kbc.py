@@ -50,32 +50,41 @@ def central_moments(f: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """(9, R, C) central moments (1, cx, cy, cx2+cy2, cx2-cy2, cxcy,
     cx2cy, cxcy2, cx2cy2) of f about u.  cites ulbm.cpp:265-320.
 
-    Accumulated direction-by-direction (81 fused multiply-adds on planes)
-    instead of materialising the (9 moments, 9 dirs, R, C) basis tensor —
-    keeps peak memory at O(9 R C), which also lets models.kbc.collide run
-    unchanged inside the fused Pallas kernel's VMEM budget."""
-    cx = [int(v) for v in lat.C[0]]
-    cy = [int(v) for v in lat.C[1]]
-    acc = [None] * 9
-    for k in range(9):
-        cmx = cx[k] - u[0]
-        cmy = cy[k] - u[1]
-        cmx2 = cmx * cmx
-        cmy2 = cmy * cmy
-        terms = (
-            f[k],
-            f[k] * cmx,
-            f[k] * cmy,
-            f[k] * (cmx2 + cmy2),
-            f[k] * (cmx2 - cmy2),
-            f[k] * (cmx * cmy),
-            f[k] * (cmx2 * cmy),
-            f[k] * (cmx * cmy2),
-            f[k] * (cmx2 * cmy2),
-        )
-        for m in range(9):
-            acc[m] = terms[m] if acc[m] is None else acc[m] + terms[m]
-    return jnp.stack(acc, axis=0)
+    Evaluated via raw moments + the binomial shift theorem instead of the
+    reference's direct (c-u)-product accumulation: the nine raw moments
+    m_pq = sum_k f_k cx^p cy^q are plain signed sums of the planes (cx,
+    cy in {0, +-1} — no multiplies), and the central moments follow by
+    shifting about u.  Mathematically identical, ~40% fewer vector ops,
+    and still O(9 R C) peak memory so it runs unchanged inside the fused
+    Pallas kernel's VMEM budget."""
+    ux, uy = u[0], u[1]
+    f0, f1, f2, f3, f4, f5, f6, f7, f8 = (f[k] for k in range(9))
+    diag = f5 + f6 + f7 + f8
+    m00 = f0 + f1 + f2 + f3 + f4 + diag
+    m10 = f1 - f3 + f5 - f6 - f7 + f8
+    m01 = f2 - f4 + f5 + f6 - f7 - f8
+    m20 = f1 + f3 + diag
+    m02 = f2 + f4 + diag
+    m11 = f5 - f6 + f7 - f8
+    m21 = f5 + f6 - f7 - f8
+    m12 = f5 - f6 - f7 + f8
+    m22 = diag
+    x2, y2, xy = ux * ux, uy * uy, ux * uy
+    k10 = m10 - ux * m00
+    k01 = m01 - uy * m00
+    mu20 = m20 - 2.0 * ux * m10 + x2 * m00
+    mu02 = m02 - 2.0 * uy * m01 + y2 * m00
+    mu11 = m11 - ux * m01 - uy * m10 + xy * m00
+    mu21 = m21 - uy * m20 - 2.0 * ux * m11 + 2.0 * xy * m10 \
+        + x2 * m01 - x2 * uy * m00
+    mu12 = m12 - ux * m02 - 2.0 * uy * m11 + 2.0 * xy * m01 \
+        + y2 * m10 - y2 * ux * m00
+    mu22 = m22 - 2.0 * uy * m21 + y2 * m20 - 2.0 * ux * m12 \
+        + 4.0 * xy * m11 - 2.0 * ux * y2 * m10 \
+        + x2 * m02 - 2.0 * x2 * uy * m01 + x2 * y2 * m00
+    return jnp.stack(
+        [m00, k10, k01, mu20 + mu02, mu20 - mu02, mu11, mu21, mu12, mu22],
+        axis=0)
 
 
 def _poly_pack(u: jnp.ndarray, m0: jnp.ndarray):
@@ -83,80 +92,78 @@ def _poly_pack(u: jnp.ndarray, m0: jnp.ndarray):
     return ux, uy, ux * ux, uy * uy, m0
 
 
-def delta_s(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndarray:
-    """Shear-part deviation polynomials.  cites ulbm.cpp:157-192"""
+def delta_s(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray,
+            feq: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Shear-part deviation polynomials.  cites ulbm.cpp:157-192.
+
+    Algebraically refactored from the reference's term-for-term form: every
+    direction's m0-polynomial (including the T3c = T3 - 2*cs2*m0 shift)
+    collects into exactly -feq[k], so delta_s = S_k(T3, T4, T5; u) - feq
+    with S_k a short bilinear form.  Pass the product-form ``feq``
+    (equilibrium(m0, u)) to share it with delta_h and 1/feq; it is
+    recomputed when omitted.  Verified identical to the transcription to
+    f64 round-off."""
     ux, uy, x2, y2, m0 = _poly_pack(u, m0)
+    if feq is None:
+        feq = equilibrium(m0, u)
     T3, T4, T5 = cT[3], cT[4], cT[5]
-    T3c = T3 - 2.0 * CS2 * m0
+    xy = ux * uy
+    r2 = x2 + y2
+    d2 = x2 - y2
     rows = [
-        -0.5 * T4 * (x2 - y2) + 4.0 * T5 * ux * uy - CS4 * m0
-        - m0 * (x2 * y2 - x2 - y2 + 1.0) + T3c * (0.5 * x2 + 0.5 * y2 - 1.0),
-        0.25 * T4 * (x2 - y2 + ux + 1.0) - T5 * uy * (2.0 * ux + 1.0)
-        + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - x2 + y2 * ux - ux)
-        - 0.25 * T3c * (x2 + y2 + ux - 1.0),
-        -0.25 * T4 * (-x2 + y2 + uy + 1.0) - T5 * ux * (2.0 * uy + 1.0)
-        + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - y2 + x2 * uy - uy)
-        - 0.25 * T3c * (x2 + y2 + uy - 1.0),
-        0.25 * T4 * (x2 - y2 - ux + 1.0) - T5 * uy * (2.0 * ux - 1.0)
-        + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - x2 - y2 * ux + ux)
-        - 0.25 * T3c * (x2 + y2 - ux - 1.0),
-        0.25 * T4 * (x2 - y2 + uy - 1.0) - T5 * ux * (2.0 * uy - 1.0)
-        + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - y2 - x2 * uy + uy)
-        - 0.25 * T3c * (x2 + y2 - uy - 1.0),
-        -0.125 * T4 * (x2 - y2 + ux - uy)
-        + T5 * (ux * uy + 0.5 * ux + 0.5 * uy + 0.25) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 + x2 * uy + y2 * ux + ux * uy)
-        + 0.125 * T3c * (x2 + y2 + ux + uy),
-        0.125 * T4 * (-x2 + y2 + ux + uy)
-        + T5 * (ux * uy + 0.5 * ux - 0.5 * uy - 0.25) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 + x2 * uy - y2 * ux - ux * uy)
-        + 0.125 * T3c * (x2 + y2 - ux + uy),
-        -0.125 * T4 * (x2 - y2 - ux + uy)
-        + T5 * (ux * uy - 0.5 * ux - 0.5 * uy + 0.25) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 - x2 * uy - y2 * ux + ux * uy)
-        + 0.125 * T3c * (x2 + y2 - ux - uy),
-        -0.125 * T4 * (x2 - y2 + ux + uy)
-        + T5 * (ux * uy - 0.5 * ux + 0.5 * uy - 0.25) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 - x2 * uy + y2 * ux - ux * uy)
-        + 0.125 * T3c * (x2 + y2 + ux - uy),
+        T3 * (0.5 * r2 - 1.0) - 0.5 * T4 * d2 + 4.0 * T5 * xy - feq[0],
+        -0.25 * T3 * (r2 + ux - 1.0) + 0.25 * T4 * (d2 + ux + 1.0)
+        - T5 * uy * (2.0 * ux + 1.0) - feq[1],
+        -0.25 * T3 * (r2 + uy - 1.0) - 0.25 * T4 * (-d2 + uy + 1.0)
+        - T5 * ux * (2.0 * uy + 1.0) - feq[2],
+        -0.25 * T3 * (r2 - ux - 1.0) + 0.25 * T4 * (d2 - ux + 1.0)
+        - T5 * uy * (2.0 * ux - 1.0) - feq[3],
+        -0.25 * T3 * (r2 - uy - 1.0) + 0.25 * T4 * (d2 + uy - 1.0)
+        - T5 * ux * (2.0 * uy - 1.0) - feq[4],
+        0.125 * T3 * (r2 + ux + uy) - 0.125 * T4 * (d2 + ux - uy)
+        + T5 * (xy + 0.5 * ux + 0.5 * uy + 0.25) - feq[5],
+        0.125 * T3 * (r2 - ux + uy) + 0.125 * T4 * (-d2 + ux + uy)
+        + T5 * (xy + 0.5 * ux - 0.5 * uy - 0.25) - feq[6],
+        0.125 * T3 * (r2 - ux - uy) - 0.125 * T4 * (d2 - ux + uy)
+        + T5 * (xy - 0.5 * ux - 0.5 * uy + 0.25) - feq[7],
+        0.125 * T3 * (r2 + ux - uy) - 0.125 * T4 * (d2 + ux + uy)
+        + T5 * (xy - 0.5 * ux + 0.5 * uy - 0.25) - feq[8],
     ]
     return jnp.stack(rows, axis=0)
 
 
-def delta_h(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray) -> jnp.ndarray:
+def delta_h(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray,
+            feq: jnp.ndarray | None = None) -> jnp.ndarray:
     """High-order-part deviation polynomials.  cites ulbm.cpp:194-228.
-    NOTE: the `x2 + uy` (sum, not product) terms in directions 5-8 replicate
-    the reference source exactly (ulbm.cpp:217-226)."""
+
+    Refactored like delta_s: delta_h = H_k(T6, T7, T8; u) - feq[k], plus a
+    shared correction on directions 5-8 that reproduces the reference's
+    `x2 + uy` (sum, not product) terms exactly (ulbm.cpp:217-226 — they
+    look like a typo for `x2*uy` but are kept for bit-parity): relative to
+    the product form, directions 5/6 carry -m0(x2 + uy - x2*uy)/4 and
+    directions 7/8 carry -m0(uy - x2 + x2*uy)/4.  Verified identical to
+    the transcription to f64 round-off."""
     ux, uy, x2, y2, m0 = _poly_pack(u, m0)
+    if feq is None:
+        feq = equilibrium(m0, u)
     T6, T7, T8 = cT[6], cT[7], cT[8]
+    x2uy = x2 * uy
+    c56 = -0.25 * m0 * (x2 + uy - x2uy)
+    c78 = -0.25 * m0 * (uy - x2 + x2uy)
+    h6p = T6 * (0.5 * uy + 0.25)
+    h6m = T6 * (0.5 * uy - 0.25)
+    h7p = T7 * (0.5 * ux + 0.25)
+    h7m = T7 * (0.5 * ux - 0.25)
     rows = [
-        2.0 * T6 * uy + 2.0 * T7 * ux + T8
-        - 2.0 * CS2 * m0 * (0.5 * x2 + 0.5 * y2 - 1.0) - CS4 * m0
-        - m0 * (x2 * y2 - x2 - y2 + 1.0),
-        -T6 * uy - T7 * (ux + 0.5) - 0.5 * T8
-        + 0.5 * CS2 * m0 * (x2 + y2 + ux - 1.0) + 0.5 * CS4 * m0
-        + 0.5 * m0 * (x2 * y2 - x2 + y2 * ux - ux),
-        -T6 * (uy + 0.5) - T7 * ux - 0.5 * T8
-        + 0.5 * CS2 * m0 * (x2 + y2 + uy - 1.0) + 0.5 * CS4 * m0
-        + 0.5 * m0 * (x2 * y2 + x2 * uy - y2 - uy),
-        -T6 * uy - T7 * (ux - 0.5) - 0.5 * T8
-        + 0.5 * CS2 * m0 * (x2 + y2 - ux - 1.0) + 0.5 * CS4 * m0
-        + 0.5 * m0 * (x2 * y2 - x2 - y2 * ux + ux),
-        -T6 * (uy - 0.5) - T7 * ux - 0.5 * T8
-        + 0.5 * CS2 * m0 * (x2 + y2 - uy - 1.0) + 0.5 * CS4 * m0
-        + 0.5 * m0 * (x2 * y2 - x2 * uy - y2 + uy),
-        T6 * (0.5 * uy + 0.25) + T7 * (0.5 * ux + 0.25) + 0.25 * T8
-        - 0.25 * CS2 * m0 * (x2 + y2 + ux + uy) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 + x2 + uy + y2 * ux + ux * uy),
-        T6 * (0.5 * uy + 0.25) + T7 * (0.5 * ux - 0.25) + 0.25 * T8
-        - 0.25 * CS2 * m0 * (x2 + y2 - ux + uy) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 + x2 + uy - y2 * ux - ux * uy),
-        T6 * (0.5 * uy - 0.25) + T7 * (0.5 * ux - 0.25) + 0.25 * T8
-        - 0.25 * CS2 * m0 * (x2 + y2 - ux - uy) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 - x2 + uy - y2 * ux + ux * uy),
-        T6 * (0.5 * uy - 0.25) + T7 * (0.5 * ux + 0.25) + 0.25 * T8
-        - 0.25 * CS2 * m0 * (x2 + y2 + ux - uy) - 0.25 * CS4 * m0
-        - 0.25 * m0 * (x2 * y2 - x2 + uy + y2 * ux - ux * uy),
+        2.0 * T6 * uy + 2.0 * T7 * ux + T8 - feq[0],
+        -T6 * uy - T7 * (ux + 0.5) - 0.5 * T8 - feq[1],
+        -T6 * (uy + 0.5) - T7 * ux - 0.5 * T8 - feq[2],
+        -T6 * uy - T7 * (ux - 0.5) - 0.5 * T8 - feq[3],
+        -T6 * (uy - 0.5) - T7 * ux - 0.5 * T8 - feq[4],
+        h6p + h7p + 0.25 * T8 - feq[5] + c56,
+        h6p + h7m + 0.25 * T8 - feq[6] + c56,
+        h6m + h7m + 0.25 * T8 - feq[7] + c78,
+        h6m + h7p + 0.25 * T8 - feq[8] + c78,
     ]
     return jnp.stack(rows, axis=0)
 
@@ -185,7 +192,8 @@ def equilibrium(m0: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return m0[None] * _eq_factors(u)
 
 
-def gamma(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray, s2: float) -> jnp.ndarray:
+def gamma(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray, s2: float,
+          feq: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-cell entropic stabiliser.  cites ulbm.cpp:138-148.
 
     Near equilibrium both delta_h and delta_s vanish and the reference's
@@ -195,9 +203,11 @@ def gamma(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray, s2: float) -> jnp.nd
     reduces to gamma = 1/s2 (plain relaxation of the h-moments at unit
     rate) in the indeterminate limit and is inert when delta_h is finite.
     """
-    ds = delta_s(cT, u, m0)
-    dh = delta_h(cT, u, m0)
-    inv_feq = 1.0 / equilibrium(m0, u)
+    if feq is None:
+        feq = equilibrium(m0, u)
+    ds = delta_s(cT, u, m0, feq)
+    dh = delta_h(cT, u, m0, feq)
+    inv_feq = 1.0 / feq
     is2 = 1.0 / s2
     num = (ds * dh * inv_feq).sum(axis=0)
     den = (dh * dh * inv_feq).sum(axis=0)
@@ -215,7 +225,7 @@ def collide(f: jnp.ndarray, m0: jnp.ndarray, u: jnp.ndarray, s2: float) -> jnp.n
     """One KBC collision; returns the post-collision populations.
     cites ulbm.cpp:91-126"""
     cT = central_moments(f, u)
-    g = gamma(cT, u, m0, s2)
+    g = gamma(cT, u, m0, s2, equilibrium(m0, u))
 
     # subtract equilibrium central moments (only k = 0, 3, 8 nonzero)
     # (plane-wise, no scatter: keeps this lowerable inside Pallas kernels)
