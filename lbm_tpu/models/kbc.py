@@ -170,21 +170,22 @@ def delta_h(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray,
 
 def _eq_factors(u: jnp.ndarray) -> jnp.ndarray:
     """Product-form equilibrium per unit density (9, R, C).
-    cites ulbm.cpp:248-263 (and :230-246 for the reciprocal use)."""
+    cites ulbm.cpp:248-263 (and :230-246 for the reciprocal use).
+
+    The reference expands the products into per-direction polynomials;
+    here they are kept factored — eqf_k = Phi_{cx_k}(ux) * Phi_{cy_k}(uy)
+    with Phi_0 = 1 - (cs2 + u^2) and Phi_{+-1} = (cs2 + u^2 -+... + u)/2 —
+    which is the same function in ~20 vector ops instead of ~100 (verified
+    identical to the expansion to f64 round-off)."""
     ux, uy = u[0], u[1]
     x2, y2 = ux * ux, uy * uy
-    rows = [
-        2.0 * CS2 * (0.5 * x2 + 0.5 * y2 - 1.0) + CS4 + x2 * y2 - x2 - y2 + 1.0,
-        0.5 * (-CS2 * (x2 + y2 + ux - 1.0) - CS4 - x2 * y2 + x2 - y2 * ux + ux),
-        0.5 * (-CS2 * (x2 + y2 + uy - 1.0) - CS4 - x2 * y2 - x2 * uy + y2 + uy),
-        0.5 * (-CS2 * (x2 + y2 - ux - 1.0) - CS4 - x2 * y2 + x2 + y2 * ux - ux),
-        0.5 * (-CS2 * (x2 + y2 - uy - 1.0) - CS4 - x2 * y2 + x2 * uy + y2 - uy),
-        0.25 * (CS2 * (x2 + y2 + ux + uy) + CS4 + x2 * y2 + x2 * uy + y2 * ux + ux * uy),
-        0.25 * (CS2 * (x2 + y2 - ux + uy) + CS4 + x2 * y2 + x2 * uy - y2 * ux - ux * uy),
-        0.25 * (CS2 * (x2 + y2 - ux - uy) + CS4 + x2 * y2 - x2 * uy - y2 * ux + ux * uy),
-        0.25 * (CS2 * (x2 + y2 + ux - uy) + CS4 + x2 * y2 - x2 * uy + y2 * ux - ux * uy),
-    ]
-    return jnp.stack(rows, axis=0)
+    ax, ay = CS2 + x2, CS2 + y2
+    px = (1.0 - ax, 0.5 * (ax + ux), 0.5 * (ax - ux))   # cx = 0, +1, -1
+    py = (1.0 - ay, 0.5 * (ay + uy), 0.5 * (ay - uy))   # cy = 0, +1, -1
+    cx = [int(v) for v in lat.C[0]]
+    cy = [int(v) for v in lat.C[1]]
+    return jnp.stack([px[cx[k] % 3] * py[cy[k] % 3] for k in range(9)],
+                     axis=0)
 
 
 def equilibrium(m0: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
