@@ -10,7 +10,7 @@ fail.
     python scripts/validate_tpu.py all          # + the long checks (~10 min)
     python scripts/validate_tpu.py laplace strouhal   # pick checks
 
-Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity
+Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity, kbc
 Checks (long):  strouhal (200k-step shedding run)
 """
 
@@ -123,6 +123,29 @@ def cavity():
     check("cavity_circulation_antisym", left / (-right + 1e-30), 0.9, 1.1)
 
 
+def kbc():
+    """Resolved double shear layer through the fused cascaded-KBC kernel
+    (8 substeps/launch): the layers roll up (local |u| overshoots u_max)
+    while viscosity drains energy at the measured rate and mass stays
+    exact (measured at 256^2/nu=1e-3/T=5000: umax 0.0666, energy ratio
+    0.951, mass error 0.0)."""
+    import jax.numpy as jnp
+    from lbm_tpu.scenes import ulbm
+    from lbm_tpu.scenes.ulbm import double_shear_init
+
+    H = W = 256
+    u_max = 0.04
+    res = ulbm.ulbm_double_shear(H=H, W=W, T=5000, nu=1e-3, u_max=u_max,
+                                 fused=True)
+    u = np.asarray(res.m1)
+    _, u0 = double_shear_init(H, W, u_max, dtype=jnp.float32)
+    ratio = float((u ** 2).sum()) / float((np.asarray(u0) ** 2).sum())
+    check("kbc_shear_mass_err", abs(float(res.m0.sum()) / (H * W) - 1.0),
+          0.0, 1e-6)
+    check("kbc_shear_umax", float(np.abs(u).max()), u_max, 0.09)
+    check("kbc_shear_energy_ratio", ratio, 0.90, 0.99)
+
+
 def strouhal():
     """IBM cylinder vortex shedding at Re=96 (literature St 0.16-0.17,
     blockage-shifted): measured 0.176."""
@@ -143,7 +166,8 @@ def strouhal():
     check("shedding_lift_rms", float(sig.std()), 0.02, 0.5)
 
 
-QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity"]
+QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity",
+         "kbc"]
 LONG = ["strouhal"]
 
 

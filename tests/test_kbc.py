@@ -49,6 +49,116 @@ def test_kbc_central_moments_zeroth():
     np.testing.assert_allclose(np.asarray(cT[2]), 0.0, atol=1e-13)
 
 
+def test_kbc_algebra_matches_reference_transcription():
+    """The optimised forms (raw-moment central moments, feq-factored
+    delta_s/delta_h, factored product equilibrium) must equal the
+    reference's literal per-direction polynomials (ulbm.cpp:157-263,
+    265-320), kept here verbatim as the oracle."""
+    CS2, CS4 = kbc.CS2, kbc.CS4
+
+    def central_ref(f, u):
+        from lbm_tpu.core import lattice as lat
+        cx = [int(v) for v in lat.C[0]]
+        cy = [int(v) for v in lat.C[1]]
+        acc = [0.0] * 9
+        for k in range(9):
+            cmx = cx[k] - u[0]
+            cmy = cy[k] - u[1]
+            cmx2, cmy2 = cmx * cmx, cmy * cmy
+            terms = (f[k], f[k] * cmx, f[k] * cmy, f[k] * (cmx2 + cmy2),
+                     f[k] * (cmx2 - cmy2), f[k] * (cmx * cmy),
+                     f[k] * (cmx2 * cmy), f[k] * (cmx * cmy2),
+                     f[k] * (cmx2 * cmy2))
+            acc = [a + t for a, t in zip(acc, terms)]
+        return jnp.stack(acc, axis=0)
+
+    def delta_s_ref(cT, u, m0):
+        ux, uy = u[0], u[1]
+        x2, y2 = ux * ux, uy * uy
+        T3, T4, T5 = cT[3], cT[4], cT[5]
+        T3c = T3 - 2.0 * CS2 * m0
+        return jnp.stack([
+            -0.5 * T4 * (x2 - y2) + 4.0 * T5 * ux * uy - CS4 * m0
+            - m0 * (x2 * y2 - x2 - y2 + 1.0)
+            + T3c * (0.5 * x2 + 0.5 * y2 - 1.0),
+            0.25 * T4 * (x2 - y2 + ux + 1.0) - T5 * uy * (2.0 * ux + 1.0)
+            + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - x2 + y2 * ux - ux)
+            - 0.25 * T3c * (x2 + y2 + ux - 1.0),
+            -0.25 * T4 * (-x2 + y2 + uy + 1.0) - T5 * ux * (2.0 * uy + 1.0)
+            + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - y2 + x2 * uy - uy)
+            - 0.25 * T3c * (x2 + y2 + uy - 1.0),
+            0.25 * T4 * (x2 - y2 - ux + 1.0) - T5 * uy * (2.0 * ux - 1.0)
+            + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - x2 - y2 * ux + ux)
+            - 0.25 * T3c * (x2 + y2 - ux - 1.0),
+            0.25 * T4 * (x2 - y2 + uy - 1.0) - T5 * ux * (2.0 * uy - 1.0)
+            + 0.5 * CS4 * m0 + 0.5 * m0 * (x2 * y2 - y2 - x2 * uy + uy)
+            - 0.25 * T3c * (x2 + y2 - uy - 1.0),
+            -0.125 * T4 * (x2 - y2 + ux - uy)
+            + T5 * (ux * uy + 0.5 * ux + 0.5 * uy + 0.25) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 + x2 * uy + y2 * ux + ux * uy)
+            + 0.125 * T3c * (x2 + y2 + ux + uy),
+            0.125 * T4 * (-x2 + y2 + ux + uy)
+            + T5 * (ux * uy + 0.5 * ux - 0.5 * uy - 0.25) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 + x2 * uy - y2 * ux - ux * uy)
+            + 0.125 * T3c * (x2 + y2 - ux + uy),
+            -0.125 * T4 * (x2 - y2 - ux + uy)
+            + T5 * (ux * uy - 0.5 * ux - 0.5 * uy + 0.25) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 - x2 * uy - y2 * ux + ux * uy)
+            + 0.125 * T3c * (x2 + y2 - ux - uy),
+            -0.125 * T4 * (x2 - y2 + ux + uy)
+            + T5 * (ux * uy - 0.5 * ux + 0.5 * uy - 0.25) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 - x2 * uy + y2 * ux - ux * uy)
+            + 0.125 * T3c * (x2 + y2 + ux - uy),
+        ], axis=0)
+
+    def delta_h_ref(cT, u, m0):
+        ux, uy = u[0], u[1]
+        x2, y2 = ux * ux, uy * uy
+        T6, T7, T8 = cT[6], cT[7], cT[8]
+        return jnp.stack([
+            2.0 * T6 * uy + 2.0 * T7 * ux + T8
+            - 2.0 * CS2 * m0 * (0.5 * x2 + 0.5 * y2 - 1.0) - CS4 * m0
+            - m0 * (x2 * y2 - x2 - y2 + 1.0),
+            -T6 * uy - T7 * (ux + 0.5) - 0.5 * T8
+            + 0.5 * CS2 * m0 * (x2 + y2 + ux - 1.0) + 0.5 * CS4 * m0
+            + 0.5 * m0 * (x2 * y2 - x2 + y2 * ux - ux),
+            -T6 * (uy + 0.5) - T7 * ux - 0.5 * T8
+            + 0.5 * CS2 * m0 * (x2 + y2 + uy - 1.0) + 0.5 * CS4 * m0
+            + 0.5 * m0 * (x2 * y2 + x2 * uy - y2 - uy),
+            -T6 * uy - T7 * (ux - 0.5) - 0.5 * T8
+            + 0.5 * CS2 * m0 * (x2 + y2 - ux - 1.0) + 0.5 * CS4 * m0
+            + 0.5 * m0 * (x2 * y2 - x2 - y2 * ux + ux),
+            -T6 * (uy - 0.5) - T7 * ux - 0.5 * T8
+            + 0.5 * CS2 * m0 * (x2 + y2 - uy - 1.0) + 0.5 * CS4 * m0
+            + 0.5 * m0 * (x2 * y2 - x2 * uy - y2 + uy),
+            T6 * (0.5 * uy + 0.25) + T7 * (0.5 * ux + 0.25) + 0.25 * T8
+            - 0.25 * CS2 * m0 * (x2 + y2 + ux + uy) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 + x2 + uy + y2 * ux + ux * uy),
+            T6 * (0.5 * uy + 0.25) + T7 * (0.5 * ux - 0.25) + 0.25 * T8
+            - 0.25 * CS2 * m0 * (x2 + y2 - ux + uy) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 + x2 + uy - y2 * ux - ux * uy),
+            T6 * (0.5 * uy - 0.25) + T7 * (0.5 * ux - 0.25) + 0.25 * T8
+            - 0.25 * CS2 * m0 * (x2 + y2 - ux - uy) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 - x2 + uy - y2 * ux + ux * uy),
+            T6 * (0.5 * uy - 0.25) + T7 * (0.5 * ux + 0.25) + 0.25 * T8
+            - 0.25 * CS2 * m0 * (x2 + y2 + ux - uy) - 0.25 * CS4 * m0
+            - 0.25 * m0 * (x2 * y2 - x2 + uy + y2 * ux - ux * uy),
+        ], axis=0)
+
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.uniform(0.3, 1.2, (9, 8, 8)))
+    m0 = f.sum(0)
+    u = d2q9.calc_u(f, m0)
+    cT = kbc.central_moments(f, u)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(central_ref(f, u)),
+                               atol=1e-13)
+    feq = kbc.equilibrium(m0, u)
+    np.testing.assert_allclose(np.asarray(kbc.delta_s(cT, u, m0, feq)),
+                               np.asarray(delta_s_ref(cT, u, m0)), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(kbc.delta_h(cT, u, m0, feq)),
+                               np.asarray(delta_h_ref(cT, u, m0)), atol=1e-13)
+
+
 def test_double_shear_short_run_stable():
     from lbm_tpu.scenes import ulbm
 
