@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..core import lattice as lat
@@ -43,10 +44,42 @@ def _line(f_k: jnp.ndarray, side: str, lane: slice) -> jnp.ndarray:
     return f_k[lane, _SIDE_INDEX[side]]
 
 
+def _write_grid_line(arr: jnp.ndarray, axis: int, idx: int,
+                     val: jnp.ndarray, lane: slice = slice(None)) -> jnp.ndarray:
+    """Overwrite one wall line of (P, R, C) ``arr`` with ``val`` (P, L)
+    via an element-wise masked select.
+
+    Line writes used to be static-index dynamic-update-slices
+    (``arr.at[:, idx, lane].set``), but XLA's SPMD partitioner mis-lowers
+    a single-line update on a sharded grid axis when composed with the
+    streaming rolls — observed under GSPMD row sharding: the rowN write
+    landed on EVERY shard's local last row (tests/test_parallel.py::
+    test_auto_gspmd_mrtcg_equals_single_device caught it).  Masked
+    selects are partitioned trivially and fuse to the same cost under
+    jit on a single device."""
+    P_, R, C = arr.shape
+    n_wall = R if axis == 0 else C
+    n_along = C if axis == 0 else R
+    start, stop, step = lane.indices(n_along)
+    assert step == 1, "lane slices must be contiguous"
+    pos = idx % n_wall
+    if start != 0 or stop != n_along:
+        val = jnp.pad(val, ((0, 0), (start, n_along - stop)))
+    wall_i = jax.lax.broadcasted_iota(jnp.int32, (R, C), axis)
+    along_i = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1 - axis)
+    mask = wall_i == pos
+    if start != 0 or stop != n_along:
+        mask = mask & (along_i >= start) & (along_i < stop)
+    full = val[:, None, :] if axis == 0 else val[:, :, None]
+    return jnp.where(mask[None], jnp.broadcast_to(full, arr.shape), arr)
+
+
 def _set_line(f: jnp.ndarray, k: int, side: str, lane: slice, values) -> jnp.ndarray:
-    if _SIDE_AXIS[side] == 0:
-        return f.at[k, _SIDE_INDEX[side], lane].set(values)
-    return f.at[k, lane, _SIDE_INDEX[side]].set(values)
+    values = jnp.broadcast_to(
+        values, _line(f[k], side, lane).shape)
+    plane = _write_grid_line(f[k][None], _SIDE_AXIS[side],
+                             _SIDE_INDEX[side], values[None], lane)[0]
+    return f.at[k].set(plane)
 
 
 def bounce_back(
@@ -150,10 +183,7 @@ def pressure_periodic(
         return arr[tuple(sl)]
 
     def put(arr, idx, val):
-        sl = [slice(None)] * arr.ndim
-        ax = 1 + axis
-        sl[ax] = idx
-        return arr.at[tuple(sl)].set(jnp.squeeze(val, axis=ax))
+        return _write_grid_line(arr, axis, idx, jnp.squeeze(val, axis=1 + axis))
 
     ones = jnp.ones_like(take(f_coll, 0)[0])  # (1,C) or (R,1)
     eq_in = eq_fn(take(u, -2), rho_inlet * ones)
@@ -172,9 +202,9 @@ def zero_gradient(
     interior line onto the wall line *before* streaming.
     cites /root/reference/test/rectangle_sedimentation_test.cpp:134-141"""
     inner = 1 if _SIDE_INDEX[side] == 0 else -2
-    if _SIDE_AXIS[side] == 0:
-        return f_coll.at[:, _SIDE_INDEX[side], lane].set(f_coll[:, inner, lane])
-    return f_coll.at[:, lane, _SIDE_INDEX[side]].set(f_coll[:, lane, inner])
+    axis = _SIDE_AXIS[side]
+    vals = f_coll[:, inner, lane] if axis == 0 else f_coll[:, lane, inner]
+    return _write_grid_line(f_coll, axis, _SIDE_INDEX[side], vals, lane)
 
 
 def periodic_edge(
@@ -204,13 +234,10 @@ def periodic_edge(
         shift = int(lat.C[1 - axis, k]) if diagonal_shift else 0
         if axis == 0:
             src = f_coll[k, src_index, lane]
-            dst_line = f_adve[k, _SIDE_INDEX[side], lane]
-            val = jnp.roll(src, shift) if shift else src
-            f_adve = f_adve.at[k, _SIDE_INDEX[side], lane].set(val)
         else:
             src = f_coll[k, lane, src_index]
-            val = jnp.roll(src, shift) if shift else src
-            f_adve = f_adve.at[k, lane, _SIDE_INDEX[side]].set(val)
+        val = jnp.roll(src, shift) if shift else src
+        f_adve = _set_line(f_adve, k, side, lane, val)
     return f_adve
 
 

@@ -77,6 +77,37 @@ def test_auto_gspmd_step_equals_single_device():
 
 
 @needs_8
+def test_auto_gspmd_mrtcg_equals_single_device():
+    """The flagship MRT-CG two-phase step under GSPMD sharding (2-cell
+    gradient halos handled by XLA's partitioner) must match the
+    single-device step — the multiphase analog of the decompose_domain
+    A/B comparison (SURVEY.md section 7.6)."""
+    from lbm_tpu.models.mrt_cg import MRTCGModel
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine, mrtcg_boundary)
+
+    R, C = 32, 16
+    model = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
+                       gravity=(6.25e-7, 0.0), apply_gravity_source=True,
+                       boundary=mrtcg_boundary)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0)
+    state = model.init_state(r0, b0)
+
+    want = state
+    for _ in range(5):
+        want = model.step(want)
+
+    m = meshmod.make_mesh(shape=(4, 2))
+    chunk = sharded.auto_sharded(model.step, m)
+    got = chunk(meshmod.shard_state(m, state), 5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-12),
+        got, want)
+
+
+@needs_8
 def test_sharded_channel_reproduces_poiseuille():
     """8-way row decomposition of the horizontal Poiseuille channel must
     match the single-device scene exactly (the TPU version of the
