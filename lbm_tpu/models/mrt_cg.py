@@ -24,6 +24,7 @@ import numpy as np
 from ..core import lattice as lat
 from ..core.params import ColourParams
 from ..ops import d2q9, gradients
+from ..utils.xmath import default_float
 
 
 class ColourFields(NamedTuple):
@@ -219,8 +220,9 @@ class MRTCGModel:
     def relax(self) -> RelaxationFunction:
         return RelaxationFunction.from_omegas(self.red, self.blue, self.delta)
 
-    def init_state(self, r_rho, b_rho, dtype=jnp.float64,
+    def init_state(self, r_rho, b_rho, dtype=None,
                    u_init_gravity_shift: bool = False) -> TwoPhaseState:
+        dtype = default_float(dtype)
         r_rho = jnp.asarray(r_rho, dtype)
         b_rho = jnp.asarray(b_rho, dtype)
         rho = r_rho + b_rho

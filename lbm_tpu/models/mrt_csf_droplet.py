@@ -34,6 +34,7 @@ from ..ops import d2q9, gradients
 from ..utils.xmath import tdot
 from .mrt_cg import RelaxationFunction
 from .rk_cg import rk_phi
+from ..utils.xmath import default_float
 
 
 class CSFColourFields(NamedTuple):
@@ -142,7 +143,8 @@ class CSFDropletModel:
         return RelaxationFunction.from_values(self.red.tau, self.blue.tau,
                                               self.delta)
 
-    def init_state(self, r_rho, b_rho, dtype=jnp.float64) -> CSFState:
+    def init_state(self, r_rho, b_rho, dtype=None) -> CSFState:
+        dtype = default_float(dtype)
         r_rho = jnp.asarray(r_rho, dtype)
         b_rho = jnp.asarray(b_rho, dtype)
         u = jnp.zeros((2,) + r_rho.shape, dtype)

@@ -27,6 +27,7 @@ import numpy as np
 from ..core import lattice as lat
 from ..ops import d2q9, gradients
 from .mrt_cg import RelaxationFunction
+from ..utils.xmath import default_float
 
 ICS2 = 3.0
 
@@ -124,7 +125,8 @@ class RKDropletModel:
             1.0 / self.red.omega, 1.0 / self.blue.omega, self.delta
         )
 
-    def init_state(self, r_rho, b_rho, u0=None, dtype=jnp.float64):
+    def init_state(self, r_rho, b_rho, u0=None, dtype=None):
+        dtype = default_float(dtype)
         r_rho = jnp.asarray(r_rho, dtype)
         b_rho = jnp.asarray(b_rho, dtype)
         u = jnp.zeros((2,) + r_rho.shape, dtype) if u0 is None else jnp.asarray(u0, dtype)
@@ -243,7 +245,8 @@ class RKMixtureModel:
         F_norm = jnp.sqrt(F[0] ** 2 + F[1] ** 2)
         return F, F_norm
 
-    def init_state(self, r_rho, b_rho, dtype=jnp.float64) -> RKMixtureState:
+    def init_state(self, r_rho, b_rho, dtype=None) -> RKMixtureState:
+        dtype = default_float(dtype)
         r_rho = jnp.asarray(r_rho, dtype)
         b_rho = jnp.asarray(b_rho, dtype)
         rho = r_rho + b_rho

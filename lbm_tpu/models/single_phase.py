@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import d2q9
+from ..utils.xmath import default_float
 
 PreStreamBC = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 PostStreamBC = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -74,8 +75,9 @@ class SinglePhaseModel:
             f_new = bc(f_new, f_coll)
         return f_new
 
-    def init(self, R: int, C: int, dtype=jnp.float64, rho0: float = 1.0,
+    def init(self, R: int, C: int, dtype=None, rho0: float = 1.0,
              u0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        dtype = default_float(dtype)
         rho = jnp.full((R, C), rho0, dtype=dtype)
         u = jnp.zeros((2, R, C), dtype=dtype) if u0 is None else u0.astype(dtype)
         return self.eq(u, rho)

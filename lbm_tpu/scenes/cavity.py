@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..boundary import bc
 from ..ops import d2q9
 from ..parallel import mesh as meshmod, sharded
+from ..utils.xmath import default_float
 
 
 @dataclass
@@ -54,7 +55,7 @@ def _block_wall_assignments(L: int):
 def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
                 tau: float | None = None, mesh_shape: tuple[int, int] | None = None,
                 fused: bool = False,
-                dtype=jnp.float64) -> CavityResult:
+                dtype=None) -> CavityResult:
     """Force-driven circulation in a square annulus of width L/4.
 
     Workload parity: L=512, tau=sqrt(3/16)+1/2, F=(3e-3, 0) applied on rows
@@ -69,6 +70,7 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
     reference's own 50k-step run cannot have produced finite fields).
     F=3e-5 gives a steady circulation over the full 50k steps
     (max|u| = 0.023, anti-symmetric arm flow +-1.07e-2)."""
+    dtype = default_float(dtype)
     import math
 
     tau = tau if tau is not None else math.sqrt(3.0 / 16.0) + 0.5

@@ -21,6 +21,7 @@ import numpy as np
 from ..boundary import bc
 from ..models.single_phase import SinglePhaseModel
 from ..ops import d2q9
+from ..utils.xmath import default_float
 
 TAU_DEFAULT = math.sqrt(3.0 / 16.0) + 0.5  # cites horizontal_poiseuille_test.cpp:55
 
@@ -82,12 +83,13 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
                           u_max: float = 1.030985714e-1,
                           tau: float = TAU_DEFAULT,
                           fused: bool = False,
-                          dtype=jnp.float64) -> ChannelResult:
+                          dtype=None) -> ChannelResult:
     """Pressure-driven flow along rows, no-slip walls on the first/last
     column, incompressible equilibrium.  Parameters cite
     /root/reference/test/horizontal_poiseuille_test.cpp:50-67.
     ``fused=True`` runs the whole step (pressure BC + walls included) as
     one Pallas kernel (f32, W%128==0, H%8==0)."""
+    dtype = default_float(dtype)
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)
@@ -143,10 +145,11 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
 
 def vertical_poiseuille(H: int = 51, W: int = 51, T: int = 10000,
                         u_max: float = 0.1, tau: float = TAU_DEFAULT,
-                        dtype=jnp.float64) -> ChannelResult:
+                        dtype=None) -> ChannelResult:
     """Flow along cols with compressible equilibrium; pressure BC acts on the
     cols axis, no-slip on first/last row.
     cites /root/reference/test/vertical_poiseuille_test.cpp:46-123."""
+    dtype = default_float(dtype)
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)
@@ -175,9 +178,10 @@ def vertical_poiseuille(H: int = 51, W: int = 51, T: int = 10000,
 def gravity_channel(H: int = 21, W: int = 21, T: int = 10000,
                     fg: float = -0.0003, tau: float = TAU_DEFAULT,
                     tolerance: float = 1e-12,
-                    dtype=jnp.float64) -> ChannelResult:
+                    dtype=None) -> ChannelResult:
     """Body-force-driven channel: u += Fg, Guo source, equal inlet/outlet
     densities.  cites /root/reference/test/gravity_test.cpp:60-177."""
+    dtype = default_float(dtype)
     omega = 1.0 / tau
     model = SinglePhaseModel(
         omega=omega,
@@ -201,9 +205,10 @@ def gravity_channel(H: int = 21, W: int = 21, T: int = 10000,
 
 def specular_channel(H: int = 51, W: int = 51, T: int = 10000,
                      u_max: float = 0.1, tau: float = TAU_DEFAULT,
-                     dtype=jnp.float64) -> ChannelResult:
+                     dtype=None) -> ChannelResult:
     """Pressure-driven channel with free-slip (specular) side walls: the
     profile should stay flat.  cites /root/reference/test/specular_boundary_test.cpp."""
+    dtype = default_float(dtype)
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)
@@ -229,9 +234,10 @@ def specular_channel(H: int = 51, W: int = 51, T: int = 10000,
 
 def free_stream(H: int = 54, W: int = 42, T: int = 1000,
                 u_stream: float = 0.1, omega: float = 1.0 / 0.55,
-                dtype=jnp.float64) -> ChannelResult:
+                dtype=None) -> ChannelResult:
     """Uniform stream preserved by ABB inlet/outlet + specular side walls.
     cites /root/reference/test/free_stream_test.cpp:75-135."""
+    dtype = default_float(dtype)
     u_w = jnp.asarray([u_stream, 0.0])
 
     model = SinglePhaseModel(

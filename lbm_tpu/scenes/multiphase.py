@@ -20,6 +20,7 @@ from ..models import mrt_cg
 from ..utils import observe
 from ..models.mrt_cg import MRTCGModel, TwoPhaseState
 from ..models.rk_cg import RKDropletColour, RKDropletModel, RKMixtureModel
+from ..utils.xmath import default_float
 
 
 def _sigmoid(x):
@@ -143,7 +144,7 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
                          sigma: float = 0.1, radius: float = 25.0,
                          snapshot_every: int | None = None,
                          fused: bool = False,
-                         dtype=jnp.float64) -> MultiphaseResult:
+                         dtype=None) -> MultiphaseResult:
     """MRT-CG static droplet (Laplace-law scene).
     Workload/constants cite /root/reference/test/mrtcg_static_droplet.cpp:
     L=100, T=100 (:463,500 via TOML), sigma=0.1 (:439),
@@ -156,6 +157,7 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
     into the recoloured total (mrtcg_static_droplet.cpp:505), so the
     effective interfacial tension is 2x the nominal ``sigma``.  Mass drift
     3.8e-7 over 40k steps; spurious currents |u|max ~ 1.6e-3."""
+    dtype = default_float(dtype)
     model = MRTCGModel(
         red=red, blue=blue, sigma=sigma, gravity=(0.0, -6.25e-6),
         apply_gravity_source=False, boundary=mrtcg_boundary,
@@ -224,7 +226,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                           checkpoint_every: int = 10000,
                           modes=None,
                           snapshot_prefix: str | None = None,
-                          dtype=jnp.float64) -> MultiphaseResult:
+                          dtype=None) -> MultiphaseResult:
     """MRT-CG Rayleigh-Taylor.  Defaults follow the shipped TOML
     (/root/reference/mrtcg-rayleigh-taylor-gamma3.toml:4-22) with a
     [general] table as required by mrtcg_rayleigh_taylor.cpp:360-362.
@@ -237,6 +239,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
     incrementally (io.snapshots.SnapshotWriter; the native C++ writer
     thread when built) instead of accumulating them in host RAM — the
     production mode for the reference's 2000-snapshot 100k-step runs."""
+    dtype = default_float(dtype)
     if config_path:
         tbl = load_toml(config_path)
         dom = DomainParams.from_toml(tbl)
@@ -397,11 +400,12 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
                             sigma: float = 1e-4,
                             gravity_magnitude: float = 6.25e-7,
                             snapshot_every: int | None = None,
-                            dtype=jnp.float64) -> MultiphaseResult:
+                            dtype=None) -> MultiphaseResult:
     """CSF-curvature variant of the MRT colour-gradient RT.
     cites /root/reference/test/mrt_rayleigh_taylor.cpp:392-545 (interface
     sign +1, initial u = 0.5 Fg/red.rho_0, u shift includes the surface
     force)."""
+    dtype = default_float(dtype)
     model = MRTCGModel(
         red=red, blue=blue, sigma=sigma,
         gravity=(gravity_magnitude, 0.0),
@@ -426,11 +430,12 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
 def rk_static_droplet(L: int = 101, T: int = 2000, radius: float = 25.0,
                       sigma: float = 5e-3,
                       snapshot_every: int | None = None,
-                      dtype=jnp.float64) -> MultiphaseResult:
+                      dtype=None) -> MultiphaseResult:
     """RK (Reis-Phillips) static droplet.
     Constants cite /root/reference/test/rk_static_droplet_test.cpp:504-506:
     red(rho_0=1.2, alpha=1/3, A=1e-4, nu=0.16, beta=+0.7),
     blue(rho_0=1.0, alpha=0.2, A=1e-4, nu=0.14, beta=-0.7), delta=0.98."""
+    dtype = default_float(dtype)
     red = RKDropletColour(rho_0=1.2, alpha=1.0 / 3.0, A=1e-4, nu=0.16, beta=0.7)
     blue = RKDropletColour(rho_0=1.0, alpha=0.2, A=1e-4, nu=0.14, beta=-0.7)
     model = RKDropletModel(red=red, blue=blue, sigma=sigma, delta=0.98)
@@ -447,7 +452,7 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
                        gravity: tuple[float, float] = (-6.25e-6, 0.0),
                        snapshot_every: int | None = None,
                        fused: bool = False,
-                       dtype=jnp.float64) -> MultiphaseResult:
+                       dtype=None) -> MultiphaseResult:
     """RK-CG Rayleigh-Taylor on a 4L x L grid.
     Constants cite /root/reference/test/rk_rayleigh_taylor_test.cpp:81-126:
     red(alpha=11/15, rho_0=3), blue(alpha=0.2, rho_0=1), beta=0.7,
@@ -458,6 +463,7 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
     boundary block mixes up axes; this scene uses the physically consistent
     BCs of the MRT-CG RT driver (periodic cols + bounce-back rows) and the
     +/-beta recolouring split."""
+    dtype = default_float(dtype)
     R, C = 4 * L, L
     model = RKMixtureModel(
         r_alpha=11.0 / 15.0, r_rho_0=3.0, r_nu=nu,
@@ -514,13 +520,14 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
 def csf_static_droplet(L: int = 100, T: int = 100, radius: float = 25.0,
                        sigma: float = 0.1,
                        snapshot_every: int | None = None,
-                       dtype=jnp.float64) -> MultiphaseResult:
+                       dtype=None) -> MultiphaseResult:
     """Moment-space MRT + CSF static droplet (EXPERIMENTAL — the reference
     driver is unvalidated WIP; see models/mrt_csf_droplet.py notes.  For
     Laplace-law physics use mrtcg_static_droplet).
     Constants cite /root/reference/test/static_droplet_test.cpp:476-486:
     L=100, R=25, sigma=0.1, red/blue (rho_0=1, alpha=0.2, nu=0.1667,
     A=0.5, beta=+/-0.7), T=100 (:500), sharpness-2 sigmoid init (:413-430)."""
+    dtype = default_float(dtype)
     from ..models.mrt_csf_droplet import CSFColour, CSFDropletModel
 
     red = CSFColour(rho_0=1.0, alpha=0.2, nu=0.1667, A=0.5, beta=0.7)

@@ -19,6 +19,7 @@ from ..boundary import bc
 from ..core import lattice as lat
 from ..ops import d2q9
 from ..ops.ibm import IBM
+from ..utils.xmath import default_float
 
 _WEAK_GUO = (1.0 / 3.0, 1.0 / 9.0)  # cylinder_test.cpp:66-67
 
@@ -42,7 +43,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                   fused: bool = False,
                   guo_coeffs: tuple = _WEAK_GUO,
                   record_every: int | None = None,
-                  dtype=jnp.float64) -> CylinderResult:
+                  dtype=None) -> CylinderResult:
     """Uniform stream past an IBM cylinder: ABB inlet/outlet (rows),
     specular side walls (cols), multi-direct-forcing body force over the
     marker ROI.  Step order cites /root/reference/test/cylinder_test.cpp:
@@ -68,6 +69,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
     ``guo_coeffs=(3, 9)`` shedding self-sustains at constant amplitude
     with Strouhal = 0.176 — literature 0.16-0.17 at this Re, shifted up
     by the 12.5%% blockage."""
+    dtype = default_float(dtype)
     ib = ibm or IBM.circle(center[0], center[1], radius, n_markers)
     u_w = jnp.asarray([u_stream, 0.0], dtype)
 
@@ -241,7 +243,7 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
                             w_s: float = 3e-3, C_w: float = 1e-3,
                             R23: int = -151, C28: int = 200, C38: int = 250,
                             inlet_rows: int = 50, fused: bool = False,
-                            dtype=jnp.float64) -> SedimentationResult:
+                            dtype=None) -> SedimentationResult:
     """Sediment-laden flow along cols past a bottom-mounted rectangle.
 
     Couples a BGK fluid to a passive ADE scalar g one-way (Sc = 1); the
@@ -257,6 +259,7 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
 
     ``fused=True`` (f32, W%128==0) runs the whole coupled step as one
     Pallas launch per step (kernels.sediment_pallas)."""
+    dtype = default_float(dtype)
     R23 = R23 % H if R23 < 0 else R23
 
     if fused:

@@ -16,6 +16,7 @@ from ..boundary import bc
 from ..models import kbc
 from ..ops import d2q9
 from ..utils import observe
+from ..utils.xmath import default_float
 
 
 @dataclass
@@ -29,11 +30,12 @@ class ULBMResult:
 def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
                     nu: float = 1e-4, u_max: float = 0.05,
                     fused: bool = False,
-                    dtype=jnp.float64) -> ULBMResult:
+                    dtype=None) -> ULBMResult:
     """KBC channel with pressure-periodic inlet/outlet and no-slip side
     walls.  Parameters cite /root/reference/test/ulbm_poiseuille.cpp:64-85.
     ``fused=True`` runs the whole step (BCs included) as one Pallas kernel
     (f32, W%128==0, H%8==0)."""
+    dtype = default_float(dtype)
     omega = 1.0 / (0.5 + 3.0 * nu)
     p_grad = 8.0 * nu * u_max / (W * W)
     rho_outlet = 1.0
@@ -102,9 +104,10 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
 
 
 def double_shear_init(H: int, W: int, u_max: float, alpha: float = 80.0,
-                      delta: float = 0.05, dtype=jnp.float64):
+                      delta: float = 0.05, dtype=None):
     """Double shear layer initial condition.
     cites /root/reference/test/ulbm_double_shear_flow.cpp:42-63"""
+    dtype = default_float(dtype)
     r = np.arange(H)[:, None] * np.ones((1, W))
     c = np.ones((H, 1)) * np.arange(W)[None, :]
     ux = u_max * np.tanh(alpha * (0.25 * H - np.abs(c - 0.5 * H)))
@@ -117,7 +120,7 @@ def double_shear_init(H: int, W: int, u_max: float, alpha: float = 80.0,
 def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
                       nu: float = 1.70766666e-4, u_max: float = 0.02,
                       fused: bool = False,
-                      dtype=jnp.float64) -> ULBMResult:
+                      dtype=None) -> ULBMResult:
     """Doubly periodic double shear layer.
     cites /root/reference/test/ulbm_double_shear_flow.cpp:65-143.
     The driver's per-edge periodic copies are identical to fully periodic
@@ -130,6 +133,7 @@ def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
     0.445->0.505); the f32 fused path tracks f64 to ~4k steps and blows up
     near 6k — use the f64 (CPU) path for the full reference run, or resolve
     the layers (smaller alpha / larger nu) for f32."""
+    dtype = default_float(dtype)
     omega = 1.0 / (0.5 + 3.0 * nu)
     model = kbc.KBCModel(s2=omega)
     m0, u = double_shear_init(H, W, u_max, dtype=dtype)

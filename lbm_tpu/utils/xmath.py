@@ -23,3 +23,17 @@ def tdot(a, b, axes):
 
 def esum(spec, *operands):
     return jnp.einsum(spec, *operands, precision=HIGHEST)
+
+
+def default_float(dtype=None):
+    """Resolve the package-wide default dtype for scene/model entry points.
+
+    The reference is double precision everywhere
+    (torch::set_default_dtype(kDouble), e.g. test/horizontal_poiseuille_test.cpp:69),
+    so validation paths want f64 — but on TPU x64 is disabled and an
+    explicit ``jnp.float64`` would be truncated with a warning per call.
+    ``None`` therefore means "f64 if x64 is enabled, else f32", resolved
+    silently via dtype canonicalization."""
+    if dtype is None:
+        return jax.dtypes.canonicalize_dtype(jnp.float64)
+    return dtype
