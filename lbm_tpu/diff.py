@@ -1,0 +1,98 @@
+"""Differentiable simulation: reverse-mode adjoints through LBM rollouts.
+
+A capability the reference cannot offer: although it is built on libtorch
+tensors, no driver ever records a graph or differentiates through the
+solver (no requires_grad/backward anywhere under /root/reference).  Here
+every model step is pure JAX, so `jax.grad` through an entire rollout
+gives exact discrete adjoints — flow control, parameter calibration, and
+inverse design come for free.
+
+The only real problem is memory: naive reverse mode stores every
+intermediate of every step.  `rollout` wraps the step in
+`jax.checkpoint` (rematerialisation) under `lax.scan`, with an optional
+two-level (sqrt-T) schedule that stores O(sqrt(T)) states and recomputes
+each segment once on the backward pass — the standard
+compile-time-friendly treeverse compromise, and the same remat machinery
+a TPU training stack uses to trade FLOPs for HBM.
+
+Differentiable parameters ride either through the closure (build the model
+inside the function being differentiated — `SinglePhaseModel(omega=om)`
+accepts traced scalars) or through `params` below, which threads an
+explicit pytree into the step for cleaner `jax.grad(..., argnums=...)`.
+
+Example — calibrate the body force to hit a target centerline speed::
+
+    def loss(fg):
+        model = SinglePhaseModel(omega=om, force=(fg, 0.0), ...)
+        f = rollout(model.step, f0, 400)
+        return (centerline(f) - target) ** 2
+    g = jax.grad(loss)(fg0)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _scan_steps(step: Callable, state, n: int):
+    if n <= 0:
+        return state
+    out, _ = jax.lax.scan(lambda s, _: (step(s), None), state, None, length=n)
+    return out
+
+
+def rollout(step: Callable, state, n_steps: int, *,
+            policy: str = "sqrt", inner: int | None = None):
+    """Advance ``state`` by ``n_steps`` applications of ``step``,
+    structured so that reverse-mode differentiation is memory-bounded.
+
+    policy:
+      "none"   plain scan — XLA stores every step's residuals; cheapest
+               backward FLOPs, O(T) memory.  Fine for short horizons.
+      "linear" `jax.checkpoint` around each step — stores one state per
+               step, recomputes within-step intermediates.
+      "sqrt"   two-level scan with the inner segment checkpointed —
+               stores O(sqrt(T)) states, recomputes each segment once.
+               The default for long rollouts.
+
+    ``inner`` overrides the sqrt segment length.  All policies compute the
+    identical primal and gradient values (they differ only in the
+    store/recompute schedule); see tests/test_diff.py.
+    """
+    n_steps = int(n_steps)
+    if policy == "none":
+        return _scan_steps(step, state, n_steps)
+    ck_step = jax.checkpoint(step)
+    if policy == "linear":
+        return _scan_steps(ck_step, state, n_steps)
+    if policy != "sqrt":
+        raise ValueError(f"unknown policy {policy!r}")
+    if inner is None:
+        inner = max(1, int(math.isqrt(n_steps)))
+    n_outer, rem = divmod(n_steps, inner)
+
+    @jax.checkpoint
+    def segment(s):
+        return _scan_steps(ck_step, s, inner)
+
+    if n_outer:
+        state, _ = jax.lax.scan(lambda s, _: (segment(s), None),
+                                state, None, length=n_outer)
+    return _scan_steps(ck_step, state, rem)
+
+
+def rollout_with(step: Callable[[Any, Any], Any], params, state,
+                 n_steps: int, **kwargs):
+    """`rollout` for a parameterised step ``step(params, state) -> state``.
+
+    Keeps ``params`` an explicit argument (instead of a closure) so
+    callers can take `jax.grad` with respect to it directly::
+
+        final = rollout_with(step, params, state0, T)
+        g = jax.grad(lambda p: loss(rollout_with(step, p, state0, T)))(params)
+    """
+    return rollout(lambda s: step(params, s), state, n_steps, **kwargs)
