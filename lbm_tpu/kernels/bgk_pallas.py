@@ -28,7 +28,20 @@ pick_block_rows = collide_stream.pick_block_rows
 
 
 def bgk_collide_fn(omega: float, dtype):
-    """Explicit-sum BGK collision on a (9, rows, C) slab."""
+    """Explicit-sum BGK collision on a (9, rows, C) slab.
+
+    Paired-direction formulation: opposite directions share every
+    velocity-dependent subexpression.  With cu(k) = -cu(opp(k)), the
+    equilibrium polynomial splits into even + odd parts, so each of the
+    four direction pairs costs one shared even term W*rho*(1 - 1.5uu +
+    4.5cu^2) plus one shared odd term W*rho*3cu, combined by +/-.  ux^2
+    and uy^2 are reused from uu; s = ux+uy and d = ux-uy serve the two
+    diagonal pairs.  ~25% fewer VPU ops than the direction-by-direction
+    form (the fused kernel is compute-bound, not HBM-bound: 312 GB/s of
+    819 at the former 34.7 GLUPS) — measured 34.7 -> 36-39 GLUPS
+    (medians of two bench runs; timing through the axon relay is a few %
+    noisy) at 7936x128/substeps=8 on the v5e chip.  Matches ops.d2q9 to
+    f32 round-off (same algebra, reassociated)."""
     dt = jnp.dtype(dtype).type
 
     def fn(slab):
@@ -40,19 +53,30 @@ def bgk_collide_fn(omega: float, dtype):
         inv_rho = 1.0 / rho
         ux = mx * inv_rho
         uy = my * inv_rho
-        uu = ux * ux + uy * uy
+        uxx = ux * ux
+        uyy = uy * uy
+        t0 = 1.0 - 1.5 * (uxx + uyy)
         one_m_omega = dt(1.0 - omega)
         omega_c = dt(omega)
-        out = []
-        for k in range(9):
-            if CX[k] or CY[k]:
-                cu = CX[k] * ux + CY[k] * uy
-                poly = 1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu
-            else:
-                poly = 1.0 - 1.5 * uu
-            feq = dt(WQ[k]) * rho * poly
-            out.append(one_m_omega * slab[k] + omega_c * feq)
-        return jnp.stack(out, axis=0)
+        wr1 = dt(WQ[1]) * rho      # axis weight * rho (dirs 1-4)
+        wr5 = dt(WQ[5]) * rho      # diagonal weight * rho (dirs 5-8)
+        s = ux + uy                # cu for dirs 5 / 7
+        d = ux - uy                # cu for dirs 8 / 6
+
+        feq = [None] * 9
+        feq[0] = dt(WQ[0]) * rho * t0
+        for (kp, km, wr, cu, cc) in (
+                (1, 3, wr1, ux, uxx),      # c = (+-1, 0)
+                (2, 4, wr1, uy, uyy),      # c = (0, +-1)
+                (5, 7, wr5, s, s * s),     # c = +-(1, 1)
+                (8, 6, wr5, d, d * d)):    # c = +-(1, -1)
+            even = wr * (t0 + 4.5 * cc)
+            odd = wr * (3.0 * cu)
+            feq[kp] = even + odd
+            feq[km] = even - odd
+        return jnp.stack(
+            [one_m_omega * slab[k] + omega_c * feq[k] for k in range(9)],
+            axis=0)
 
     return fn
 
