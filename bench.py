@@ -30,8 +30,9 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
     ap.add_argument("--model", default="bgk",
-                    choices=["bgk", "kbc", "mrtcg", "rk"],
-                    help="collision family to benchmark")
+                    choices=["bgk", "kbc", "mrtcg", "rk",
+                             "cavity", "cylinder", "sediment"],
+                    help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],
                     help="step implementation: XLA-fused jnp or Pallas kernel")
@@ -119,6 +120,38 @@ def main():
         f0 = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho)
         f = jnp.concatenate([f0, r0[None], b0[None]], axis=0)
         impl = "pallas"
+    elif args.model == "cavity":
+        from lbm_tpu.kernels.cavity_pallas import make_cavity_fused_step
+
+        L = min(args.rows, args.cols)
+        if args.rows != args.cols:
+            log(f"cavity kernel is square; using {L}x{L}")
+        H = W = L
+        step = make_cavity_fused_step(L, omega=omega, force=1e-5,
+                                      dtype=dtype)
+        f = d2q9.equilibrium(jnp.zeros((2, L, L), dtype),
+                             jnp.ones((L, L), dtype))
+        impl = "pallas"
+    elif args.model == "cylinder":
+        from lbm_tpu.kernels.cylinder_pallas import make_cylinder_fused_step
+
+        fused = make_cylinder_fused_step(H, W, omega, dtype=dtype)
+        F0 = jnp.zeros((2, H, W), dtype)  # steady-state grid half: F fixed
+        step = lambda g: fused(g, F0)  # noqa: E731
+        impl = "pallas"
+    elif args.model == "sediment":
+        from lbm_tpu.kernels.sediment_pallas import make_sediment_fused_step
+
+        u_in, w_s, C_w = 0.02, 3e-3, 1e-3
+        step = make_sediment_fused_step(
+            H, W, omega=1.0 / 0.55, u_in=u_in, w_s=w_s, C_w=C_w,
+            R23=H - H // 3, C28=W // 4, C38=3 * W // 8,
+            inlet_rows=min(50, H // 4), dtype=dtype)
+        us = jnp.zeros((2, H, W), dtype).at[1].set(u_in)
+        f0 = d2q9.incomp_equilibrium(us, rho0)
+        g0 = d2q9.equilibrium(us, jnp.zeros((H, W), dtype))
+        f = jnp.concatenate([f0, g0], axis=0)
+        impl = "pallas"
     elif impl in ("auto", "pallas"):
         try:
             from lbm_tpu.kernels.bgk_pallas import make_fused_step
@@ -144,7 +177,7 @@ def main():
     )
 
     substeps = args.substeps if (impl == "pallas"
-                                 and args.model not in ("mrtcg", "rk")) else 1
+                                 and args.model in ("bgk", "kbc")) else 1
 
     def timed(n):
         """Full round-trip with a forced scalar read: through the axon relay

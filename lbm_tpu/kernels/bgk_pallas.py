@@ -53,23 +53,13 @@ def bgk_collide_fn(omega: float, dtype):
         inv_rho = 1.0 / rho
         ux = mx * inv_rho
         uy = my * inv_rho
-        uxx = ux * ux
-        uyy = uy * uy
-        t0 = 1.0 - 1.5 * (uxx + uyy)
         one_m_omega = dt(1.0 - omega)
         omega_c = dt(omega)
-        wr1 = dt(WQ[1]) * rho      # axis weight * rho (dirs 1-4)
-        wr5 = dt(WQ[5]) * rho      # diagonal weight * rho (dirs 5-8)
-        s = ux + uy                # cu for dirs 5 / 7
-        d = ux - uy                # cu for dirs 8 / 6
-
+        t0, pairs = collide_stream.d2q9_pairs(ux, uy)
         feq = [None] * 9
         feq[0] = dt(WQ[0]) * rho * t0
-        for (kp, km, wr, cu, cc) in (
-                (1, 3, wr1, ux, uxx),      # c = (+-1, 0)
-                (2, 4, wr1, uy, uyy),      # c = (0, +-1)
-                (5, 7, wr5, s, s * s),     # c = +-(1, 1)
-                (8, 6, wr5, d, d * d)):    # c = +-(1, -1)
+        for (kp, km, w, cu, cc) in pairs:
+            wr = dt(w) * rho
             even = wr * (t0 + 4.5 * cc)
             odd = wr * (3.0 * cu)
             feq[kp] = even + odd

@@ -49,22 +49,28 @@ def make_cavity_fused_step(L: int, *, omega: float, force: float,
 
         strip = (abs_iota >= a + 5) & (abs_iota < a + 55) & (ci < a)
         ux = jnp.where(strip, ux + fx, ux)  # velocity shift on the strip
-        uu = ux * ux + uy * uy
 
-        coll = []
-        for k in range(9):
-            if CX[k] or CY[k]:
-                cu = CX[k] * ux + CY[k] * uy
-                poly = 1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu
-                # standard-Guo source, x-directed force, strip only
-                src = pref * ((3.0 + 9.0 * cu) * (CX[k] * fx)
-                              - 3.0 * ux * fx) * WQ[k]
-            else:
-                poly = 1.0 - 1.5 * uu
-                src = pref * (-3.0 * ux * fx) * WQ[k]
-            feq = WQ[k] * rho * poly
-            coll.append((1.0 - omega) * f[k] + omega * feq
-                        + jnp.where(strip, src, 0.0))
+        # paired-direction collision + standard-Guo source (x-directed
+        # force, strip only); even/odd split per opposite-direction pair
+        # (kernels.collide_stream.d2q9_pairs)
+        from .collide_stream import d2q9_pairs
+
+        t0, pairs = d2q9_pairs(ux, uy)
+        uF = ux * fx
+        coll = [None] * 9
+        coll[0] = (1.0 - omega) * f[0] + omega * (WQ[0] * rho * t0) \
+            + jnp.where(strip, pref * (-3.0 * uF) * WQ[0], 0.0)
+        for kp, km, w, cu, cc in pairs:
+            wr = w * rho
+            even_f = omega * (wr * (t0 + 4.5 * cc))
+            odd_f = omega * (wr * (3.0 * cu))
+            cF = CX[kp] * fx  # scalar; 0.0 for the y-axis pair
+            even_s = pref * w * (9.0 * cu * cF - 3.0 * uF)
+            odd_s = pref * w * (3.0 * cF)  # scalar
+            coll[kp] = (1.0 - omega) * f[kp] + (even_f + odd_f) \
+                + jnp.where(strip, even_s + odd_s, 0.0)
+            coll[km] = (1.0 - omega) * f[km] + (even_f - odd_f) \
+                + jnp.where(strip, even_s - odd_s, 0.0)
 
         new = []
         for k in range(9):

@@ -24,7 +24,26 @@ from ..core import lattice as lat
 
 CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
+WQ = tuple(float(v) for v in lat.W)
 HALO = 8  # sublane-aligned halo depth (Mosaic requires 8-row alignment)
+
+
+def d2q9_pairs(ux, uy):
+    """Shared subexpressions for the paired-direction equilibrium/source
+    split (see kernels.bgk_pallas.bgk_collide_fn): returns the common even
+    base ``t0 = 1 - 1.5|u|^2`` (reusing ux^2, uy^2) and, for each of the
+    four opposite-direction pairs, ``(kp, km, W, cu, cu^2)`` where
+    ``cu = c_kp . u = -c_km . u``.  Any per-direction polynomial in
+    (cu, |u|^2) then splits into an even part shared by the pair and an
+    odd part combined by +/-; the Guo source pairs the same way because
+    ``c . F`` also flips sign with the direction."""
+    uxx = ux * ux
+    uyy = uy * uy
+    t0 = 1.0 - 1.5 * (uxx + uyy)
+    s = ux + uy
+    d = ux - uy
+    return t0, ((1, 3, WQ[1], ux, uxx), (2, 4, WQ[2], uy, uyy),
+                (5, 7, WQ[5], s, s * s), (8, 6, WQ[8], d, d * d))
 
 
 def _stream_slab(coll, C, rows):

@@ -66,22 +66,31 @@ def _make_body(*, omega, guo, abb, R, C, dtype):
         inv_rho = 1.0 / rho
         ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
         uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
-        uu = ux * ux + uy * uy
         uF = ux * Fx + uy * Fy
 
-        coll = []
-        for k in range(9):
-            if CX[k] or CY[k]:
-                cu = CX[k] * ux + CY[k] * uy
-                poly = 1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu
-                cF = CX[k] * Fx + CY[k] * Fy
-                src = pref * ((ics2 + ics4 * cu) * cF - ics2 * uF)
-            else:
-                poly = 1.0 - 1.5 * uu
-                src = pref * (-ics2 * uF)
-            feq = dtype(WQ[k]) * rho * poly
-            coll.append(dtype(1.0 - omega) * f[k] + dtype(omega) * feq
-                        + dtype(WQ[k]) * src)
+        # paired-direction collision + Guo source: even/odd split per
+        # opposite-direction pair (kernels.collide_stream.d2q9_pairs);
+        # cu and c.F both flip sign with the direction, so the source
+        # splits as even = ics4*cu*cF - ics2*uF, odd = ics2*cF
+        from .collide_stream import d2q9_pairs
+
+        t0, pairs = d2q9_pairs(ux, uy)
+        one_m_om = dtype(1.0 - omega)
+        om = dtype(omega)
+        coll = [None] * 9
+        coll[0] = one_m_om * f[0] + om * (dtype(WQ[0]) * rho * t0) \
+            + dtype(WQ[0]) * (pref * (-ics2 * uF))
+        for kp, km, w, cu, cc in pairs:
+            wr = dtype(w) * rho
+            even_f = om * (wr * (t0 + 4.5 * cc))
+            odd_f = om * (wr * (3.0 * cu))
+            cF = CX[kp] * Fx + CY[kp] * Fy
+            even_s = dtype(w) * (pref * (ics4 * cu * cF - ics2 * uF))
+            odd_s = dtype(w) * (pref * (ics2 * cF))
+            coll[kp] = one_m_om * f[kp] + (even_f + odd_f) \
+                + (even_s + odd_s)
+            coll[km] = one_m_om * f[km] + (even_f - odd_f) \
+                + (even_s - odd_s)
 
         # periodic streaming
         new = []

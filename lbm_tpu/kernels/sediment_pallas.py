@@ -48,19 +48,19 @@ def _edge_col(x, col: int):
 
 def _bgk9(fields, ux, uy, dens, omega, shift=0.0):
     """(1-w) f + w feq with the standard compressible equilibrium at
-    velocity (ux+shift, uy+shift) and density ``dens``."""
-    vx = ux + shift
-    vy = uy + shift
-    uu = vx * vx + vy * vy
-    out = []
-    for k in range(9):
-        if CX[k] or CY[k]:
-            cu = CX[k] * vx + CY[k] * vy
-            poly = 1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu
-        else:
-            poly = 1.0 - 1.5 * uu
-        feq = WQ[k] * dens * poly
-        out.append((1.0 - omega) * fields[k] + omega * feq)
+    velocity (ux+shift, uy+shift) and density ``dens`` (paired-direction
+    form, kernels.collide_stream.d2q9_pairs)."""
+    from .collide_stream import d2q9_pairs
+
+    t0, pairs = d2q9_pairs(ux + shift, uy + shift)
+    out = [None] * 9
+    out[0] = (1.0 - omega) * fields[0] + omega * (WQ[0] * dens * t0)
+    for kp, km, w, cu, cc in pairs:
+        wr = w * dens
+        even = omega * (wr * (t0 + 4.5 * cc))
+        odd = omega * (wr * (3.0 * cu))
+        out[kp] = (1.0 - omega) * fields[kp] + (even + odd)
+        out[km] = (1.0 - omega) * fields[km] + (even - odd)
     return out
 
 
