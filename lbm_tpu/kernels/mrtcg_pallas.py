@@ -241,6 +241,15 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
     r0, b0 = red.rho_0, blue.rho_0
     beta_r, beta_b = red.beta, blue.beta
 
+    # opposite-direction pairs (kp, km) with cu(kp) = -cu(km); phi/eta/W/B
+    # depend only on |c| so each pair shares its even-polynomial parts
+    # (see kernels.collide_stream.d2q9_pairs)
+    PAIRS = ((1, 3), (2, 4), (5, 7), (8, 6))
+    for kp, km in PAIRS:
+        assert r_phi[kp] == r_phi[km] and b_phi[kp] == b_phi[km]
+        assert r_eta[kp] == r_eta[km] and b_eta[kp] == b_eta[km]
+        assert WQ[kp] == WQ[km] and BQ[kp] == BQ[km]
+
     def collide(rf, bf, abs_iota, row_edges=True):
         r_rho = rf[0]
         b_rho = bf[0]
@@ -256,6 +265,10 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         ux = (mom_x + 0.5 * gx) * inv_rho
         uy = (mom_y + 0.5 * gy) * inv_rho
         uu = ux * ux + uy * uy
+        us = ux + uy                     # cu for dirs 5 / 7
+        ud = ux - uy                     # cu for dirs 8 / 6
+        cu_p = {1: ux, 2: uy, 5: us, 8: ud}
+        cc_p = {1: ux * ux, 2: uy * uy, 5: us * us, 8: ud * ud}
 
         a = r_rho * (1.0 / r0)
         b = b_rho * (1.0 / b0)
@@ -269,19 +282,14 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         inv_gn = 1.0 / (1e-20 + gn)
 
         def colour_omega1(f, phi, eta, alpha_c):
-            cu = [None] * 9
-            feq = []
-            for k in range(9):
-                if CX[k] or CY[k]:
-                    cuk = CX[k] * ux + CY[k] * uy
-                else:
-                    cuk = None
-                cu[k] = cuk
-                if cuk is None:
-                    feq.append(phi[k] - WQ[k] * 3.0 * uu)
-                else:
-                    feq.append(phi[k] + WQ[k] * (3.0 * cuk * eta[k]
-                                                 + 9.0 * cuk * cuk - 3.0 * uu))
+            uu3 = 3.0 * uu
+            feq = [None] * 9
+            feq[0] = phi[0] - WQ[0] * uu3
+            for kp, km in PAIRS:
+                even = phi[kp] + WQ[kp] * (9.0 * cc_p[kp] - uu3)
+                odd = (WQ[kp] * 3.0 * eta[kp]) * cu_p[kp]
+                feq[kp] = even + odd
+                feq[km] = even - odd
             rho_k = f[0]
             for k in range(1, 9):
                 rho_k = rho_k + f[k]
@@ -294,46 +302,69 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
                                 row_edges=row_edges)[0]
             c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
             c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
-            return _mrt_omega1(df, c1, c7, s_nu), rho_k, cu
+            return _mrt_omega1(df, c1, c7, s_nu), rho_k
 
-        r_o1, r_rho_k, cu = colour_omega1(rf, r_phi, r_eta, r_alpha_c)
-        b_o1, b_rho_k, _ = colour_omega1(bf, b_phi, b_eta, b_alpha_c)
+        r_o1, r_rho_k = colour_omega1(rf, r_phi, r_eta, r_alpha_c)
+        b_o1, b_rho_k = colour_omega1(bf, b_phi, b_eta, b_alpha_c)
 
-        # perturbation omega2 (identical for both colours)
+        # perturbation omega2: unit^2 is even under k -> opp(k) and W/B
+        # depend on |c| only, so o2 is IDENTICAL for the two directions of
+        # a pair — computed once per pair
         A = (4.5 * sigma) * s_nu
-        o2 = []
-        for k in range(9):
-            gc = CX[k] * gpx + CY[k] * gpy
-            unit = gc * inv_gn
-            o2.append(0.5 * A * gn * (WQ[k] * unit * unit - BQ[k]))
+        half_A_gn = 0.5 * A * gn
+        gs = gpx + gpy                   # c.grad(psi) for dirs 5 / 7
+        gd = gpx - gpy                   # c.grad(psi) for dirs 8 / 6
+        gc_p = {1: gpx, 2: gpy, 5: gs, 8: gd}
+        o2 = [None] * 9
+        o2[0] = half_A_gn * (-BQ[0])
+        for kp, km in PAIRS:
+            unit = gc_p[kp] * inv_gn
+            o2[kp] = o2[km] = half_A_gn * (WQ[kp] * unit * unit - BQ[kp])
 
-        # recolouring
-        rb = r_rho * b_rho
-        inv_rho2 = inv_rho * inv_rho
-        coll_r, coll_b = [], []
-        for k in range(9):
-            total = rf[k] + r_o1[k] + bf[k] + b_o1[k] + 2.0 * o2[k]
-            guc = UCX[k] * gpx + UCY[k] * gpy if (UCX[k] or UCY[k]) else None
-            if guc is None:
-                kap = 0.0
-            else:
-                kap = rb * guc * (r_rho * r_phi[k] + b_rho * b_phi[k]) \
-                    * inv_rho2 * inv_gn
-            o3r = (r_rho * inv_rho) * total + beta_r * kap
-            o3b = (b_rho * inv_rho) * total + beta_b * kap
-            if apply_gravity_source and (gx or gy):
-                cuk = cu[k]
-                cF = CX[k] * gx + CY[k] * gy
-                uF = ux * gx + uy * gy
-                if cuk is None:
-                    src = (1.0 - 0.5 * s_nu) * (3.0 * cF - 3.0 * uF) * WQ[k]
-                else:
-                    src = (1.0 - 0.5 * s_nu) * (
-                        (3.0 + 9.0 * cuk) * cF - 3.0 * uF) * WQ[k]
+        # recolouring: guc flips sign with the direction while the phi
+        # factor is shared, so kap(opp(k)) = -kap(k); the Guo source
+        # splits even/odd like every other c-polynomial
+        rb_gn = (r_rho * b_rho) * (inv_rho * inv_rho) * inv_gn
+        r_frac = r_rho * inv_rho
+        b_frac = b_rho * inv_rho
+        pref = (1.0 - 0.5 * s_nu) if apply_gravity_source and (gx or gy) \
+            else None
+        uF3 = None
+        if pref is not None:
+            uF3 = 3.0 * (ux * gx + uy * gy)
+        coll_r = [None] * 9
+        coll_b = [None] * 9
+
+        def o3(k, total, kap, src):
+            o3r = r_frac * total + beta_r * kap if kap is not None \
+                else r_frac * total
+            o3b = b_frac * total + beta_b * kap if kap is not None \
+                else b_frac * total
+            if src is not None:
                 o3r = o3r + src
                 o3b = o3b + src
-            coll_r.append(o3r)
-            coll_b.append(o3b)
+            coll_r[k] = o3r
+            coll_b[k] = o3b
+
+        total0 = rf[0] + r_o1[0] + bf[0] + b_o1[0] + 2.0 * o2[0]
+        o3(0, total0, None,
+           pref * (-uF3) * WQ[0] if pref is not None else None)
+        for kp, km in PAIRS:
+            # unit-velocity c.grad(psi): diagonals carry the 1/sqrt(2)
+            unit_scale = 1.0 if kp in (1, 2) else UCX[5]
+            kap = (rb_gn * (unit_scale * gc_p[kp])) \
+                * (r_rho * r_phi[kp] + b_rho * b_phi[kp])
+            src_p = src_m = None
+            if pref is not None:
+                cF = CX[kp] * gx + CY[kp] * gy  # scalar
+                even_s = (pref * WQ[kp]) * (9.0 * cu_p[kp] * cF - uF3)
+                odd_s = (pref * WQ[kp]) * (3.0 * cF)
+                src_p = even_s + odd_s
+                src_m = even_s - odd_s
+            tot_p = rf[kp] + r_o1[kp] + bf[kp] + b_o1[kp] + 2.0 * o2[kp]
+            tot_m = rf[km] + r_o1[km] + bf[km] + b_o1[km] + 2.0 * o2[km]
+            o3(kp, tot_p, kap, src_p)
+            o3(km, tot_m, -kap, src_m)
         return coll_r, coll_b
 
     return collide

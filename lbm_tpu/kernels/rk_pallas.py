@@ -51,15 +51,17 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
         phi_ax = 0.2 - 0.2 * alpha
         phi_di = 0.05 - 0.05 * alpha
 
-        # colour gradient (src/rk.cpp:94-125), 5x5 replicate stencils
+        # colour gradient (src/rk.cpp:94-125), 5x5 replicate stencils.
+        # The reference evaluates grad(r_rho/rho) AND grad(b_rho/rho);
+        # since a_frac + b_frac == 1 and the derivative stencils
+        # annihilate constants exactly (replicate padding of a constant
+        # is the constant; antisymmetric weights cancel), gb = -ga and
+        #   F = (b_rho*ga - r_rho*gb)/rho = ga
+        # — one stencil pass instead of two, agreeing with the two-pass
+        # form to round-off (the jnp model keeps the literal form).
         a_frac = r_rho * inv_rho
-        b_frac = b_rho * inv_rho
-        gax, gay = _corr5_multi(a_frac, (KX5, KY5), abs_iota, R, C,
-                                row_edges=row_edges)
-        gbx, gby = _corr5_multi(b_frac, (KX5, KY5), abs_iota, R, C,
-                                row_edges=row_edges)
-        Fx = (b_rho * gax - r_rho * gbx) * inv_rho
-        Fy = (b_rho * gay - r_rho * gby) * inv_rho
+        Fx, Fy = _corr5_multi(a_frac, (KX5, KY5), abs_iota, R, C,
+                              row_edges=row_edges)
         Fn = jnp.sqrt(Fx * Fx + Fy * Fy)
         inv_Fn = 1.0 / (Fn + 1e-20)
 
@@ -72,34 +74,54 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
         ratio_r = r_rho * inv_rho
         ratio_b = b_rho * inv_rho
 
-        coll_r, coll_b = [], []
-        for k in range(9):
-            phi = phi0 if k == 0 else (phi_ax if k < 5 else phi_di)
-            if CX[k] or CY[k]:
-                cu = CX[k] * ux + CY[k] * uy
-                feq = rho * (phi + WQ[k] * (3.0 * cu + 4.5 * cu * cu - 1.5 * uu))
-                cF = CX[k] * gx + CY[k] * gy
-                uF = ux * gx + uy * gy
-                src = (1.0 - 0.5 * omega) * (
-                    (3.0 + 9.0 * cu) * cF - 3.0 * uF) * WQ[k]
-                Fc = CX[k] * Fx + CY[k] * Fy
-            else:
-                feq = rho * (phi - WQ[k] * 1.5 * uu)
-                src = (1.0 - 0.5 * omega) * (-3.0 * (ux * gx + uy * gy)) * WQ[k]
-                Fc = None
-            omega1 = (1.0 - omega) * f[k] + omega * feq
-            if Fc is None:
-                omega2 = AC * (-BQ[k])
-            else:
-                omega2 = AC * (WQ[k] * Fc * Fc * inv_F2 - BQ[k])
-            post = omega1 + (src if (gx or gy) else 0.0) + omega2
-            # recolouring (src/rk.cpp:82-92) with +/-beta split
-            if NCX[k] or NCY[k]:
-                kap = rb * (NCX[k] * Fx + NCY[k] * Fy) * inv_Fn * phi
-            else:
-                kap = 0.0
-            coll_r.append(ratio_r * post + beta * kap)
-            coll_b.append(ratio_b * post - beta * kap)
+        # opposite-direction pairs: phi/W/B depend on |c| only, so the
+        # equilibrium, Guo source and perturbation split into shared
+        # even parts and +/- odd parts; omega2 is IDENTICAL within a
+        # pair (Fc^2 even) and the recolouring kap flips sign
+        # (kernels.collide_stream.d2q9_pairs rationale)
+        us, ud = ux + uy, ux - uy
+        Fs, Fd = Fx + Fy, Fx - Fy
+        cu_p = {1: ux, 2: uy, 5: us, 8: ud}
+        Fc_p = {1: Fx, 2: Fy, 5: Fs, 8: Fd}
+        pref = 1.0 - 0.5 * omega
+        uF3 = 3.0 * (ux * gx + uy * gy)
+        uu15 = 1.5 * uu
+
+        coll_r = [None] * 9
+        coll_b = [None] * 9
+
+        def emit(k, post, kap):
+            coll_r[k] = ratio_r * post + beta * kap if kap is not None \
+                else ratio_r * post
+            coll_b[k] = ratio_b * post - beta * kap if kap is not None \
+                else ratio_b * post
+
+        post0 = (1.0 - omega) * f[0] + omega * (rho * (phi0 - WQ[0] * uu15)) \
+            + AC * (-BQ[0])
+        if gx or gy:
+            post0 = post0 + pref * (-uF3) * WQ[0]
+        emit(0, post0, None)
+        for kp, km in ((1, 3), (2, 4), (5, 7), (8, 6)):
+            phi = phi_ax if kp < 5 else phi_di
+            w = WQ[kp]
+            cu = cu_p[kp]
+            even_f = omega * (rho * (phi + w * (4.5 * cu * cu - uu15)))
+            odd_f = omega * (rho * ((3.0 * w) * cu))
+            Fc = Fc_p[kp]
+            omega2 = AC * (w * Fc * Fc * inv_F2 - BQ[kp])
+            base_p = (1.0 - omega) * f[kp] + (even_f + odd_f) + omega2
+            base_m = (1.0 - omega) * f[km] + (even_f - odd_f) + omega2
+            if gx or gy:
+                cF = CX[kp] * gx + CY[kp] * gy  # scalar
+                even_s = (pref * w) * (9.0 * cu * cF - uF3)
+                odd_s = (pref * w) * (3.0 * cF)
+                base_p = base_p + (even_s + odd_s)
+                base_m = base_m + (even_s - odd_s)
+            # recolouring (src/rk.cpp:82-92): NC is the normalized c, so
+            # NC_kp.F = |NC| * Fc_p with |NC| = 1 (axis) or 1/sqrt(2)
+            kap = rb * (NCX[kp] * Fx + NCY[kp] * Fy) * inv_Fn * phi
+            emit(kp, base_p, kap)
+            emit(km, base_m, -kap)
         return coll_r, coll_b
 
     return collide
