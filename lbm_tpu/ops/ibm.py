@@ -56,6 +56,14 @@ class IBM:
     roi_cols: tuple[int, int]
     roi_shape: tuple[int, int]
     m_max: int = 5
+    # separable per-axis kernel factors (the Peskin 4-point kernel is a
+    # tensor product; the reference stores the two 4-vectors separately,
+    # ibm.cpp:47-57): row_w/col_w are (M, 4) weights along rows/cols and
+    # rows0/cols0 the absolute grid coordinate of each support box corner.
+    row_w: np.ndarray | None = None
+    col_w: np.ndarray | None = None
+    rows0: np.ndarray | None = None
+    cols0: np.ndarray | None = None
 
     @classmethod
     def from_markers(cls, xs, ys, m_max: int = 5,
@@ -98,6 +106,10 @@ class IBM:
         M = len(xs)
         S = np.zeros((roi_shape[0] * roi_shape[1], M), dtype=np.float64)
         np.add.at(S, (flat.ravel(), np.repeat(np.arange(M), 16)), w.ravel())
+        if reference_transposed_weights:
+            row_w, col_w = wy, wx
+        else:
+            row_w, col_w = wx, wy
         return cls(
             weights=jnp.asarray(w),
             flat_idx=jnp.asarray(flat, dtype=jnp.int32),
@@ -106,6 +118,10 @@ class IBM:
             roi_cols=(c_min, c_max + 1),
             roi_shape=roi_shape,
             m_max=m_max,
+            row_w=row_w,
+            col_w=col_w,
+            rows0=rows0 + r_min,
+            cols0=cols0 + c_min,
         )
 
     @classmethod
@@ -130,6 +146,39 @@ class IBM:
             center_y + radius * np.sin(theta),
             **kw,
         )
+
+    def aligned_window(self, R: int, C: int,
+                       row_align: int = 8, col_align: int = 128):
+        """Smallest (row_align x col_align)-aligned window [ra0, ra1) x
+        [ca0, ca1) containing the ROI, or None if it does not fit the
+        grid.  Tile-aligned windows make the fused forcing kernel's DMAs
+        legal (Mosaic: 8-row offsets, 128-lane columns)."""
+        r0, r1 = self.roi_rows
+        c0, c1 = self.roi_cols
+        ra0 = (r0 // row_align) * row_align
+        ra1 = -(-r1 // row_align) * row_align
+        ca0 = (c0 // col_align) * col_align
+        ca1 = -(-c1 // col_align) * col_align
+        if ra0 < 0 or ca0 < 0 or ra1 > R or ca1 > C:
+            return None
+        return ra0, ra1, ca0, ca1
+
+    def window_operators(self, ra0: int, ra1: int, ca0: int, ca1: int,
+                         m_pad: int = 128):
+        """Dense separable interpolation/spreading factors on an aligned
+        window: X (rw, m_pad) row weights and Y (cw, m_pad) col weights
+        with markers padded to m_pad (zero columns).  interp(g) =
+        colsum(X * (g @ Y)); spread(s) = (X * s) @ Y.T — two MXU matmuls,
+        exactly the tensor-product Peskin weights (ibm.cpp:47-57)."""
+        M = self.row_w.shape[0]
+        if m_pad < M:
+            raise ValueError(f"m_pad {m_pad} < n_markers {M}")
+        X = np.zeros((ra1 - ra0, m_pad), np.float64)
+        Y = np.zeros((ca1 - ca0, m_pad), np.float64)
+        for j in range(M):
+            X[self.rows0[j] - ra0:self.rows0[j] - ra0 + 4, j] = self.row_w[j]
+            Y[self.cols0[j] - ca0:self.cols0[j] - ca0 + 4, j] = self.col_w[j]
+        return X, Y
 
     def roi(self, field: jnp.ndarray) -> jnp.ndarray:
         """Slice a (..., R, C) grid field down to the ROI."""

@@ -41,6 +41,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                   omega: float = 1.0 / 0.55,
                   ibm: IBM | None = None,
                   fused: bool = False,
+                  interpret: bool = False,
                   guo_coeffs: tuple = _WEAK_GUO,
                   record_every: int | None = None,
                   dtype=None) -> CylinderResult:
@@ -55,12 +56,15 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
     markers default to a generated circle, or pass an ``IBM`` built from
     ``IBM.from_markers``/TOML arrays.
 
-    ``fused=True`` (f32, W%128==0) runs the grid-wide work — collide, Guo,
-    stream, ABB/specular walls — as one Pallas launch per step
-    (kernels.cylinder_pallas); the per-marker IBM forcing stays in jnp and
-    feeds the kernel a full-grid force field.  ``record_every=k`` (fused
-    only) additionally returns the (T//k, 2) surface-force time series,
-    recorded in-device via lax.scan.
+    ``fused=True`` (f32, W%128==0) runs each step as two back-to-back
+    Pallas launches: the IBM multi-direct forcing (kernels.ibm_pallas,
+    separable-weight MXU matmuls over an aligned marker window, force
+    grid carried with input/output aliasing) and the grid-wide work —
+    collide, Guo, stream, ABB/specular walls (kernels.cylinder_pallas).
+    When the marker window does not fit the grid the forcing falls back
+    to jnp over the ROI.  ``record_every=k`` (fused only) additionally
+    returns the (T//k, 2) surface-force time series, recorded in-device
+    via lax.scan.
 
     Vortex-shedding validation (measured, fused, 1024x256, D=32, Re=96,
     300k steps): with the reference's weak Guo coefficients the body is
@@ -78,28 +82,40 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
 
     if fused:
         from ..kernels.cylinder_pallas import make_cylinder_fused_step
+        from ..kernels.ibm_pallas import make_ibm_forcing_step
 
         kstep = make_cylinder_fused_step(
             H, W, omega, u_wall=(u_stream, 0.0), guo=guo_coeffs,
-            dtype=jnp.float32)
+            dtype=jnp.float32, interpret=interpret)
+        kforce = make_ibm_forcing_step(H, W, ib, dtype=jnp.float32,
+                                       interpret=interpret)
 
-        def fused_step(carry):
-            f, _F, _Fs = carry
-            # macroscopics only over the marker ROI — the full-grid fields
-            # are never needed here, and the ROI slice avoids a whole
-            # 9-plane HBM pass per step
-            f_roi = ib.roi(f)
-            rho = d2q9.calc_rho(f_roi)
-            u = d2q9.calc_u(f_roi, rho)
-            F = ib.force_density_roi(u, rho)
-            F_s = F.sum(axis=(1, 2))
-            F_full = jnp.zeros((2, H, W), f.dtype).at[:, r0:r1, c0:c1].set(F)
-            return kstep(f, F_full), F, F_s
+        if kforce is not None:
+            # forcing fused into its own Pallas launch: the F grid is a
+            # carry (zeros outside the marker window persist), so a step
+            # is two back-to-back kernel launches with NO small XLA
+            # fusions in between — measured those cost ~2x the grid
+            # kernel itself in serial HBM latency (kernels/ibm_pallas.py)
+            def fused_step(carry):
+                f, F_full = carry
+                F_full = kforce(f, F_full)
+                return kstep(f, F_full), F_full
+        else:
+            # markers too close to the grid edge for an aligned window:
+            # jnp forcing over the ROI
+            def fused_step(carry):
+                f, _F = carry
+                f_roi = ib.roi(f)
+                rho = d2q9.calc_rho(f_roi)
+                u = d2q9.calc_u(f_roi, rho)
+                F = ib.force_density_roi(u, rho)
+                F_full = jnp.zeros((2, H, W), f.dtype) \
+                    .at[:, r0:r1, c0:c1].set(F)
+                return kstep(f, F_full), F_full
 
         u0 = jnp.zeros((2, H, W), jnp.float32).at[0].set(u_stream)
         f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), jnp.float32))
-        carry = (f, jnp.zeros((2,) + ib.roi_shape, jnp.float32),
-                 jnp.zeros((2,), jnp.float32))
+        carry = (f, jnp.zeros((2, H, W), jnp.float32))
         forces = None
         if record_every:
             # record the surface force every k steps in-device (lax.scan);
@@ -110,7 +126,10 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
             def outer(c, _):
                 c2 = jax.lax.fori_loop(0, record_every,
                                        lambda _, x: fused_step(x), c)
-                return c2, c2[2]
+                # F is zero outside the ROI, so the window sum IS the
+                # surface force; summed only at sample times, keeping the
+                # per-step gap between kernel launches free of XLA ops
+                return c2, c2[1][:, r0:r1, c0:c1].sum(axis=(1, 2))
 
             scan = jax.jit(
                 lambda c, n: jax.lax.scan(outer, c, None, length=n),
@@ -133,7 +152,9 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                 n = min(20000, T - done)
                 carry = chunk(carry, n)
                 done += n
-        f, F, F_s = carry
+        f, F_full = carry
+        F = F_full[:, r0:r1, c0:c1]
+        F_s = F.sum(axis=(1, 2))
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
         return CylinderResult(f=f, rho=rho, u=u, F_roi=F, surface_force=F_s,
