@@ -134,10 +134,21 @@ def main():
         impl = "pallas"
     elif args.model == "cylinder":
         from lbm_tpu.kernels.cylinder_pallas import make_cylinder_fused_step
+        from lbm_tpu.kernels.ibm_pallas import make_ibm_forcing_step
+        from lbm_tpu.ops.ibm import IBM
 
-        fused = make_cylinder_fused_step(H, W, omega, dtype=dtype)
-        F0 = jnp.zeros((2, H, W), dtype)  # steady-state grid half: F fixed
-        step = lambda g: fused(g, F0)  # noqa: E731
+        # the full scene chain: forcing kernel + grid kernel per step
+        ib = IBM.circle(H // 4, W // 2, min(H, W) / 32.0, 64)
+        fused = make_cylinder_fused_step(H, W, 1.0 / 0.55, dtype=dtype)
+        kforce = make_ibm_forcing_step(H, W, ib, dtype=dtype)
+
+        def step(c):
+            g, F = c
+            F = kforce(g, F)
+            return fused(g, F), F
+
+        f = (d2q9.incomp_equilibrium(u0, rho0),
+             jnp.zeros((2, H, W), dtype))
         impl = "pallas"
     elif args.model == "sediment":
         from lbm_tpu.kernels.sediment_pallas import make_sediment_fused_step
@@ -185,7 +196,7 @@ def main():
         device->host read is trustworthy timing."""
         t0 = time.perf_counter()
         out = chunk(f, n)
-        s = float(out.sum())
+        s = float(jax.tree.leaves(out)[0].sum())
         return time.perf_counter() - t0, s
 
     t0 = time.perf_counter()
