@@ -109,6 +109,44 @@ def test_gradient_linear_field_exact():
     )
 
 
+def test_d2q9_pairs_identity():
+    """The paired even/odd equilibrium split (kernels.collide_stream.
+    d2q9_pairs) reproduces the direction-by-direction polynomial exactly
+    in f64 — the identity every paired kernel relies on."""
+    from lbm_tpu.core import lattice as lat
+    from lbm_tpu.kernels.collide_stream import d2q9_pairs
+
+    rng = np.random.default_rng(3)
+    ux = jnp.asarray(rng.uniform(-0.1, 0.1, (8, 16)))
+    uy = jnp.asarray(rng.uniform(-0.1, 0.1, (8, 16)))
+    rho = jnp.asarray(rng.uniform(0.5, 2.0, (8, 16)))
+    t0, pairs = d2q9_pairs(ux, uy)
+    feq = [None] * 9
+    feq[0] = float(lat.W[0]) * rho * t0
+    seen = {0}
+    for kp, km, w, cu, cc in pairs:
+        even = (w * rho) * (t0 + 4.5 * cc)
+        odd = (w * rho) * (3.0 * cu)
+        feq[kp] = even + odd
+        feq[km] = even - odd
+        seen |= {kp, km}
+        # cu really is c_kp . u and cc its square
+        np.testing.assert_allclose(
+            np.asarray(cu),
+            np.asarray(float(lat.C[0, kp]) * ux + float(lat.C[1, kp]) * uy),
+            rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(cc), np.asarray(cu * cu),
+                                   rtol=1e-15)
+    assert seen == set(range(9))
+    uu = ux * ux + uy * uy
+    for k in range(9):
+        cu = lat.C[0, k] * ux + lat.C[1, k] * uy
+        want = float(lat.W[k]) * rho * (
+            1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * uu)
+        np.testing.assert_allclose(np.asarray(feq[k]), np.asarray(want),
+                                   rtol=5e-14)
+
+
 def test_abb_coefficient():
     u = jnp.asarray([0.1, 0.0])
     coeff = d2q9.abb_coefficient(u)
