@@ -408,6 +408,31 @@ def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True):
     return out
 
 
+def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
+                    sigma: float, gravity=(0.0, 0.0), delta: float = 0.1,
+                    apply_gravity_source: bool = True, dtype=jnp.float32):
+    """The per-slab MRT-CG step body, shared by the single-chip pipeline
+    and the sharded halo-input kernel: ``run(block (18, rows, C),
+    abs_iota, row_edges) -> (18, rows - 2*HALO, C)`` where abs_iota holds
+    GLOBAL row indices (the row masks and replicate extractions are
+    position-based, so the same body works on any shard given its
+    offset)."""
+    collide = _make_collide(red, blue, sigma, gravity, delta,
+                            apply_gravity_source, R, C, dtype)
+
+    def run(block, abs_iota, row_edges):
+        rf = [block[k] for k in range(9)]
+        bf = [block[9 + k] for k in range(9)]
+        coll_r, coll_b = collide(rf, bf, abs_iota, row_edges=row_edges)
+        new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
+        new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
+        rows = block.shape[1]
+        return jnp.stack(
+            [p[HALO:rows - HALO] for p in new_r + new_b], axis=0)
+
+    return run
+
+
 def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
                           blue: ColourParams, sigma: float,
                           gravity=(0.0, 0.0), delta: float = 0.1,
@@ -419,24 +444,14 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
     viewed as 18 planes for the block pipeline (a free reshape)."""
     from .pipeline import make_block_pipeline
 
-    collide = _make_collide(red, blue, sigma, gravity, delta,
-                            apply_gravity_source, R, C, dtype)
-
     from .pipeline import resolve_block_rows
 
     block_rows = resolve_block_rows(
         (18,), 18, R, C, dtype, 6 * 2 ** 20, block_rows, False)
     n_blocks = R // block_rows
 
-    def run(block, abs_iota, row_edges):
-        rf = [block[k] for k in range(9)]
-        bf = [block[9 + k] for k in range(9)]
-        coll_r, coll_b = collide(rf, bf, abs_iota, row_edges=row_edges)
-        new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
-        new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
-        rows = block.shape[1]
-        return jnp.stack(
-            [p[HALO:rows - HALO] for p in new_r + new_b], axis=0)
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype)
 
     def body(block, abs_iota, i):
         # only the first/last blocks can see global rows 0..1 / R-2..R-1

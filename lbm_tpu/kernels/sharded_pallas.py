@@ -158,6 +158,200 @@ def make_local_halo_step(R_loc: int, C: int, collide_fn, dtype=jnp.float32,
     )
 
 
+def _halo_body_kernel(off_ref, f_hbm, top_hbm, bot_hbm, out_hbm, *, body_fn,
+                      planes, block_rows, n_blocks, C, dtype, row_edges):
+    """Generic halo-input slab kernel: like _halo_kernel but with an
+    arbitrary body(block, abs_iota, row_edges) and a scalar-prefetched
+    GLOBAL row offset, so position-based BC masks and replicate
+    extractions see true global coordinates on any shard."""
+    B = block_rows
+
+    def scoped(slab, obuf, in_sems, out_sems):
+        def start_in(slot, i):
+            start = pl.multiple_of(i * B, 8)
+
+            @pl.when(i == 0)
+            def _():
+                pltpu.make_async_copy(
+                    top_hbm, slab.at[slot, :, 0:HALO, :],
+                    in_sems.at[slot, 0]).start()
+
+            @pl.when(i != 0)
+            def _():
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(pl.multiple_of(start - HALO, 8), HALO), :],
+                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]).start()
+
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(start, B), :],
+                slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]).start()
+
+            @pl.when(i == n_blocks - 1)
+            def _():
+                pltpu.make_async_copy(
+                    bot_hbm, slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                    in_sems.at[slot, 2]).start()
+
+            @pl.when(i != n_blocks - 1)
+            def _():
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(pl.multiple_of(start + B, 8), HALO), :],
+                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                    in_sems.at[slot, 2]).start()
+
+        def wait_in(slot):
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(0, HALO), :], slab.at[slot, :, 0:HALO, :],
+                in_sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(0, B), :],
+                slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]).wait()
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(0, HALO), :],
+                slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                in_sems.at[slot, 2]).wait()
+
+        def dma_out(slot, i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
+                out_sems.at[slot])
+
+        start_in(0, 0)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start_in(nxt, i + 1)
+
+            wait_in(slot)
+
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, i - 2).wait()
+
+            shape = (B + 2 * HALO, C)
+            abs_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0) \
+                + (i * B - HALO) + off_ref[0]
+            obuf[slot] = body_fn(slab[slot], abs_iota, row_edges)
+
+            dma_out(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+
+        @pl.when(n_blocks >= 2)
+        def _():
+            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
+        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
+
+    pl.run_scoped(
+        scoped,
+        slab=pltpu.VMEM((2, planes, block_rows + 2 * HALO, C), dtype),
+        obuf=pltpu.VMEM((2, planes, block_rows, C), dtype),
+        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def make_local_halo_body_step(planes: int, R_loc: int, C: int, body_fn,
+                              dtype=jnp.float32, block_rows: int = 8,
+                              row_edges: bool = True,
+                              flops_per_cell: int = 2000,
+                              interpret: bool = False):
+    """Fused sweep over a local (planes, R_loc, C) shard with explicit
+    halo inputs and a global-row offset: ``(off (1,) i32, f_local,
+    halo_top, halo_bot) -> f_local'`` where the body receives
+    ``abs_iota = local row + off`` (global coordinates)."""
+    if R_loc % block_rows != 0:
+        raise ValueError(f"local rows {R_loc} not divisible by {block_rows}")
+    kernel = functools.partial(
+        _halo_body_kernel, body_fn=body_fn, planes=planes,
+        block_rows=block_rows, n_blocks=R_loc // block_rows, C=C,
+        dtype=jnp.dtype(dtype).type, row_edges=row_edges)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=jax.ShapeDtypeStruct((planes, R_loc, C), dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * R_loc * C,
+            bytes_accessed=2 * planes * R_loc * C * jnp.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+
+def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
+                            sigma: float, gravity=(0.0, 0.0),
+                            delta: float = 0.1,
+                            apply_gravity_source: bool = True,
+                            dtype=jnp.float32,
+                            block_rows: int | None = None,
+                            interpret: bool = False):
+    """The flagship MRT colour-gradient two-phase step, row-sharded over
+    mesh axis 'x' with ppermute halo exchange feeding the fused kernel:
+    F (2, 9, R, C) -> (2, 9, R, C), one ICI exchange per step (the body
+    consumes 3 of the 8 halo rows: 2 for the 5x5 gradients + 1 for
+    streaming).  Edge ranks run the position-masked body (global
+    bounce-back rows + replicate gradient edges land there); interior
+    ranks take the mask-free fast path.  Matches the single-chip
+    kernels.mrtcg_pallas step exactly: the body is shared
+    (make_mrtcg_body) and all masks are global-position-based."""
+    from .mrtcg_pallas import make_mrtcg_body
+    from .pipeline import resolve_block_rows
+
+    nx = mesh.shape["x"]
+    if R % nx != 0:
+        raise ValueError(f"rows {R} not divisible by mesh x={nx}")
+    R_loc = R // nx
+    block_rows = resolve_block_rows((18,), 18, R_loc, C, dtype,
+                                    6 * 2 ** 20, block_rows, False)
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype)
+    mk = functools.partial(
+        make_local_halo_body_step, 18, R_loc, C, run, dtype=dtype,
+        block_rows=block_rows, interpret=interpret)
+    inner_edge = mk(row_edges=True)
+    inner_int = mk(row_edges=False) if nx > 2 else None
+
+    def local_step(F_loc):
+        n = lax.axis_size("x")
+        top_edge = F_loc[:, :HALO]
+        bot_edge = F_loc[:, -HALO:]
+        if n == 1:
+            halo_top, halo_bot = bot_edge, top_edge
+        else:
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [(i, (i - 1) % n) for i in range(n)]
+            halo_top = lax.ppermute(bot_edge, "x", fwd)
+            halo_bot = lax.ppermute(top_edge, "x", bwd)
+        rank = lax.axis_index("x")
+        off = (rank * R_loc).astype(jnp.int32).reshape(1)
+        if inner_int is None:
+            return inner_edge(off, F_loc, halo_top, halo_bot)
+        return lax.cond(
+            (rank == 0) | (rank == n - 1),
+            lambda o, f, t, b: inner_edge(o, f, t, b),
+            lambda o, f, t, b: inner_int(o, f, t, b),
+            off, F_loc, halo_top, halo_bot)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=P(None, "x", None), out_specs=P(None, "x", None),
+        check_vma=False)
+
+    def wrapped(F):
+        return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)
+
+    return wrapped
+
+
 def make_sharded_fused_step(mesh: Mesh, R: int, C: int, collide_fn,
                             dtype=jnp.float32, block_rows: int | None = None,
                             substeps: int = 1, interpret: bool = False):

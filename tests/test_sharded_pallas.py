@@ -70,3 +70,38 @@ def test_sharded_fused_temporal_blocking():
     want = _oracle(f.astype(jnp.float64), omega, steps=4).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=5e-6)
+
+
+@needs_8
+def test_sharded_mrtcg_matches_single_chip():
+    """The flagship MRT-CG two-phase kernel, row-sharded over 8 ranks
+    with ppermute halos + global-position masks, equals the single-chip
+    fused kernel bit-for-bit (same body, same arithmetic) over 3 steps."""
+    from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_mrtcg_step
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+
+    R, C = 192, 128
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), delta=0.1,
+              apply_gravity_source=True, dtype=jnp.float64)
+    single = make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   interpret=True, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded = make_sharded_mrtcg_step(m, R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                      interpret=True, **kw)
+
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64), jnp.ones((R, C)))
+    F = jnp.stack([r0[None] * feq / jnp.maximum(r0 + b0, 1e-30)[None],
+                   b0[None] * feq / jnp.maximum(r0 + b0, 1e-30)[None]])
+    Fs = jax.device_put(
+        F, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, None, "x", None)))
+    a, b = F, Fs
+    for _ in range(3):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)
