@@ -127,23 +127,14 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
     return collide
 
 
-def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
-                       r_nu: float, b_nu: float, sigma: float,
-                       beta: float = 0.7, gravity=(0.0, 0.0),
-                       dtype=jnp.float32, block_rows: int | None = None,
-                       interpret: bool = False):
-    """Fused RK mixture step: S (11, R, C) -> (11, R, C) with
-    S = [f(9), r_rho, b_rho].  Built on kernels.pipeline."""
-    from .pipeline import make_block_pipeline
-
+def make_rk_body(R: int, C: int, *, r_alpha, b_alpha, r_nu, b_nu, sigma,
+                 beta: float = 0.7, gravity=(0.0, 0.0)):
+    """The per-slab RK mixture step body, shared by the single-chip
+    pipeline and the sharded halo-input kernel (all masks are
+    global-position-based on abs_iota): ``run(block (11, rows, C),
+    abs_iota, row_edges) -> (11, rows - 2*HALO, C)``."""
     collide = _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta,
                             gravity, R, C)
-
-    from .pipeline import resolve_block_rows
-
-    block_rows = resolve_block_rows(
-        (11,), 11, R, C, dtype, 6 * 2 ** 20, block_rows, False)
-    n_blocks = R // block_rows
 
     def run(block, abs_iota, row_edges):
         planes = [block[k] for k in range(11)]
@@ -158,6 +149,27 @@ def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
         rows = block.shape[1]
         out = [new_r[k] + new_b[k] for k in range(9)] + [r_rho_new, b_rho_new]
         return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+
+    return run
+
+
+def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
+                       r_nu: float, b_nu: float, sigma: float,
+                       beta: float = 0.7, gravity=(0.0, 0.0),
+                       dtype=jnp.float32, block_rows: int | None = None,
+                       interpret: bool = False):
+    """Fused RK mixture step: S (11, R, C) -> (11, R, C) with
+    S = [f(9), r_rho, b_rho].  Built on kernels.pipeline."""
+    from .pipeline import make_block_pipeline
+
+    from .pipeline import resolve_block_rows
+
+    block_rows = resolve_block_rows(
+        (11,), 11, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+    n_blocks = R // block_rows
+
+    run = make_rk_body(R, C, r_alpha=r_alpha, b_alpha=b_alpha, r_nu=r_nu,
+                       b_nu=b_nu, sigma=sigma, beta=beta, gravity=gravity)
 
     def body(block, abs_iota, i):
         # interior blocks skip the global-row-edge masks (see mrtcg_pallas)

@@ -287,35 +287,24 @@ def make_local_halo_body_step(planes: int, R_loc: int, C: int, body_fn,
     )
 
 
-def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
-                            sigma: float, gravity=(0.0, 0.0),
-                            delta: float = 0.1,
-                            apply_gravity_source: bool = True,
-                            dtype=jnp.float32,
-                            block_rows: int | None = None,
-                            interpret: bool = False):
-    """The flagship MRT colour-gradient two-phase step, row-sharded over
-    mesh axis 'x' with ppermute halo exchange feeding the fused kernel:
-    F (2, 9, R, C) -> (2, 9, R, C), one ICI exchange per step (the body
-    consumes 3 of the 8 halo rows: 2 for the 5x5 gradients + 1 for
-    streaming).  Edge ranks run the position-masked body (global
-    bounce-back rows + replicate gradient edges land there); interior
-    ranks take the mask-free fast path.  Matches the single-chip
-    kernels.mrtcg_pallas step exactly: the body is shared
-    (make_mrtcg_body) and all masks are global-position-based."""
-    from .mrtcg_pallas import make_mrtcg_body
+def make_sharded_body_step(mesh: Mesh, planes: int, R: int, C: int, run,
+                           dtype=jnp.float32, block_rows: int | None = None,
+                           interpret: bool = False):
+    """Row-shard an arbitrary position-masked slab body over mesh axis
+    'x': (planes, R, C) -> (planes, R, C) with ppermute halo exchange.
+    ``run(block, abs_iota, row_edges)`` must use GLOBAL-row masks only
+    (abs_iota carries global coordinates via scalar prefetch).  Edge
+    ranks run the masked body; interior ranks the mask-free fast path."""
     from .pipeline import resolve_block_rows
 
     nx = mesh.shape["x"]
     if R % nx != 0:
         raise ValueError(f"rows {R} not divisible by mesh x={nx}")
     R_loc = R // nx
-    block_rows = resolve_block_rows((18,), 18, R_loc, C, dtype,
+    block_rows = resolve_block_rows((planes,), planes, R_loc, C, dtype,
                                     6 * 2 ** 20, block_rows, False)
-    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
-                          apply_gravity_source, dtype)
     mk = functools.partial(
-        make_local_halo_body_step, 18, R_loc, C, run, dtype=dtype,
+        make_local_halo_body_step, planes, R_loc, C, run, dtype=dtype,
         block_rows=block_rows, interpret=interpret)
     inner_edge = mk(row_edges=True)
     inner_int = mk(row_edges=False) if nx > 2 else None
@@ -341,15 +330,55 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
             lambda o, f, t, b: inner_int(o, f, t, b),
             off, F_loc, halo_top, halo_bot)
 
-    sharded = jax.shard_map(
+    return jax.shard_map(
         local_step, mesh=mesh,
         in_specs=P(None, "x", None), out_specs=P(None, "x", None),
         check_vma=False)
+
+
+def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
+                            sigma: float, gravity=(0.0, 0.0),
+                            delta: float = 0.1,
+                            apply_gravity_source: bool = True,
+                            dtype=jnp.float32,
+                            block_rows: int | None = None,
+                            interpret: bool = False):
+    """The flagship MRT colour-gradient two-phase step, row-sharded over
+    mesh axis 'x' with ppermute halo exchange feeding the fused kernel:
+    F (2, 9, R, C) -> (2, 9, R, C), one ICI exchange per step (the body
+    consumes 3 of the 8 halo rows: 2 for the 5x5 gradients + 1 for
+    streaming).  Matches the single-chip kernels.mrtcg_pallas step
+    exactly: the body is shared (make_mrtcg_body) and all masks are
+    global-position-based."""
+    from .mrtcg_pallas import make_mrtcg_body
+
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype)
+    sharded = make_sharded_body_step(mesh, 18, R, C, run, dtype=dtype,
+                                     block_rows=block_rows,
+                                     interpret=interpret)
 
     def wrapped(F):
         return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)
 
     return wrapped
+
+
+def make_sharded_rk_step(mesh: Mesh, R: int, C: int, *, r_alpha, b_alpha,
+                         r_nu, b_nu, sigma, beta: float = 0.7,
+                         gravity=(0.0, 0.0), dtype=jnp.float32,
+                         block_rows: int | None = None,
+                         interpret: bool = False):
+    """The RK colour-gradient mixture step row-sharded over mesh axis
+    'x': S (11, R, C) = [f(9), r_rho, b_rho] -> (11, R, C), same
+    body as kernels.rk_pallas (global-position masks), one ICI halo
+    exchange per step."""
+    from .rk_pallas import make_rk_body
+
+    run = make_rk_body(R, C, r_alpha=r_alpha, b_alpha=b_alpha, r_nu=r_nu,
+                       b_nu=b_nu, sigma=sigma, beta=beta, gravity=gravity)
+    return make_sharded_body_step(mesh, 11, R, C, run, dtype=dtype,
+                                  block_rows=block_rows, interpret=interpret)
 
 
 def make_sharded_fused_step(mesh: Mesh, R: int, C: int, collide_fn,
