@@ -137,3 +137,32 @@ def test_sharded_rk_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+@needs_8
+def test_sharded_kbc_matches_single_chip():
+    """The cascaded-KBC collision through the sharded collide_fn path
+    (periodic double-shear setting) equals the single-chip fused kernel."""
+    from lbm_tpu.kernels.collide_stream import kbc_collide_fn, make_fused_step
+    from lbm_tpu.models import kbc as kbc_model
+
+    R, C = 64, 128
+    s2 = 1.6
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(0.05 * rng.standard_normal((2, R, C)))
+    rho0 = jnp.asarray(1.0 + 0.02 * rng.standard_normal((R, C)))
+    f = kbc_model.equilibrium(rho0, u0)
+
+    single = make_fused_step(R, C, kbc_collide_fn(s2), dtype=jnp.float64,
+                             block_rows=8, interpret=True)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded = make_sharded_fused_step(m, R, C, kbc_collide_fn(s2),
+                                      dtype=jnp.float64, block_rows=8,
+                                      interpret=True)
+    fs = meshmod.shard_state(m, f)
+    a, b = f, fs
+    for _ in range(2):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)
