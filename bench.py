@@ -141,6 +141,9 @@ def main():
         ib = IBM.circle(H // 4, W // 2, min(H, W) / 32.0, 64)
         fused = make_cylinder_fused_step(H, W, 1.0 / 0.55, dtype=dtype)
         kforce = make_ibm_forcing_step(H, W, ib, dtype=dtype)
+        if kforce is None:
+            ap.error("cylinder bench: marker window does not fit this "
+                     "grid; pick rows/cols >= 256")
 
         def step(c):
             g, F = c

@@ -28,6 +28,16 @@ WQ = tuple(float(v) for v in lat.W)
 HALO = 8  # sublane-aligned halo depth (Mosaic requires 8-row alignment)
 
 
+# opposite-direction pairs (kp, km) with c_km = -c_kp; the single source
+# for every paired kernel (OPP in core.lattice gives km = OPP[kp])
+PAIR_KS = ((1, 3), (2, 4), (5, 7), (8, 6))
+
+
+def pair_cu(ux, uy):
+    """{kp: c_kp . u} for the four pair leaders — ux, uy, ux+uy, ux-uy."""
+    return {1: ux, 2: uy, 5: ux + uy, 8: ux - uy}
+
+
 def d2q9_pairs(ux, uy):
     """Shared subexpressions for the paired-direction equilibrium/source
     split (see kernels.bgk_pallas.bgk_collide_fn): returns the common even
@@ -40,10 +50,10 @@ def d2q9_pairs(ux, uy):
     uxx = ux * ux
     uyy = uy * uy
     t0 = 1.0 - 1.5 * (uxx + uyy)
-    s = ux + uy
-    d = ux - uy
-    return t0, ((1, 3, WQ[1], ux, uxx), (2, 4, WQ[2], uy, uyy),
-                (5, 7, WQ[5], s, s * s), (8, 6, WQ[8], d, d * d))
+    cu = pair_cu(ux, uy)
+    cc = {1: uxx, 2: uyy, 5: cu[5] * cu[5], 8: cu[8] * cu[8]}
+    return t0, tuple((kp, km, WQ[kp], cu[kp], cc[kp])
+                     for kp, km in PAIR_KS)
 
 
 def _stream_slab(coll, C, rows):

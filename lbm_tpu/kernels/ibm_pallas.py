@@ -48,6 +48,9 @@ def make_ibm_forcing_step(R: int, C: int, ib, dtype=jnp.float32,
         return None
     ra0, ra1, ca0, ca1 = win
     rw, cw = ra1 - ra0, ca1 - ca0
+    # lane-pad the marker count; more markers than the requested pad just
+    # widens the (tiny) operator matrices instead of failing over to jnp
+    m_pad = max(m_pad, -(-ib.row_w.shape[0] // 128) * 128)
     X, Y = ib.window_operators(ra0, ra1, ca0, ca1, m_pad)
     Xd = jnp.asarray(X, dtype)
     Yd = jnp.asarray(Y, dtype)

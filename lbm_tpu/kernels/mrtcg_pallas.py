@@ -243,8 +243,9 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
 
     # opposite-direction pairs (kp, km) with cu(kp) = -cu(km); phi/eta/W/B
     # depend only on |c| so each pair shares its even-polynomial parts
-    # (see kernels.collide_stream.d2q9_pairs)
-    PAIRS = ((1, 3), (2, 4), (5, 7), (8, 6))
+    # (kernels.collide_stream.PAIR_KS / pair_cu — the single source)
+    from .collide_stream import PAIR_KS as PAIRS, pair_cu
+
     for kp, km in PAIRS:
         assert r_phi[kp] == r_phi[km] and b_phi[kp] == b_phi[km]
         assert r_eta[kp] == r_eta[km] and b_eta[kp] == b_eta[km]
@@ -265,10 +266,8 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         ux = (mom_x + 0.5 * gx) * inv_rho
         uy = (mom_y + 0.5 * gy) * inv_rho
         uu = ux * ux + uy * uy
-        us = ux + uy                     # cu for dirs 5 / 7
-        ud = ux - uy                     # cu for dirs 8 / 6
-        cu_p = {1: ux, 2: uy, 5: us, 8: ud}
-        cc_p = {1: ux * ux, 2: uy * uy, 5: us * us, 8: ud * ud}
+        cu_p = pair_cu(ux, uy)
+        cc_p = {kp: cu_p[kp] * cu_p[kp] for kp, _ in PAIRS}
 
         a = r_rho * (1.0 / r0)
         b = b_rho * (1.0 / b0)
@@ -312,9 +311,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         # a pair — computed once per pair
         A = (4.5 * sigma) * s_nu
         half_A_gn = 0.5 * A * gn
-        gs = gpx + gpy                   # c.grad(psi) for dirs 5 / 7
-        gd = gpx - gpy                   # c.grad(psi) for dirs 8 / 6
-        gc_p = {1: gpx, 2: gpy, 5: gs, 8: gd}
+        gc_p = pair_cu(gpx, gpy)         # {kp: c_kp . grad(psi)}
         o2 = [None] * 9
         o2[0] = half_A_gn * (-BQ[0])
         for kp, km in PAIRS:

@@ -79,10 +79,10 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
         # even parts and +/- odd parts; omega2 is IDENTICAL within a
         # pair (Fc^2 even) and the recolouring kap flips sign
         # (kernels.collide_stream.d2q9_pairs rationale)
-        us, ud = ux + uy, ux - uy
-        Fs, Fd = Fx + Fy, Fx - Fy
-        cu_p = {1: ux, 2: uy, 5: us, 8: ud}
-        Fc_p = {1: Fx, 2: Fy, 5: Fs, 8: Fd}
+        from .collide_stream import PAIR_KS, pair_cu
+
+        cu_p = pair_cu(ux, uy)           # {kp: c_kp . u}
+        Fc_p = pair_cu(Fx, Fy)           # {kp: c_kp . F}
         pref = 1.0 - 0.5 * omega
         uF3 = 3.0 * (ux * gx + uy * gy)
         uu15 = 1.5 * uu
@@ -101,7 +101,7 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
         if gx or gy:
             post0 = post0 + pref * (-uF3) * WQ[0]
         emit(0, post0, None)
-        for kp, km in ((1, 3), (2, 4), (5, 7), (8, 6)):
+        for kp, km in PAIR_KS:
             phi = phi_ax if kp < 5 else phi_di
             w = WQ[kp]
             cu = cu_p[kp]

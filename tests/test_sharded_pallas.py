@@ -76,7 +76,7 @@ def test_sharded_fused_temporal_blocking():
 def test_sharded_mrtcg_matches_single_chip():
     """The flagship MRT-CG two-phase kernel, row-sharded over 8 ranks
     with ppermute halos + global-position masks, equals the single-chip
-    fused kernel bit-for-bit (same body, same arithmetic) over 3 steps."""
+    fused kernel (same body, same arithmetic; 1e-13 in f64) over 3 steps."""
     from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
     from lbm_tpu.kernels.sharded_pallas import make_sharded_mrtcg_step
     from lbm_tpu.scenes.multiphase import (
@@ -110,7 +110,7 @@ def test_sharded_mrtcg_matches_single_chip():
 @needs_8
 def test_sharded_rk_matches_single_chip():
     """The RK mixture kernel row-sharded over 8 ranks equals the
-    single-chip fused kernel bit-for-bit over 3 steps."""
+    single-chip fused kernel (1e-13 in f64) over 3 steps."""
     from lbm_tpu.kernels.rk_pallas import make_rk_fused_step
     from lbm_tpu.kernels.sharded_pallas import make_sharded_rk_step
     from lbm_tpu.scenes.multiphase import init_rho_cosine
