@@ -10,7 +10,8 @@ fail.
     python scripts/validate_tpu.py all          # + the long checks (~10 min)
     python scripts/validate_tpu.py laplace strouhal   # pick checks
 
-Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity, kbc
+Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity,
+kbc, sharded
 Checks (long):  strouhal (200k-step shedding run)
 """
 
@@ -166,8 +167,59 @@ def strouhal():
     check("shedding_lift_rms", float(sig.std()), 0.02, 0.5)
 
 
+def sharded():
+    """The sharded fused kernels (Mosaic path, not interpret) are
+    bit-identical to the single-chip kernels on a 1-rank mesh: same
+    body, same arithmetic, only the halo source differs (self-wrap)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lbm_tpu.ops import d2q9
+    from lbm_tpu.parallel import mesh as meshmod
+    from lbm_tpu.kernels.bgk_pallas import bgk_collide_fn, make_fused_step
+    from lbm_tpu.kernels.sharded_pallas import (
+        make_sharded_fused_step, make_sharded_mrtcg_step)
+    from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+
+    m = meshmod.make_mesh(shape=(1, 1))
+    R, C = 64, 256
+    om = 1.0 / 0.8
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.uniform(0.05, 0.3, (9, R, C)), jnp.float32)
+    ss = jax.jit(make_sharded_fused_step(
+        m, R, C, bgk_collide_fn(om, jnp.float32), block_rows=16, substeps=4))
+    sk = jax.jit(make_fused_step(R, C, om, jnp.float32, block_rows=16,
+                                 substeps=4))
+    a = np.asarray(ss(meshmod.shard_state(m, f)))
+    b = np.asarray(sk(f))
+    check("sharded_bgk_bitdiff", float(np.abs(a - b).max()), 0.0, 0.0)
+
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float32)
+    r0 = jnp.asarray(init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0),
+                     jnp.float32)
+    b0 = jnp.asarray(init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0),
+                     jnp.float32)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float32),
+                           jnp.ones((R, C), jnp.float32))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    F = jnp.stack([r0[None] * feq / tot, b0[None] * feq / tot])
+    sm = jax.jit(make_sharded_mrtcg_step(m, R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                         **kw))
+    sg = jax.jit(make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw))
+    x = jax.device_put(F, NamedSharding(m, P(None, None, "x", None)))
+    y = F
+    for _ in range(3):
+        x = sm(x)
+        y = sg(y)
+    check("sharded_mrtcg_bitdiff",
+          float(np.abs(np.asarray(x) - np.asarray(y)).max()), 0.0, 0.0)
+
+
 QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity",
-         "kbc"]
+         "kbc", "sharded"]
 LONG = ["strouhal"]
 
 
