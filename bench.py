@@ -67,8 +67,6 @@ def main():
 
     impl = args.impl
     step = jnp_step
-    if args.sharded:
-        impl = "jnp"  # pallas sharding needs the shard_map halo variant
     if args.model != "bgk" and args.sharded:
         ap.error("--sharded currently benchmarks the bgk model only")
 
@@ -181,9 +179,19 @@ def main():
     if args.sharded:
         from lbm_tpu.parallel import mesh as meshmod
 
-        m = meshmod.make_mesh()
+        n_dev = len(jax.devices())
+        m = meshmod.make_mesh(shape=(n_dev, 1))
+        if impl == "pallas":
+            # the production multi-chip path: ppermute halos + local
+            # fused kernel, one exchange per `substeps` steps
+            from lbm_tpu.kernels.bgk_pallas import bgk_collide_fn
+            from lbm_tpu.kernels.sharded_pallas import make_sharded_fused_step
+
+            step = make_sharded_fused_step(
+                m, H, W, bgk_collide_fn(omega, dtype), dtype=dtype,
+                substeps=args.substeps)
         f = meshmod.shard_state(m, f)
-        log(f"sharded over mesh {m.devices.shape} ({len(jax.devices())} devices)")
+        log(f"sharded over mesh {m.devices.shape} ({n_dev} devices, {impl})")
 
     chunk = jax.jit(
         lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),

@@ -27,7 +27,9 @@ gradients stubbed 4.3; MRT algebra stubbed 4.1; stream/BC masks stubbed
 2.4 — stencils ~55%, MRT moment algebra ~25%, BC masks ~19%.  Two levers
 since applied: interior blocks skip the global-edge masks (1.95 -> 2.23),
 and _corr5_multi's column-filter-first grouped-row evaluation (2.23 ->
-2.47; stencils now ~40%).  Measured dead ends: fusing Mi*S_base*M into
+2.47; stencils now ~40%); paired-direction algebra (shared even parts,
+per-pair omega2, sign-flipped kappa — see collide_stream.d2q9_pairs)
+took 2.47 -> 2.76.  Measured dead ends: fusing Mi*S_base*M into
 one precomputed matrix is denser than the factored form (81 vs 76 FMAs),
 and temporal blocking cannot pay while the kernel is compute-bound
 (356 GB/s of 819 at 2.47 GLUPS).
