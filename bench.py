@@ -168,7 +168,9 @@ def main():
         try:
             from lbm_tpu.kernels.bgk_pallas import make_fused_step
 
-            step = make_fused_step(H, W, omega, dtype, substeps=args.substeps)
+            if not args.sharded:  # sharded replaces step below
+                step = make_fused_step(H, W, omega, dtype,
+                                       substeps=args.substeps)
             impl = "pallas"
         except Exception as e:  # pragma: no cover
             if args.impl == "pallas":
