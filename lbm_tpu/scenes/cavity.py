@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..boundary import bc
 from ..ops import d2q9
 from ..parallel import mesh as meshmod, sharded
-from ..utils.xmath import default_float
+from ..utils.xmath import default_float, resolve_fused
 
 
 @dataclass
@@ -54,7 +54,7 @@ def _block_wall_assignments(L: int):
 
 def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
                 tau: float | None = None, mesh_shape: tuple[int, int] | None = None,
-                fused: bool = False,
+                fused: bool | None = None,
                 dtype=None) -> CavityResult:
     """Force-driven circulation in a square annulus of width L/4.
 
@@ -71,6 +71,9 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
     F=3e-5 gives a steady circulation over the full 50k steps
     (max|u| = 0.023, anti-symmetric arm flow +-1.07e-2)."""
     dtype = default_float(dtype)
+    if fused is None and mesh_shape is not None:
+        fused = False  # auto never overrides an explicit sharded request
+    fused = resolve_fused(fused, dtype, rows=L, cols=L)
     import math
 
     tau = tau if tau is not None else math.sqrt(3.0 / 16.0) + 0.5

@@ -21,7 +21,7 @@ import numpy as np
 from ..boundary import bc
 from ..models.single_phase import SinglePhaseModel
 from ..ops import d2q9
-from ..utils.xmath import default_float
+from ..utils.xmath import default_float, resolve_fused
 
 TAU_DEFAULT = math.sqrt(3.0 / 16.0) + 0.5  # cites horizontal_poiseuille_test.cpp:55
 
@@ -82,7 +82,7 @@ def _converged_run(model: SinglePhaseModel, f: jnp.ndarray, T: int,
 def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
                           u_max: float = 1.030985714e-1,
                           tau: float = TAU_DEFAULT,
-                          fused: bool = False,
+                          fused: bool | None = None,
                           dtype=None) -> ChannelResult:
     """Pressure-driven flow along rows, no-slip walls on the first/last
     column, incompressible equilibrium.  Parameters cite
@@ -90,6 +90,7 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
     ``fused=True`` runs the whole step (pressure BC + walls included) as
     one Pallas kernel (f32, W%128==0, H%8==0)."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)

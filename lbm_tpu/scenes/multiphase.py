@@ -20,7 +20,7 @@ from ..models import mrt_cg
 from ..utils import observe
 from ..models.mrt_cg import MRTCGModel, TwoPhaseState
 from ..models.rk_cg import RKDropletColour, RKDropletModel, RKMixtureModel
-from ..utils.xmath import default_float
+from ..utils.xmath import default_float, resolve_fused
 
 
 def _sigmoid(x):
@@ -143,7 +143,7 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
                          blue: ColourParams = DEFAULT_BLUE,
                          sigma: float = 0.1, radius: float = 25.0,
                          snapshot_every: int | None = None,
-                         fused: bool = False,
+                         fused: bool | None = None,
                          dtype=None) -> MultiphaseResult:
     """MRT-CG static droplet (Laplace-law scene).
     Workload/constants cite /root/reference/test/mrtcg_static_droplet.cpp:
@@ -158,6 +158,7 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
     effective interfacial tension is 2x the nominal ``sigma``.  Mass drift
     3.8e-7 over 40k steps; spurious currents |u|max ~ 1.6e-3."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=R, cols=C)
     model = MRTCGModel(
         red=red, blue=blue, sigma=sigma, gravity=(0.0, -6.25e-6),
         apply_gravity_source=False, boundary=mrtcg_boundary,
@@ -221,7 +222,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                           sigma: float | None = None,
                           gravity_magnitude: float | None = None,
                           snapshot_every: int | None = None,
-                          fused: bool = False,
+                          fused: bool | None = None,
                           checkpoint_dir: str | None = None,
                           checkpoint_every: int = 10000,
                           modes=None,
@@ -261,6 +262,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
     blue = blue or DEFAULT_BLUE
     sigma = sigma if sigma is not None else 1e-4
     gravity_magnitude = gravity_magnitude if gravity_magnitude is not None else 6.25e-7
+    fused = resolve_fused(fused, dtype, rows=R, cols=C)
 
     model = MRTCGModel(
         red=red, blue=blue, sigma=sigma,
@@ -451,7 +453,7 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
                        nu: float = 0.04,
                        gravity: tuple[float, float] = (-6.25e-6, 0.0),
                        snapshot_every: int | None = None,
-                       fused: bool = False,
+                       fused: bool | None = None,
                        dtype=None) -> MultiphaseResult:
     """RK-CG Rayleigh-Taylor on a 4L x L grid.
     Constants cite /root/reference/test/rk_rayleigh_taylor_test.cpp:81-126:
@@ -465,6 +467,7 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
     +/-beta recolouring split."""
     dtype = default_float(dtype)
     R, C = 4 * L, L
+    fused = resolve_fused(fused, dtype, rows=R, cols=C)
     model = RKMixtureModel(
         r_alpha=11.0 / 15.0, r_rho_0=3.0, r_nu=nu,
         b_alpha=0.2, b_rho_0=1.0, b_nu=nu,

@@ -19,7 +19,7 @@ from ..boundary import bc
 from ..core import lattice as lat
 from ..ops import d2q9
 from ..ops.ibm import IBM
-from ..utils.xmath import default_float
+from ..utils.xmath import default_float, resolve_fused
 
 _WEAK_GUO = (1.0 / 3.0, 1.0 / 9.0)  # cylinder_test.cpp:66-67
 
@@ -40,7 +40,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                   n_markers: int = 64, u_stream: float = 0.05,
                   omega: float = 1.0 / 0.55,
                   ibm: IBM | None = None,
-                  fused: bool = False,
+                  fused: bool | None = None,
                   interpret: bool = False,
                   guo_coeffs: tuple = _WEAK_GUO,
                   record_every: int | None = None,
@@ -74,6 +74,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
     with Strouhal = 0.176 — literature 0.16-0.17 at this Re, shifted up
     by the 12.5%% blockage."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     ib = ibm or IBM.circle(center[0], center[1], radius, n_markers)
     u_w = jnp.asarray([u_stream, 0.0], dtype)
 
@@ -263,7 +264,8 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
                             u_in: float = 0.02, omega: float = 1.0 / 0.55,
                             w_s: float = 3e-3, C_w: float = 1e-3,
                             R23: int = -151, C28: int = 200, C38: int = 250,
-                            inlet_rows: int = 50, fused: bool = False,
+                            inlet_rows: int = 50,
+                            fused: bool | None = None,
                             dtype=None) -> SedimentationResult:
     """Sediment-laden flow along cols past a bottom-mounted rectangle.
 
@@ -281,6 +283,7 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
     ``fused=True`` (f32, W%128==0) runs the whole coupled step as one
     Pallas launch per step (kernels.sediment_pallas)."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     R23 = R23 % H if R23 < 0 else R23
 
     if fused:

@@ -16,7 +16,7 @@ from ..boundary import bc
 from ..models import kbc
 from ..ops import d2q9
 from ..utils import observe
-from ..utils.xmath import default_float
+from ..utils.xmath import default_float, resolve_fused
 
 
 @dataclass
@@ -29,13 +29,14 @@ class ULBMResult:
 
 def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
                     nu: float = 1e-4, u_max: float = 0.05,
-                    fused: bool = False,
+                    fused: bool | None = None,
                     dtype=None) -> ULBMResult:
     """KBC channel with pressure-periodic inlet/outlet and no-slip side
     walls.  Parameters cite /root/reference/test/ulbm_poiseuille.cpp:64-85.
     ``fused=True`` runs the whole step (BCs included) as one Pallas kernel
     (f32, W%128==0, H%8==0)."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     omega = 1.0 / (0.5 + 3.0 * nu)
     p_grad = 8.0 * nu * u_max / (W * W)
     rho_outlet = 1.0
@@ -119,7 +120,7 @@ def double_shear_init(H: int, W: int, u_max: float, alpha: float = 80.0,
 
 def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
                       nu: float = 1.70766666e-4, u_max: float = 0.02,
-                      fused: bool = False,
+                      fused: bool | None = None,
                       dtype=None) -> ULBMResult:
     """Doubly periodic double shear layer.
     cites /root/reference/test/ulbm_double_shear_flow.cpp:65-143.
@@ -134,6 +135,7 @@ def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
     near 6k — use the f64 (CPU) path for the full reference run, or resolve
     the layers (smaller alpha / larger nu) for f32."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     omega = 1.0 / (0.5 + 3.0 * nu)
     model = kbc.KBCModel(s2=omega)
     m0, u = double_shear_init(H, W, u_max, dtype=dtype)

@@ -25,6 +25,30 @@ def esum(spec, *operands):
     return jnp.einsum(spec, *operands, precision=HIGHEST)
 
 
+def resolve_fused(fused, dtype, rows: int | None = None,
+                  cols: int | None = None) -> bool:
+    """Resolve a scene's ``fused`` flag; ``None`` means auto.
+
+    Auto picks the one-launch Pallas path exactly when it can run: a
+    non-CPU backend, f32 (the kernels' production precision), and the
+    fused kernels' tiling constraints (cols % 128 == 0; rows % 8 == 0
+    and rows >= 24 — the alias-free block-pipeline minimum).  Explicit
+    True/False always wins, so CLI users on the TPU get the fast path by
+    default while f64 validation and odd geometries stay on the jnp
+    oracle."""
+    if fused is not None:
+        return bool(fused)
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if jax.devices()[0].platform == "cpu":
+        return False
+    if cols is not None and cols % 128 != 0:
+        return False
+    if rows is not None and (rows % 8 != 0 or rows < 24):
+        return False
+    return True
+
+
 def default_float(dtype=None):
     """Resolve the package-wide default dtype for scene/model entry points.
 

@@ -153,3 +153,14 @@ def test_abb_coefficient():
     # k=1: (2 + 9*0.01 - 3*0.01) * 1/9
     assert float(coeff[1]) == pytest.approx((2.0 + 0.09 - 0.03) / 9.0)
     assert float(coeff[2]) == pytest.approx((2.0 - 0.03) / 9.0)
+
+
+def test_resolve_fused_auto():
+    """fused=None auto-selects the Pallas path only on non-CPU backends
+    with f32 and kernel-legal geometry; explicit flags always win."""
+    from lbm_tpu.utils.xmath import resolve_fused
+
+    # tests force the CPU backend -> auto is always False here
+    assert resolve_fused(None, jnp.float32, rows=256, cols=256) is False
+    assert resolve_fused(True, jnp.float64, rows=7, cols=5) is True
+    assert resolve_fused(False, jnp.float32, rows=256, cols=256) is False
