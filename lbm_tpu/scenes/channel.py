@@ -144,18 +144,62 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
     return ChannelResult(f=f, rho=rho, u=u, steps=steps, l2=l2)
 
 
+def _fused_run(step, f, T: int, converge: bool = False,
+               tolerance: float = 1e-12, interval: int = 2000):
+    """Run a fused one-launch step T times (chunked), optionally stopping
+    on the reference's relative-mean-ux convergence test."""
+    chunk = jax.jit(
+        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+        static_argnums=1)
+    if not converge:
+        done = 0
+        while done < T:
+            n = min(20000, T - done)
+            f = chunk(f, n)
+            done += n
+        return f, T
+    steps, old_mean = 0, 1.0
+    f = chunk(f, 1)
+    steps += 1
+    while steps < T:
+        mean = float(jnp.mean(d2q9.calc_momentum(f)[0]))
+        if old_mean != 0.0 and abs(mean / old_mean - 1.0) < tolerance:
+            break
+        old_mean = mean
+        n = min(interval, T - steps)
+        f = chunk(f, n)
+        steps += n
+    return f, steps
+
+
 def vertical_poiseuille(H: int = 51, W: int = 51, T: int = 10000,
                         u_max: float = 0.1, tau: float = TAU_DEFAULT,
+                        fused: bool | None = None,
                         dtype=None) -> ChannelResult:
     """Flow along cols with compressible equilibrium; pressure BC acts on the
     cols axis, no-slip on first/last row.
     cites /root/reference/test/vertical_poiseuille_test.cpp:46-123."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)
     rho_outlet = 1.0
     rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
+
+    if fused:
+        from ..kernels.channel_pallas import make_channel_variant_step
+
+        step = make_channel_variant_step(
+            H, W, omega=omega, incompressible=False,
+            pressure=(rho_inlet, rho_outlet, 1), row_walls="bounce",
+            dtype=jnp.float32)
+        f = d2q9.equilibrium(jnp.zeros((2, H, W), jnp.float32),
+                             jnp.ones((H, W), jnp.float32))
+        f, steps = _fused_run(step, f, T)
+        rho = d2q9.calc_rho(f)
+        return ChannelResult(f=f, rho=rho, u=d2q9.calc_u(f, rho),
+                             steps=steps)
 
     model = SinglePhaseModel(
         omega=omega,
@@ -179,11 +223,30 @@ def vertical_poiseuille(H: int = 51, W: int = 51, T: int = 10000,
 def gravity_channel(H: int = 21, W: int = 21, T: int = 10000,
                     fg: float = -0.0003, tau: float = TAU_DEFAULT,
                     tolerance: float = 1e-12,
+                    fused: bool | None = None,
                     dtype=None) -> ChannelResult:
     """Body-force-driven channel: u += Fg, Guo source, equal inlet/outlet
     densities.  cites /root/reference/test/gravity_test.cpp:60-177."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     omega = 1.0 / tau
+
+    if fused:
+        from ..kernels.channel_pallas import make_channel_variant_step
+
+        step = make_channel_variant_step(
+            H, W, omega=omega, incompressible=True,
+            pressure=(1.0, 1.0, 0), force=(fg, 0.0), col_walls="bounce",
+            dtype=jnp.float32)
+        f = d2q9.incomp_equilibrium(jnp.zeros((2, H, W), jnp.float32),
+                                    jnp.ones((H, W), jnp.float32))
+        f, steps = _fused_run(step, f, T, converge=True,
+                              tolerance=tolerance, interval=100)
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_momentum(f) \
+            + jnp.asarray([fg, 0.0], f.dtype)[:, None, None]
+        return ChannelResult(f=f, rho=rho, u=u, steps=steps)
+
     model = SinglePhaseModel(
         omega=omega,
         incompressible=True,
@@ -206,14 +269,30 @@ def gravity_channel(H: int = 21, W: int = 21, T: int = 10000,
 
 def specular_channel(H: int = 51, W: int = 51, T: int = 10000,
                      u_max: float = 0.1, tau: float = TAU_DEFAULT,
+                     fused: bool | None = None,
                      dtype=None) -> ChannelResult:
     """Pressure-driven channel with free-slip (specular) side walls: the
     profile should stay flat.  cites /root/reference/test/specular_boundary_test.cpp."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)
     rho_inlet = 3.0 * (H - 1) * p_grad + 1.0
+
+    if fused:
+        from ..kernels.channel_pallas import make_channel_variant_step
+
+        step = make_channel_variant_step(
+            H, W, omega=omega, incompressible=False,
+            pressure=(rho_inlet, 1.0, 0), col_walls="specular",
+            dtype=jnp.float32)
+        f = d2q9.equilibrium(jnp.zeros((2, H, W), jnp.float32),
+                             jnp.ones((H, W), jnp.float32))
+        f, steps = _fused_run(step, f, T)
+        rho = d2q9.calc_rho(f)
+        return ChannelResult(f=f, rho=rho, u=d2q9.calc_u(f, rho),
+                             steps=steps)
 
     model = SinglePhaseModel(
         omega=omega,
@@ -235,11 +314,27 @@ def specular_channel(H: int = 51, W: int = 51, T: int = 10000,
 
 def free_stream(H: int = 54, W: int = 42, T: int = 1000,
                 u_stream: float = 0.1, omega: float = 1.0 / 0.55,
+                fused: bool | None = None,
                 dtype=None) -> ChannelResult:
     """Uniform stream preserved by ABB inlet/outlet + specular side walls.
     cites /root/reference/test/free_stream_test.cpp:75-135."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
     u_w = jnp.asarray([u_stream, 0.0])
+
+    if fused:
+        from ..kernels.channel_pallas import make_channel_variant_step
+
+        step = make_channel_variant_step(
+            H, W, omega=omega, incompressible=True, row_walls="abb",
+            abb_u=(u_stream, 0.0), col_walls="specular",
+            dtype=jnp.float32)
+        u0 = jnp.zeros((2, H, W), jnp.float32).at[0].set(u_stream)
+        f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), jnp.float32))
+        f, steps = _fused_run(step, f, T)
+        rho = d2q9.calc_rho(f)
+        return ChannelResult(f=f, rho=rho, u=d2q9.calc_momentum(f),
+                             steps=steps)
 
     model = SinglePhaseModel(
         omega=omega,

@@ -81,3 +81,36 @@ def test_vertical_poiseuille_profile():
     mid = uy[:, 15]
     ua = channel.poiseuille_analytic(W, 0.05)
     np.testing.assert_allclose(mid, ua, rtol=0.1, atol=2e-3)
+
+
+def test_channel_scene_fused_paths_match_jnp():
+    """The four channel variants' fused scene branches (interpret mode,
+    f32 both ways) reproduce the jnp paths on kernel-legal geometry."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbm_tpu.kernels import channel_pallas
+    from lbm_tpu.scenes import channel
+
+    orig = channel_pallas.make_channel_variant_step
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    channel_pallas.make_channel_variant_step = patched
+    try:
+        for scene, kw in (
+                (channel.gravity_channel,
+                 dict(H=32, W=128, T=40, tolerance=0.0)),
+                (channel.specular_channel, dict(H=32, W=128, T=40)),
+                (channel.free_stream,
+                 dict(H=32, W=128, T=40, u_stream=0.05)),
+                (channel.vertical_poiseuille, dict(H=32, W=128, T=40))):
+            rf = scene(fused=True, **kw)
+            rj = scene(fused=False, dtype=jnp.float32, **kw)
+            np.testing.assert_allclose(
+                np.asarray(rf.u), np.asarray(rj.u), rtol=2e-4, atol=2e-6,
+                err_msg=scene.__name__)
+    finally:
+        channel_pallas.make_channel_variant_step = orig
