@@ -11,7 +11,7 @@ fail.
     python scripts/validate_tpu.py laplace strouhal   # pick checks
 
 Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity,
-kbc, sharded
+kbc, sharded, variants
 Checks (long):  strouhal (200k-step shedding run)
 """
 
@@ -218,8 +218,28 @@ def sharded():
           float(np.abs(np.asarray(x) - np.asarray(y)).max()), 0.0, 0.0)
 
 
+def variants():
+    """The four channel-variant kernels (gravity/specular/free-stream/
+    vertical) vs their jnp scene paths, f32 both ways, Mosaic path."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.scenes import channel
+
+    for scene, kw, gate in (
+            (channel.gravity_channel,
+             dict(H=32, W=128, T=40, tolerance=0.0), 5e-5),
+            (channel.specular_channel, dict(H=32, W=128, T=40), 5e-5),
+            (channel.free_stream,
+             dict(H=32, W=128, T=40, u_stream=0.05), 5e-5),
+            (channel.vertical_poiseuille, dict(H=32, W=128, T=40), 5e-5)):
+        rf = scene(fused=True, **kw)
+        rj = scene(fused=False, dtype=jnp.float32, **kw)
+        d = float(np.abs(np.asarray(rf.u) - np.asarray(rj.u)).max())
+        check(f"variant_{scene.__name__}_maxdu", d, 0.0, gate)
+
+
 QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity",
-         "kbc", "sharded"]
+         "kbc", "sharded", "variants"]
 LONG = ["strouhal"]
 
 
