@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
     ap.add_argument("--model", default="bgk",
-                    choices=["bgk", "kbc", "mrtcg", "rk",
+                    choices=["bgk", "kbc", "mrtcg", "csf", "rk",
                              "cavity", "cylinder", "sediment"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
@@ -101,6 +101,24 @@ def main():
                               init_rho_cosine(H, W, 1.0, False, -1.0),
                               dtype=dtype)
         f = jnp.stack([st.red.f, st.blue.f])
+        impl = "pallas"
+    elif args.model == "csf":
+        from lbm_tpu.kernels.mrtcg_pallas import make_csf_fused_step
+        from lbm_tpu.models.mrt_cg import MRTCGModel
+        from lbm_tpu.scenes.multiphase import (
+            DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine, mrtcg_boundary)
+
+        step = make_csf_fused_step(
+            H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
+            dtype=dtype)
+        m = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
+                       gravity=(6.25e-7, 0.0), boundary=mrtcg_boundary,
+                       surface_tension="csf")
+        st = m.init_state(init_rho_cosine(H, W, 3.0, True, 1.0),
+                          init_rho_cosine(H, W, 1.0, False, 1.0),
+                          dtype=dtype)
+        f = jnp.concatenate([st.red.f, st.blue.f,
+                             jnp.zeros((2, H, W), dtype)], axis=0)
         impl = "pallas"
     elif args.model == "rk":
         from lbm_tpu.kernels.rk_pallas import make_rk_fused_step

@@ -229,9 +229,17 @@ def _mrt_omega1(df, c1, c7, s_nu):
 
 
 def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
-                  delta, apply_gravity_source, R, C, dtype):
+                  delta, apply_gravity_source, R, C, dtype,
+                  surface_tension: str = "perturbation"):
     from ..models.mrt_cg import RelaxationFunction
 
+    if surface_tension not in ("perturbation", "csf"):
+        raise ValueError(surface_tension)
+    csf = surface_tension == "csf"
+    # per-colour CSF force prefactors A_k (1 - rlx_k/2) (models.mrt_cg
+    # step, mrt_rayleigh_taylor.cpp:508-513)
+    r_A_pref = red.A * (1.0 - 0.5 * red.rlx)
+    b_A_pref = blue.A * (1.0 - 0.5 * blue.rlx)
     relax = RelaxationFunction.from_omegas(red, blue, delta)
     r_phi = tuple(float(v) for v in red.phi())
     b_phi = tuple(float(v) for v in blue.phi())
@@ -253,7 +261,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         assert r_eta[kp] == r_eta[km] and b_eta[kp] == b_eta[km]
         assert WQ[kp] == WQ[km] and BQ[kp] == BQ[km]
 
-    def collide(rf, bf, abs_iota, row_edges=True):
+    def collide(rf, bf, abs_iota, row_edges=True, fst=None):
         r_rho = rf[0]
         b_rho = bf[0]
         for k in range(1, 9):
@@ -265,8 +273,14 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             - (rf[6] + bf[6]) - (rf[7] + bf[7]) + (rf[8] + bf[8])
         mom_y = (rf[2] + bf[2]) - (rf[4] + bf[4]) + (rf[5] + bf[5]) \
             + (rf[6] + bf[6]) - (rf[7] + bf[7]) - (rf[8] + bf[8])
-        ux = (mom_x + 0.5 * gx) * inv_rho
-        uy = (mom_y + 0.5 * gy) * inv_rho
+        if csf:
+            # the carried-u shift includes the PREVIOUS step's surface
+            # force (models.mrt_cg step tail: u += 0.5 (Fg + fst)/rho)
+            ux = (mom_x + 0.5 * (gx + fst[0])) * inv_rho
+            uy = (mom_y + 0.5 * (gy + fst[1])) * inv_rho
+        else:
+            ux = (mom_x + 0.5 * gx) * inv_rho
+            uy = (mom_y + 0.5 * gy) * inv_rho
         uu = ux * ux + uy * uy
         cu_p = pair_cu(ux, uy)
         cc_p = {kp: cu_p[kp] * cu_p[kp] for kp, _ in PAIRS}
@@ -308,17 +322,54 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         r_o1, r_rho_k = colour_omega1(rf, r_phi, r_eta, r_alpha_c)
         b_o1, b_rho_k = colour_omega1(bf, b_phi, b_eta, b_alpha_c)
 
-        # perturbation omega2: unit^2 is even under k -> opp(k) and W/B
-        # depend on |c| only, so o2 is IDENTICAL for the two directions of
-        # a pair — computed once per pair
-        A = (4.5 * sigma) * s_nu
-        half_A_gn = 0.5 * A * gn
         gc_p = pair_cu(gpx, gpy)         # {kp: c_kp . grad(psi)}
-        o2 = [None] * 9
-        o2[0] = half_A_gn * (-BQ[0])
-        for kp, km in PAIRS:
-            unit = gc_p[kp] * inv_gn
-            o2[kp] = o2[km] = half_A_gn * (WQ[kp] * unit * unit - BQ[kp])
+        fst_new = None
+        if not csf:
+            # perturbation omega2: unit^2 is even under k -> opp(k) and
+            # W/B depend on |c| only, so o2 is IDENTICAL for the two
+            # directions of a pair — computed once per pair
+            A = (4.5 * sigma) * s_nu
+            half_A_gn = 0.5 * A * gn
+            o2 = [None] * 9
+            o2[0] = half_A_gn * (-BQ[0])
+            for kp, km in PAIRS:
+                unit = gc_p[kp] * inv_gn
+                o2[kp] = o2[km] = half_A_gn * (WQ[kp] * unit * unit
+                                               - BQ[kp])
+            o2r = o2b = o2
+        else:
+            # CSF curvature force (models.mrt_cg local_curvature/csf_eta,
+            # mrt_rayleigh_taylor.cpp:355-384): inward normal from the
+            # psi gradient, K from 5x5 stencils of the normal (chained
+            # replicate semantics — 4 halo rows + 1 streaming of the 8
+            # available), fst = -sigma/2 K grad(psi), and the
+            # colour-independent eta scaled per colour by A(1 - rlx/2)
+            nx = -(gpx * inv_gn)
+            ny = -(gpy * inv_gn)
+            dxnx, dynx = _corr5_multi(nx, (KX5, KY5), abs_iota, R, C,
+                                      row_edges=row_edges)
+            dxny, dyny = _corr5_multi(ny, (KX5, KY5), abs_iota, R, C,
+                                      row_edges=row_edges)
+            K = nx * ny * (dynx + dxny) - nx * nx * dyny - ny * ny * dxnx
+            fstx = (-0.5 * sigma) * (K * gpx)
+            fsty = (-0.5 * sigma) * (K * gpy)
+            fst_new = (fstx, fsty)
+            uFs3 = 3.0 * (ux * fstx + uy * fsty)
+            Fc_p = pair_cu(fstx, fsty)   # {kp: c_kp . fst}
+            o2r = [None] * 9
+            o2b = [None] * 9
+            eta0 = WQ[0] * (-uFs3)
+            o2r[0] = r_A_pref * eta0
+            o2b[0] = b_A_pref * eta0
+            for kp, km in PAIRS:
+                even = WQ[kp] * (9.0 * cu_p[kp] * Fc_p[kp] - uFs3)
+                odd = WQ[kp] * (3.0 * Fc_p[kp])
+                e_p = even + odd
+                e_m = even - odd
+                o2r[kp] = r_A_pref * e_p
+                o2r[km] = r_A_pref * e_m
+                o2b[kp] = b_A_pref * e_p
+                o2b[km] = b_A_pref * e_m
 
         # recolouring: guc flips sign with the direction while the phi
         # factor is shared, so kap(opp(k)) = -kap(k); the Guo source
@@ -345,7 +396,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             coll_r[k] = o3r
             coll_b[k] = o3b
 
-        total0 = rf[0] + r_o1[0] + bf[0] + b_o1[0] + 2.0 * o2[0]
+        total0 = rf[0] + r_o1[0] + o2r[0] + bf[0] + b_o1[0] + o2b[0]
         o3(0, total0, None,
            pref * (-uF3) * WQ[0] if pref is not None else None)
         for kp, km in PAIRS:
@@ -360,10 +411,14 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
                 odd_s = (pref * WQ[kp]) * (3.0 * cF)
                 src_p = even_s + odd_s
                 src_m = even_s - odd_s
-            tot_p = rf[kp] + r_o1[kp] + bf[kp] + b_o1[kp] + 2.0 * o2[kp]
-            tot_m = rf[km] + r_o1[km] + bf[km] + b_o1[km] + 2.0 * o2[km]
+            tot_p = rf[kp] + r_o1[kp] + o2r[kp] + bf[kp] + b_o1[kp] \
+                + o2b[kp]
+            tot_m = rf[km] + r_o1[km] + o2r[km] + bf[km] + b_o1[km] \
+                + o2b[km]
             o3(kp, tot_p, kap, src_p)
             o3(km, tot_m, -kap, src_m)
+        if csf:
+            return coll_r, coll_b, fst_new
         return coll_r, coll_b
 
     return collide
@@ -409,25 +464,38 @@ def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True):
 
 def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                     sigma: float, gravity=(0.0, 0.0), delta: float = 0.1,
-                    apply_gravity_source: bool = True, dtype=jnp.float32):
+                    apply_gravity_source: bool = True, dtype=jnp.float32,
+                    surface_tension: str = "perturbation"):
     """The per-slab MRT-CG step body, shared by the single-chip pipeline
-    and the sharded halo-input kernel: ``run(block (18, rows, C),
-    abs_iota, row_edges) -> (18, rows - 2*HALO, C)`` where abs_iota holds
+    and the sharded halo-input kernel: ``run(block (P, rows, C),
+    abs_iota, row_edges) -> (P, rows - 2*HALO, C)`` where abs_iota holds
     GLOBAL row indices (the row masks and replicate extractions are
     position-based, so the same body works on any shard given its
-    offset)."""
+    offset).  P = 18 for the perturbation mode; the CSF mode carries the
+    surface force as 2 extra planes (P = 20: the model's carried-u shift
+    uses the PREVIOUS step's fst, so it is state)."""
+    csf = surface_tension == "csf"
     collide = _make_collide(red, blue, sigma, gravity, delta,
-                            apply_gravity_source, R, C, dtype)
+                            apply_gravity_source, R, C, dtype,
+                            surface_tension=surface_tension)
 
     def run(block, abs_iota, row_edges):
         rf = [block[k] for k in range(9)]
         bf = [block[9 + k] for k in range(9)]
-        coll_r, coll_b = collide(rf, bf, abs_iota, row_edges=row_edges)
+        rows = block.shape[1]
+        if csf:
+            out = collide(rf, bf, abs_iota, row_edges=row_edges,
+                          fst=(block[18], block[19]))
+            coll_r, coll_b, fst_new = out
+        else:
+            coll_r, coll_b = collide(rf, bf, abs_iota,
+                                     row_edges=row_edges)
         new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
         new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
-        rows = block.shape[1]
-        return jnp.stack(
-            [p[HALO:rows - HALO] for p in new_r + new_b], axis=0)
+        planes = new_r + new_b
+        if csf:
+            planes = planes + [fst_new[0], fst_new[1]]  # carried, unstreamed
+        return jnp.stack([p[HALO:rows - HALO] for p in planes], axis=0)
 
     return run
 
@@ -475,3 +543,41 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
         return step(F.reshape(18, R, C)).reshape(2, 9, R, C)
 
     return wrapped
+
+
+def make_csf_fused_step(R: int, C: int, red: ColourParams,
+                        blue: ColourParams, sigma: float,
+                        gravity=(0.0, 0.0), delta: float = 0.1,
+                        apply_gravity_source: bool = True,
+                        dtype=jnp.float32, block_rows: int | None = None,
+                        interpret: bool = False):
+    """Fused MRT-CSF two-phase step: S (20, R, C) -> (20, R, C) with
+    S = [red f (9), blue f (9), fst (2)] — the CSF surface-force carry
+    makes the fused step exactly the jnp model's dataflow (the carried u
+    equals calc_u + 0.5 (Fg + fst_prev)/rho).  Validity: the chained
+    curvature stencils consume 4 halo rows + 1 for streaming of the 8
+    available."""
+    from .pipeline import make_block_pipeline, resolve_block_rows
+
+    block_rows = resolve_block_rows(
+        (20,), 20, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+    n_blocks = R // block_rows
+
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype,
+                          surface_tension="csf")
+
+    def body(block, abs_iota, i):
+        if n_blocks <= 2:
+            return run(block, abs_iota, True)
+        edge = (i == 0) | (i == n_blocks - 1)
+        return jax.lax.cond(
+            edge,
+            lambda bl, a: run(bl, a, True),
+            lambda bl, a: run(bl, a, False),
+            block, abs_iota)
+
+    return make_block_pipeline(20, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               vmem_budget=6 * 2 ** 20,
+                               flops_per_cell=2600, interpret=interpret)

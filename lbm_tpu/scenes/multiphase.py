@@ -402,12 +402,52 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
                             sigma: float = 1e-4,
                             gravity_magnitude: float = 6.25e-7,
                             snapshot_every: int | None = None,
+                            fused: bool | None = None,
                             dtype=None) -> MultiphaseResult:
     """CSF-curvature variant of the MRT colour-gradient RT.
     cites /root/reference/test/mrt_rayleigh_taylor.cpp:392-545 (interface
     sign +1, initial u = 0.5 Fg/red.rho_0, u shift includes the surface
-    force)."""
+    force).  ``fused`` (auto on TPU) runs the one-launch CSF kernel with
+    the surface-force carry (kernels.mrtcg_pallas.make_csf_fused_step)."""
     dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=R, cols=C)
+
+    if fused:
+        from ..kernels.mrtcg_pallas import make_csf_fused_step
+        from ..models.mrt_cg import ColourFields
+
+        step = make_csf_fused_step(
+            R, C, red, blue, sigma, (gravity_magnitude, 0.0),
+            dtype=jnp.float32)
+        r0 = init_rho_cosine(R, C, red.rho_0, True, 1.0)
+        b0 = init_rho_cosine(R, C, blue.rho_0, False, 1.0)
+        m = MRTCGModel(red=red, blue=blue, sigma=sigma,
+                       gravity=(gravity_magnitude, 0.0),
+                       boundary=mrtcg_boundary, surface_tension="csf")
+        st = m.init_state(r0, b0, dtype=jnp.float32)
+        S = jnp.concatenate([st.red.f, st.blue.f,
+                             jnp.zeros((2, R, C), jnp.float32)], axis=0)
+        chunk = jax.jit(
+            lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(20000, T - done)
+            S = chunk(S, n)
+            done += n
+        from ..ops import d2q9 as _d2q9
+
+        rf, bf, fst = S[:9], S[9:18], S[18:]
+        r_rho = rf.sum(0)
+        b_rho = bf.sum(0)
+        rho = r_rho + b_rho
+        fg = jnp.asarray([gravity_magnitude, 0.0], jnp.float32)
+        u = _d2q9.calc_u(rf + bf, rho) \
+            + 0.5 * (fg[:, None, None] + fst) / rho
+        state = TwoPhaseState(ColourFields(rf, r_rho),
+                              ColourFields(bf, b_rho), u)
+        return MultiphaseResult(state=state, steps=T, snapshots=None)
+
     model = MRTCGModel(
         red=red, blue=blue, sigma=sigma,
         gravity=(gravity_magnitude, 0.0),

@@ -48,3 +48,55 @@ def test_mrtcg_fused_matches_model_interpret():
     # macroscopic agreement (the reproduction bar that actually matters)
     np.testing.assert_allclose(got_r.sum(0), np.asarray(want.red.rho),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_csf_fused_matches_model_interpret():
+    """The CSF-mode fused kernel (20-plane state: populations + surface
+    -force carry) tracks the jnp MRTCGModel('csf') step over several
+    steps (f64, interpret).
+
+    Tolerance note: the CSF formulation itself (faithful to the
+    reference's WIP driver) is roundoff-chaotic — where grad(psi)
+    underflows, n = -grad/(1e-20+|grad|) is a noise direction, and the
+    curvature stencil reads those cells from interface-adjacent points,
+    so ANY reassociated evaluation differs at ~1e-7 in f (measured; K
+    differs a few % on the interface fringe).  The gate is therefore a
+    physical-agreement bound, not bit parity."""
+    from lbm_tpu.kernels.mrtcg_pallas import make_csf_fused_step
+    from lbm_tpu.ops import d2q9
+
+    R, C = 48, 128
+    model = MRTCGModel(
+        red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
+        gravity=(6.25e-7, 0.0), apply_gravity_source=True,
+        boundary=mrtcg_boundary, surface_tension="csf")
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, 1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, 1.0)
+    state = model.init_state(r0, b0, dtype=jnp.float64)
+    rho = state.red.rho + state.blue.rho
+    fg = jnp.asarray([6.25e-7, 0.0], jnp.float64)
+    u0 = d2q9.calc_u(state.red.f + state.blue.f, rho) \
+        + 0.5 * fg[:, None, None] / rho
+    state = TwoPhaseState(state.red, state.blue, u0)
+
+    step = make_csf_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE, 1e-4,
+                               (6.25e-7, 0.0), dtype=jnp.float64,
+                               block_rows=8, interpret=True)
+    S = jnp.concatenate([state.red.f, state.blue.f,
+                         jnp.zeros((2, R, C), jnp.float64)], axis=0)
+    for _ in range(4):
+        state = model.step(state)
+        S = step(S)
+    np.testing.assert_allclose(np.asarray(S[:9]), np.asarray(state.red.f),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(S[9:18]),
+                               np.asarray(state.blue.f), rtol=0, atol=1e-6)
+    # carried fst equals the model's u shift: u_model = calc_u + 0.5(Fg+fst)/rho
+    rho_n = S[:18].sum(0)
+    u_k = d2q9.calc_u(S[:9] + S[9:18], rho_n) \
+        + 0.5 * (fg[:, None, None] + S[18:]) / rho_n
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(state.u),
+                               rtol=0, atol=1e-6)
+    # mass is conserved exactly per colour by the recolouring split
+    np.testing.assert_allclose(float(S[:9].sum()),
+                               float(state.red.f.sum()), rtol=1e-12)
