@@ -246,7 +246,8 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                             apply_gravity_source: bool = True,
                             dtype=jnp.float32,
                             block_rows: int | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            surface_tension: str = "perturbation"):
     """The flagship MRT colour-gradient two-phase step, row-sharded over
     mesh axis 'x' with ppermute halo exchange feeding the fused kernel:
     F (2, 9, R, C) -> (2, 9, R, C), one ICI exchange per step (the body
@@ -256,11 +257,15 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
     global-position-based."""
     from .mrtcg_pallas import make_mrtcg_body
 
+    planes = 20 if surface_tension == "csf" else 18
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
-                          apply_gravity_source, dtype)
-    sharded = make_sharded_body_step(mesh, 18, R, C, run, dtype=dtype,
+                          apply_gravity_source, dtype,
+                          surface_tension=surface_tension)
+    sharded = make_sharded_body_step(mesh, planes, R, C, run, dtype=dtype,
                                      block_rows=block_rows,
                                      interpret=interpret)
+    if planes == 20:
+        return sharded  # (20, R, C) incl. the fst carry planes
 
     def wrapped(F):
         return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)

@@ -166,3 +166,39 @@ def test_sharded_kbc_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+@needs_8
+def test_sharded_csf_matches_single_chip():
+    """The CSF-mode two-phase kernel (20-plane state incl. the fst
+    carry) sharded over 8 ranks equals the single-chip fused kernel
+    (1e-13 in f64) over 2 steps."""
+    from lbm_tpu.kernels.mrtcg_pallas import make_csf_fused_step
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_mrtcg_step
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+
+    R, C = 192, 128
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64)
+    single = make_csf_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                 interpret=True, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded = make_sharded_mrtcg_step(m, R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                      interpret=True,
+                                      surface_tension="csf", **kw)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, 1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, 1.0)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64),
+                           jnp.ones((R, C)))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    S = jnp.concatenate([r0[None] * feq / tot, b0[None] * feq / tot,
+                         jnp.zeros((2, R, C), jnp.float64)], axis=0)
+    Ss = jax.device_put(
+        S, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", None)))
+    a, b = S, Ss
+    for _ in range(2):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)
