@@ -40,9 +40,10 @@ def main():
                     help="LBM steps per kernel launch (temporal blocking; "
                          "pallas impl only, 1..8)")
     ap.add_argument("--sharded", action="store_true",
-                    help="shard the grid over all devices (GSPMD jnp step; "
-                         "weak-scaling harness — needs a multi-chip slice "
-                         "to measure scaling, single chip here)")
+                    help="shard the grid over all devices via the "
+                         "production ppermute+Pallas kernel (or the GSPMD "
+                         "jnp step with --impl jnp); weak-scaling harness "
+                         "— needs a multi-chip slice to measure scaling)")
     args = ap.parse_args()
     if args.quick:
         args.rows, args.cols, args.steps = 1024, 1024, 400

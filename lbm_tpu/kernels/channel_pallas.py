@@ -185,15 +185,13 @@ def make_channel_variant_step(R: int, C: int, *, omega: float,
     """
     from .collide_stream import PAIR_KS, d2q9_pairs, pair_cu
     from .mrtcg_pallas import _edge_col
-    from .pipeline import make_block_pipeline, resolve_block_rows
+    from .pipeline import make_block_pipeline
 
     if col_walls not in (None, "bounce", "specular"):
         raise ValueError(col_walls)
     if row_walls not in (None, "bounce", "abb"):
         raise ValueError(row_walls)
     dt = jnp.dtype(dtype).type
-    block_rows = resolve_block_rows((9,), 9, R, C, dtype, 10 * 2 ** 20,
-                                    block_rows, allow_row_alias=False)
     has_force = force is not None
     fx, fy = (float(force[0]), float(force[1])) if has_force else (0.0, 0.0)
     pref = 1.0 - 0.5 * omega
@@ -322,4 +320,5 @@ def make_channel_variant_step(R: int, C: int, *, omega: float,
 
     return make_block_pipeline(9, R, C, body, dtype=dtype,
                                block_rows=block_rows,
+                               vmem_budget=10 * 2 ** 20,
                                flops_per_cell=100, interpret=interpret)

@@ -249,10 +249,13 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                             interpret: bool = False,
                             surface_tension: str = "perturbation"):
     """The flagship MRT colour-gradient two-phase step, row-sharded over
-    mesh axis 'x' with ppermute halo exchange feeding the fused kernel:
-    F (2, 9, R, C) -> (2, 9, R, C), one ICI exchange per step (the body
-    consumes 3 of the 8 halo rows: 2 for the 5x5 gradients + 1 for
-    streaming).  Matches the single-chip kernels.mrtcg_pallas step
+    mesh axis 'x' with ppermute halo exchange feeding the fused kernel.
+    Perturbation mode (default): F (2, 9, R, C) -> (2, 9, R, C), one ICI
+    exchange per step (3 of the 8 halo rows consumed: 2 for the 5x5
+    gradients + 1 for streaming).  ``surface_tension='csf'`` instead
+    steps the 20-plane state S (20, R, C) = [red f, blue f, fst carry]
+    of kernels.mrtcg_pallas.make_csf_fused_step (5 halo rows: the
+    chained curvature stencils).  Matches the single-chip kernels
     exactly: the body is shared (make_mrtcg_body) and all masks are
     global-position-based."""
     from .mrtcg_pallas import make_mrtcg_body

@@ -105,20 +105,7 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
                                        dtype=jnp.float32)
         f = _d.incomp_equilibrium(jnp.zeros((2, H, W), jnp.float32),
                                   jnp.ones((H, W), jnp.float32))
-        chunk = jax.jit(
-            lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-            static_argnums=1)
-        steps, old_mean = 0, 1.0
-        f = chunk(f, 1)
-        steps += 1
-        while steps < T:
-            mean = float(jnp.mean(_d.calc_momentum(f)[0]))
-            if old_mean != 0.0 and abs(mean / old_mean - 1.0) < 1e-12:
-                break
-            old_mean = mean
-            n = min(2000, T - steps)
-            f = chunk(f, n)
-            steps += n
+        f, steps = _fused_run(step, f, T, converge=True)
         rho = _d.calc_rho(f)
         u = _d.calc_momentum(f)
         return ChannelResult(f=f, rho=rho, u=u, steps=steps,

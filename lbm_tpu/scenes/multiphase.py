@@ -425,16 +425,36 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
                        gravity=(gravity_magnitude, 0.0),
                        boundary=mrtcg_boundary, surface_tension="csf")
         st = m.init_state(r0, b0, dtype=jnp.float32)
-        S = jnp.concatenate([st.red.f, st.blue.f,
-                             jnp.zeros((2, R, C), jnp.float32)], axis=0)
+        # seed the fst carry so the kernel's derived first-step velocity
+        # u = calc_u + 0.5 (Fg + fst)/rho equals the reference's scalar
+        # initial shift 0.5 Fg/red.rho_0 (mrt_rayleigh_taylor.cpp:464):
+        # fst0 = Fg (rho/red.rho_0 - 1)
+        rho0_mix = (st.red.rho + st.blue.rho)[None]
+        fg32 = jnp.asarray([gravity_magnitude, 0.0], jnp.float32)
+        fst0 = fg32[:, None, None] * (rho0_mix / red.rho_0 - 1.0)
+        S = jnp.concatenate([st.red.f, st.blue.f, fst0], axis=0)
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
-        done = 0
-        while done < T:
-            n = min(20000, T - done)
-            S = chunk(S, n)
-            done += n
+        snaps = None
+        if snapshot_every:
+            from ..models.mrt_cg import phase_field
+
+            frames = []
+            done = 0
+            while done < T:
+                n = min(snapshot_every, T - done)
+                S = chunk(S, n)
+                done += n
+                frames.append(np.asarray(phase_field(
+                    S[:9].sum(0), red.rho_0, S[9:18].sum(0), blue.rho_0)))
+            snaps = {"psi": np.stack(frames)}
+        else:
+            done = 0
+            while done < T:
+                n = min(20000, T - done)
+                S = chunk(S, n)
+                done += n
         from ..ops import d2q9 as _d2q9
 
         rf, bf, fst = S[:9], S[9:18], S[18:]
@@ -446,7 +466,7 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
             + 0.5 * (fg[:, None, None] + fst) / rho
         state = TwoPhaseState(ColourFields(rf, r_rho),
                               ColourFields(bf, b_rho), u)
-        return MultiphaseResult(state=state, steps=T, snapshots=None)
+        return MultiphaseResult(state=state, steps=T, snapshots=snaps)
 
     model = MRTCGModel(
         red=red, blue=blue, sigma=sigma,

@@ -19,10 +19,12 @@ import time
 CONFIGS = {
     "bgk": ["--model", "bgk", "--rows", "7936", "--cols", "128",
             "--steps", "800"],
-    "kbc": ["--model", "kbc", "--rows", "2048", "--cols", "1024",
-            "--steps", "400"],
-    "mrtcg": ["--model", "mrtcg", "--rows", "1024", "--cols", "512",
-              "--steps", "400"],
+    "kbc": ["--model", "kbc", "--rows", "3968", "--cols", "128",
+            "--steps", "1600"],
+    "mrtcg": ["--model", "mrtcg", "--rows", "2048", "--cols", "128",
+              "--steps", "800"],
+    "csf": ["--model", "csf", "--rows", "2048", "--cols", "128",
+            "--steps", "600"],
     "rk": ["--model", "rk", "--rows", "1024", "--cols", "256",
            "--steps", "600"],
     "cavity": ["--model", "cavity", "--rows", "512", "--cols", "512",
@@ -45,17 +47,22 @@ def main(argv):
     report = {}
     for name in names:
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, "bench.py"] + CONFIGS[name],
-            capture_output=True, text=True, timeout=1200)
-        dt = time.perf_counter() - t0
-        if proc.returncode:
-            print(f"[FAIL] {name}: rc={proc.returncode} "
-                  f"{proc.stderr.strip().splitlines()[-1] if proc.stderr else ''}",
-                  flush=True)
-            report[name] = {"error": proc.returncode}
+        try:
+            proc = subprocess.run(
+                [sys.executable, "bench.py"] + CONFIGS[name],
+                capture_output=True, text=True, timeout=1200)
+        except subprocess.TimeoutExpired:
+            print(f"[FAIL] {name}: timeout", flush=True)
+            report[name] = {"error": "timeout"}
             continue
-        row = json.loads(proc.stdout.strip().splitlines()[-1])
+        dt = time.perf_counter() - t0
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode or not lines:
+            tail = proc.stderr.strip().splitlines()[-1] if proc.stderr else ""
+            print(f"[FAIL] {name}: rc={proc.returncode} {tail}", flush=True)
+            report[name] = {"error": proc.returncode or "no output"}
+            continue
+        row = json.loads(lines[-1])
         print(f"[{name}] {row['value']} {row['unit']} "
               f"({row['vs_baseline']}x baseline, {dt:.0f}s)", flush=True)
         report[name] = row

@@ -184,7 +184,7 @@ def sharded():
     from lbm_tpu.scenes.multiphase import (
         DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
 
-    m = meshmod.make_mesh(shape=(1, 1))
+    m = meshmod.make_mesh(jax.devices()[:1], shape=(1, 1))
     R, C = 64, 256
     om = 1.0 / 0.8
     rng = np.random.default_rng(3)
