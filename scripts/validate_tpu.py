@@ -112,6 +112,20 @@ def rt_growth():
     check("rt_growth_interface_std", h.std(), 18.0, 40.0)
 
 
+def csf_growth():
+    """CSF-curvature RT (fused, auto): heavy fluid falls, interface
+    perturbation grows, fields stay finite over 6k steps."""
+    from lbm_tpu.scenes.multiphase import mrt_csf_rayleigh_taylor
+
+    r = mrt_csf_rayleigh_taylor(R=256, C=128, T=6000)
+    rho = np.asarray(r.state.red.rho)
+    assert np.isfinite(rho).all()
+    iface = (rho > 1.5).sum(axis=0).astype(np.float64)
+    check("csf_rt_interface_std", float(iface.std()), 2.0, 60.0)
+    check("csf_rt_mass_rel_drift",
+          abs(float(rho.sum()) / (128 * 128 * 3.0) - 1.0), 0.0, 0.05)
+
+
 def cavity():
     """Sub-critical ring cavity: steady anti-symmetric circulation."""
     from lbm_tpu.scenes import cavity as cav
@@ -238,8 +252,8 @@ def variants():
         check(f"variant_{scene.__name__}_maxdu", d, 0.0, gate)
 
 
-QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity",
-         "kbc", "sharded", "variants"]
+QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth",
+         "csf_growth", "cavity", "kbc", "sharded", "variants"]
 LONG = ["strouhal"]
 
 
