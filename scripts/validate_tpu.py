@@ -6,13 +6,14 @@ chip and checks the physics numbers recorded in the docstrings/README.
 Each check prints PASS/FAIL with the measured value; exit code 1 if any
 fail.
 
-    python scripts/validate_tpu.py              # the quick set (~2 min)
-    python scripts/validate_tpu.py all          # + the long checks (~10 min)
+    python scripts/validate_tpu.py              # the quick set (~4 min)
+    python scripts/validate_tpu.py all          # + the long checks (~15 min)
     python scripts/validate_tpu.py laplace strouhal   # pick checks
 
 Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity,
-kbc, sharded, variants
-Checks (long):  strouhal (200k-step shedding run)
+kbc, sharded
+Checks (long):  csf_growth, variants (channel-variant kernels vs jnp),
+strouhal (200k-step shedding run)
 """
 
 from __future__ import annotations
@@ -252,9 +253,9 @@ def variants():
         check(f"variant_{scene.__name__}_maxdu", d, 0.0, gate)
 
 
-QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth",
-         "csf_growth", "cavity", "kbc", "sharded", "variants"]
-LONG = ["strouhal"]
+QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity",
+         "kbc", "sharded"]
+LONG = ["csf_growth", "variants", "strouhal"]
 
 
 def main(argv):
