@@ -22,6 +22,7 @@ from ..boundary import bc
 from ..models.single_phase import SinglePhaseModel
 from ..ops import d2q9
 from ..utils.xmath import default_float, resolve_fused
+from ..utils import observe
 
 TAU_DEFAULT = math.sqrt(3.0 / 16.0) + 0.5  # cites horizontal_poiseuille_test.cpp:55
 
@@ -144,6 +145,7 @@ def _fused_run(step, f, T: int, converge: bool = False,
             n = min(20000, T - done)
             f = chunk(f, n)
             done += n
+            observe.check_finite(f, done)
         return f, T
     steps, old_mean = 0, 1.0
     f = chunk(f, 1)

@@ -129,6 +129,7 @@ def _run_chunks(model, state, T: int, snapshot_every: int | None,
         state = chunk(state, n)
         done += n
         meter.update(n)
+        observe.check_finite(state, done)
     return state, {k: np.stack(v) if v else None for k, v in snaps.items()}
 
 
@@ -408,7 +409,9 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
     cites /root/reference/test/mrt_rayleigh_taylor.cpp:392-545 (interface
     sign +1, initial u = 0.5 Fg/red.rho_0, u shift includes the surface
     force).  ``fused`` (auto on TPU) runs the one-launch CSF kernel with
-    the surface-force carry (kernels.mrtcg_pallas.make_csf_fused_step)."""
+    the surface-force carry (kernels.mrtcg_pallas.make_csf_fused_step).
+    Stability envelope (measured, fused f32, 256x128): finite through
+    50k steps with 0.4% mass drift and a developed interface."""
     dtype = default_float(dtype)
     fused = resolve_fused(fused, dtype, rows=R, cols=C)
 

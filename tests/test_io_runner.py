@@ -146,3 +146,17 @@ def test_orbax_checkpointer_roundtrip(tmp_path):
         {"f": jnp.zeros((4, 4)), "rho": jnp.zeros((4,))})
     assert step == 10
     np.testing.assert_allclose(np.asarray(restored["f"]), 7.0)
+
+
+def test_check_finite_watchdog():
+    """Failure detection: non-finite fields raise a diagnosable error
+    naming the step (SURVEY.md section 5.3 — absent in the reference)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lbm_tpu.utils import observe
+
+    observe.check_finite({"f": jnp.ones((4, 4))}, 100)  # fine
+    with pytest.raises(FloatingPointError, match="step 2000"):
+        observe.check_finite(
+            {"f": jnp.full((4, 4), jnp.nan)}, 2000)
