@@ -586,10 +586,18 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
 def csf_static_droplet(L: int = 100, T: int = 100, radius: float = 25.0,
                        sigma: float = 0.1,
                        snapshot_every: int | None = None,
+                       fused: bool | None = None,
                        dtype=None) -> MultiphaseResult:
     """Moment-space MRT + CSF static droplet (EXPERIMENTAL — the reference
     driver is unvalidated WIP; see models/mrt_csf_droplet.py notes.  For
     Laplace-law physics use mrtcg_static_droplet).
+
+    ``fused`` (auto on TPU, L%128==0) runs the one-launch kernel
+    (kernels.csf_droplet_pallas), which matches this model to 1e-13 in
+    f64.  Stability envelope (measured, L=128 f32, fused AND jnp agree):
+    the formulation itself goes non-finite between steps 50 and 100 —
+    consistent with its WIP status; the reference workload is T=100 at
+    L=100, and the f64 path conserves mass there (test_multiphase).
     Constants cite /root/reference/test/static_droplet_test.cpp:476-486:
     L=100, R=25, sigma=0.1, red/blue (rho_0=1, alpha=0.2, nu=0.1667,
     A=0.5, beta=+/-0.7), T=100 (:500), sharpness-2 sigmoid init (:413-430)."""
@@ -603,6 +611,32 @@ def csf_static_droplet(L: int = 100, T: int = 100, radius: float = 25.0,
                           sharpness=2.0)
     b0 = init_rho_droplet(L, L, blue.rho_0, inside=False, radius=radius,
                           sharpness=2.0)
+    fused = resolve_fused(fused, dtype, rows=L, cols=L)
+    if fused:
+        from ..kernels.csf_droplet_pallas import make_csf_droplet_fused_step
+        from ..models.mrt_csf_droplet import CSFColourFields, CSFState
+        from ..ops import d2q9 as _d2q9
+
+        step = make_csf_droplet_fused_step(L, L, red, blue, sigma,
+                                           dtype=jnp.float32)
+        st32 = model.init_state(r0, b0, dtype=jnp.float32)
+        S = jnp.concatenate([st32.red.f, st32.blue.f,
+                             jnp.zeros((2, L, L), jnp.float32)], axis=0)
+        chunk = jax.jit(
+            lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(snapshot_every or 20000, T - done)
+            S = chunk(S, n)
+            done += n
+        rf, bf, fs = S[:9], S[9:18], S[18:]
+        rho = rf.sum(0) + bf.sum(0)
+        u = _d2q9.calc_u(rf + bf, rho) + 0.5 * fs / rho[None]
+        state = CSFState(CSFColourFields(rf, rf.sum(0)),
+                         CSFColourFields(bf, bf.sum(0)), u)
+        return MultiphaseResult(state=state, steps=T, snapshots=None)
+
     state = model.init_state(r0, b0, dtype=dtype)
     record = {"rho": lambda s: s.red.rho + s.blue.rho,
               "psi": lambda s: (s.red.rho - s.blue.rho) / (s.red.rho + s.blue.rho)}

@@ -100,3 +100,35 @@ def test_csf_fused_matches_model_interpret():
     # mass is conserved exactly per colour by the recolouring split
     np.testing.assert_allclose(float(S[:9].sum()),
                                float(state.red.f.sum()), rtol=1e-12)
+
+
+def test_csf_droplet_fused_matches_model_interpret():
+    """The fused 3x3 CSF droplet kernel (moment-space MRT, thresholded
+    normal, fs carry) equals CSFDropletModel to f64 round-off — the
+    threshold makes this formulation well-conditioned, so unlike the RT
+    CSF mode bit-level agreement holds."""
+    from lbm_tpu.kernels.csf_droplet_pallas import (
+        make_csf_droplet_fused_step)
+    from lbm_tpu.models.mrt_csf_droplet import CSFColour, CSFDropletModel
+    from lbm_tpu.scenes.multiphase import init_rho_droplet
+
+    R, C = 48, 128
+    red = CSFColour(rho_0=1.0, alpha=0.92, nu=0.1667, A=1.0, beta=0.7)
+    blue = CSFColour(rho_0=1.0, alpha=0.2, nu=0.1667, A=1.0, beta=0.7)
+    model = CSFDropletModel(red=red, blue=blue, sigma=0.1, delta=0.1)
+    r0 = init_rho_droplet(R, C, red.rho_0, True, 10.0)
+    b0 = init_rho_droplet(R, C, blue.rho_0, False, 10.0)
+    state = model.init_state(r0, b0, dtype=jnp.float64)
+    step = make_csf_droplet_fused_step(R, C, red, blue, 0.1,
+                                       dtype=jnp.float64, block_rows=8,
+                                       interpret=True)
+    S = jnp.concatenate([state.red.f, state.blue.f,
+                         jnp.zeros((2, R, C), jnp.float64)], axis=0)
+    for _ in range(3):
+        state = model.step(state)
+        S = step(S)
+    np.testing.assert_allclose(np.asarray(S[:9]), np.asarray(state.red.f),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(S[9:18]),
+                               np.asarray(state.blue.f), rtol=0,
+                               atol=1e-13)
