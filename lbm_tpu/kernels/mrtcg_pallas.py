@@ -465,7 +465,8 @@ def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True):
 def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                     sigma: float, gravity=(0.0, 0.0), delta: float = 0.1,
                     apply_gravity_source: bool = True, dtype=jnp.float32,
-                    surface_tension: str = "perturbation"):
+                    surface_tension: str = "perturbation",
+                    substeps: int = 1):
     """The per-slab MRT-CG step body, shared by the single-chip pipeline
     and the sharded halo-input kernel: ``run(block (P, rows, C),
     abs_iota, row_edges) -> (P, rows - 2*HALO, C)`` where abs_iota holds
@@ -473,8 +474,17 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
     position-based, so the same body works on any shard given its
     offset).  P = 18 for the perturbation mode; the CSF mode carries the
     surface force as 2 extra planes (P = 20: the model's carried-u shift
-    uses the PREVIOUS step's fst, so it is state)."""
+    uses the PREVIOUS step's fst, so it is state).
+
+    ``substeps`` > 1 (perturbation mode only) applies that many full
+    collide-stream-BC sweeps per slab pass — communication-avoiding
+    temporal blocking for the sharded kernel (each sweep consumes 3 of
+    the 8 halo rows, so substeps <= 2)."""
     csf = surface_tension == "csf"
+    if not 1 <= substeps <= 2:
+        raise ValueError("substeps must be 1 or 2 (3 halo rows/sweep)")
+    if csf and substeps != 1:
+        raise ValueError("csf mode supports substeps=1 (5 halo rows/sweep)")
     collide = _make_collide(red, blue, sigma, gravity, delta,
                             apply_gravity_source, R, C, dtype,
                             surface_tension=surface_tension)
@@ -492,6 +502,13 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                                      row_edges=row_edges)
         new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
         new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
+        for _ in range(substeps - 1):
+            coll_r, coll_b = collide(new_r, new_b, abs_iota,
+                                     row_edges=row_edges)
+            new_r = _stream_with_bcs(coll_r, abs_iota, R, C,
+                                     row_edges=row_edges)
+            new_b = _stream_with_bcs(coll_b, abs_iota, R, C,
+                                     row_edges=row_edges)
         planes = new_r + new_b
         if csf:
             planes = planes + [fst_new[0], fst_new[1]]  # carried, unstreamed

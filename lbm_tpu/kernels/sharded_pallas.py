@@ -247,12 +247,14 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                             dtype=jnp.float32,
                             block_rows: int | None = None,
                             interpret: bool = False,
-                            surface_tension: str = "perturbation"):
+                            surface_tension: str = "perturbation",
+                            substeps: int = 1):
     """The flagship MRT colour-gradient two-phase step, row-sharded over
     mesh axis 'x' with ppermute halo exchange feeding the fused kernel.
     Perturbation mode (default): F (2, 9, R, C) -> (2, 9, R, C), one ICI
     exchange per step (3 of the 8 halo rows consumed: 2 for the 5x5
-    gradients + 1 for streaming).  ``surface_tension='csf'`` instead
+    gradients + 1 for streaming); ``substeps=2`` amortises one exchange
+    over two steps (communication-avoiding, 6 of 8 halo rows).  ``surface_tension='csf'`` instead
     steps the 20-plane state S (20, R, C) = [red f, blue f, fst carry]
     of kernels.mrtcg_pallas.make_csf_fused_step (5 halo rows: the
     chained curvature stencils).  Matches the single-chip kernels
@@ -263,7 +265,8 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
     planes = 20 if surface_tension == "csf" else 18
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
                           apply_gravity_source, dtype,
-                          surface_tension=surface_tension)
+                          surface_tension=surface_tension,
+                          substeps=substeps)
     sharded = make_sharded_body_step(mesh, planes, R, C, run, dtype=dtype,
                                      block_rows=block_rows,
                                      interpret=interpret)

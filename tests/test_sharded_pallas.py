@@ -202,3 +202,36 @@ def test_sharded_csf_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+@needs_8
+def test_sharded_mrtcg_temporal_blocking():
+    """substeps=2 per halo exchange equals two plain single-chip steps
+    (communication-avoiding multiphase: one ICI exchange per 2 steps)."""
+    from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_mrtcg_step
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+
+    R, C = 192, 128
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64)
+    single = make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   interpret=True, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded2 = make_sharded_mrtcg_step(m, R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                       interpret=True, substeps=2, **kw)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64),
+                           jnp.ones((R, C)))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    F = jnp.stack([r0[None] * feq / tot, b0[None] * feq / tot])
+    Fs = jax.device_put(
+        F, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, None, "x", None)))
+    got = sharded2(sharded2(Fs))               # 2 exchanges, 4 steps
+    want = F
+    for _ in range(4):
+        want = single(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                               atol=1e-13)
