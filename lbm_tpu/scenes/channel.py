@@ -340,3 +340,113 @@ def free_stream(H: int = 54, W: int = 42, T: int = 1000,
     f = jax.jit(model.run_chunk, static_argnums=1)(f, T)
     rho, u = model.macroscopics(f)
     return ChannelResult(f=f, rho=rho, u=u, steps=T)
+
+
+def horizontal_poiseuille_df64(H: int = 21, W: int = 21, T: int = 8301,
+                               u_max: float = 1.030985714e-1,
+                               tau: float = TAU_DEFAULT) -> ChannelResult:
+    """The reference's hard accuracy gate in double-single ("df64")
+    arithmetic (utils.df64): f64-class precision from f32 pairs, so the
+    L2 <= 1e-11 assert (horizontal_poiseuille_test.cpp:175) can run ON
+    the TPU, which has no native f64.  Same physics stack as
+    horizontal_poiseuille (incompressible equilibrium, pressure-drop
+    periodic rows, halfway bounce-back cols); every arithmetic op is an
+    error-free-transformation df64 op, streaming/selects act on the
+    (hi, lo) pair exactly."""
+    import numpy as np
+
+    from ..core import lattice as lat
+    from ..utils import df64 as df
+
+    omega = 1.0 / tau
+    nu = (2.0 * tau - 1.0) / 6.0
+    p_grad = 8.0 * nu * u_max / (W * W)
+    rho_outlet = 1.0
+    rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
+
+    w_dd = [df.from_f64(np.full((H, W), lat.W[k])) for k in range(9)]
+    om_dd = df.from_f64(np.full((H, W), omega))
+    one_m_om = df.from_f64(np.full((H, W), 1.0 - omega))
+    rho_in_dd = df.from_f64(np.full((1, W), rho_inlet))
+    rho_out_dd = df.from_f64(np.full((1, W), rho_outlet))
+    three = 3.0  # exact in f32
+    CXl = [int(v) for v in lat.C[0]]
+    CYl = [int(v) for v in lat.C[1]]
+    OPPl = [int(v) for v in lat.OPP]
+
+    def cu_k(k, ux, uy):
+        acc = None
+        if CXl[k] == 1:
+            acc = ux
+        elif CXl[k] == -1:
+            acc = df.neg(ux)
+        if CYl[k] == 1:
+            acc = uy if acc is None else df.add(acc, uy)
+        elif CYl[k] == -1:
+            acc = df.neg(uy) if acc is None else df.sub(acc, uy)
+        return acc
+
+    def step(f):
+        fs = [f[k] for k in range(9)]
+        rho = fs[0]
+        for k in range(1, 9):
+            rho = df.add(rho, fs[k])
+        ux = df.sub(df.add(df.add(fs[1], fs[5]), fs[8]),
+                    df.add(df.add(fs[3], fs[6]), fs[7]))
+        uy = df.sub(df.add(df.add(fs[2], fs[5]), fs[6]),
+                    df.add(df.add(fs[4], fs[7]), fs[8]))
+
+        feq, coll = [], []
+        for k in range(9):
+            cu = cu_k(k, ux, uy)
+            base = rho if cu is None else df.add(rho, df.scale(cu, three))
+            e = df.mul(w_dd[k], base)
+            feq.append(e)
+            coll.append(df.add(df.mul(one_m_om, fs[k]),
+                               df.mul(om_dd, e)))
+
+        # pressure-drop periodic rows (virtual inlet row 0 from row H-2,
+        # outlet row H-1 from row 1)
+        for k in range(9):
+            cu_out = cu_k(k, ux[:, H - 2:H - 1], uy[:, H - 2:H - 1])
+            cu_in = cu_k(k, ux[:, 1:2], uy[:, 1:2])
+            base_in = rho_in_dd if cu_out is None else df.add(
+                rho_in_dd, df.scale(cu_out, three))
+            base_out = rho_out_dd if cu_in is None else df.add(
+                rho_out_dd, df.scale(cu_in, three))
+            vin = df.add(df.mul(w_dd[k][:, :1], base_in),
+                         df.sub(coll[k][:, H - 2:H - 1],
+                                feq[k][:, H - 2:H - 1]))
+            vout = df.add(df.mul(w_dd[k][:, :1], base_out),
+                          df.sub(coll[k][:, 1:2], feq[k][:, 1:2]))
+            coll[k] = coll[k].at[:, 0:1].set(vin)
+            coll[k] = coll[k].at[:, H - 1:H].set(vout)
+
+        new = [jnp.roll(coll[k], (CXl[k], CYl[k]), (1, 2)) for k in range(9)]
+        for k in (2, 5, 6):      # outgoing at col W-1
+            new[OPPl[k]] = new[OPPl[k]].at[:, :, W - 1].set(
+                coll[k][:, :, W - 1])
+        for k in (4, 7, 8):      # outgoing at col 0
+            new[OPPl[k]] = new[OPPl[k]].at[:, :, 0].set(coll[k][:, :, 0])
+        return jnp.stack(new, axis=0)
+
+    # init: f = W rho at u=0, rho=1 (df64-exact weights)
+    f = jnp.stack([w_dd[k] for k in range(9)], axis=0)
+    chunk = jax.jit(
+        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+        static_argnums=1)
+    done = 0
+    while done < T:
+        n = min(2000, T - done)
+        f = chunk(f, n)
+        done += n
+
+    # macroscopics + L2 gate in host f64
+    f64 = np.asarray(f[:, 0], np.float64) + np.asarray(f[:, 1], np.float64)
+    rho = f64.sum(axis=0)
+    u = np.stack([
+        f64[1] + f64[5] + f64[8] - f64[3] - f64[6] - f64[7],
+        f64[2] + f64[5] + f64[6] - f64[4] - f64[7] - f64[8]])
+    l2 = poiseuille_l2(u[0], u_max)
+    return ChannelResult(f=f, rho=jnp.asarray(rho), u=jnp.asarray(u),
+                         steps=T, l2=l2)

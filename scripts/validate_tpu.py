@@ -10,8 +10,8 @@ fail.
     python scripts/validate_tpu.py all          # + the long checks (~15 min)
     python scripts/validate_tpu.py laplace strouhal   # pick checks
 
-Checks (quick): poiseuille, laplace, taylor_green, rt_growth, cavity,
-kbc, sharded
+Checks (quick): poiseuille, poiseuille_df64, laplace, taylor_green,
+rt_growth, cavity, kbc, sharded
 Checks (long):  csf_growth, variants (channel-variant kernels vs jnp),
 strouhal (200k-step shedding run)
 """
@@ -182,6 +182,16 @@ def strouhal():
     check("shedding_lift_rms", float(sig.std()), 0.02, 0.5)
 
 
+def poiseuille_df64():
+    """The reference's DOUBLE-precision gate (L2 <= 1e-11,
+    horizontal_poiseuille_test.cpp:175) run ON the TPU via df64
+    (f32-pair) arithmetic — utils.df64."""
+    from lbm_tpu.scenes.channel import horizontal_poiseuille_df64
+
+    r = horizontal_poiseuille_df64(T=8301)
+    check("poiseuille_df64_L2", float(r.l2), 0.0, 1e-11)
+
+
 def sharded():
     """The sharded fused kernels (Mosaic path, not interpret) are
     bit-identical to the single-chip kernels on a 1-rank mesh: same
@@ -253,8 +263,8 @@ def variants():
         check(f"variant_{scene.__name__}_maxdu", d, 0.0, gate)
 
 
-QUICK = ["poiseuille", "laplace", "taylor_green", "rt_growth", "cavity",
-         "kbc", "sharded"]
+QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
+         "rt_growth", "cavity", "kbc", "sharded"]
 LONG = ["csf_growth", "variants", "strouhal"]
 
 

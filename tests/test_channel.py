@@ -114,3 +114,32 @@ def test_channel_scene_fused_paths_match_jnp():
                 err_msg=scene.__name__)
     finally:
         channel_pallas.make_channel_variant_step = orig
+
+
+def test_df64_ops_accuracy():
+    """utils.df64: error-free-transformation ops reach ~2^-48 relative
+    accuracy from f32 pairs (CPU; VPU semantics are the same exact f32)."""
+    import numpy as np
+
+    from lbm_tpu.utils import df64 as df
+
+    rng = np.random.default_rng(9)
+    a64 = rng.uniform(0.5, 2.0, (64,))
+    b64 = rng.uniform(0.5, 2.0, (64,))
+    a, b = df.from_f64(a64), df.from_f64(b64)
+    for name, got, want in (
+            ("add", df.add(a, b), a64 + b64),
+            ("sub", df.sub(a, b), a64 - b64),
+            ("mul", df.mul(a, b), a64 * b64),
+            ("div", df.div(a, b), a64 / b64)):
+        err = np.abs(df.to_f64(got) - want) / np.abs(want)
+        assert err.max() < 1e-13, (name, err.max())
+
+
+def test_df64_poiseuille_gate():
+    """The reference's L2 <= 1e-11 Poiseuille assert passes in df64
+    (f32-pair) arithmetic — the path that runs the gate on TPU."""
+    from lbm_tpu.scenes import channel
+
+    r = channel.horizontal_poiseuille_df64(T=8301)
+    assert r.l2 <= 1e-11, r.l2
