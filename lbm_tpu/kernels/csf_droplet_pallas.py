@@ -27,17 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lattice as lat
 from ..ops.gradients import KERNEL_X3, KERNEL_Y3
 from .collide_stream import HALO, PAIR_KS, pair_cu
-from .mrtcg_pallas import _corr5_multi
+from .mrtcg_pallas import CX, CY, M_ROWS, MI_ROWS, WQ, _corr5_multi
 from .pipeline import make_block_pipeline, resolve_block_rows
-
-CX = tuple(int(v) for v in lat.C[0])
-CY = tuple(int(v) for v in lat.C[1])
-WQ = tuple(float(v) for v in lat.W)
-M_ROWS = tuple(tuple(float(v) for v in row) for row in lat.M_MRT)
-MI_ROWS = tuple(tuple(float(v) for v in row) for row in lat.MI_MRT)
 
 # 3x3 kernels zero-padded to 5x5 so _corr5_multi's grouped-row engine
 # evaluates them unchanged (outer-ring zeros -> only +-1 taps; replicate
@@ -77,7 +70,6 @@ def make_csf_droplet_fused_step(R: int, C: int, red, blue, sigma: float,
     """Fused CSF droplet step: S (20, R, C) -> (20, R, C).
     ``red``/``blue`` are models.mrt_csf_droplet.CSFColour."""
     from ..models.mrt_cg import RelaxationFunction
-    from ..models.rk_cg import rk_phi
 
     relax = RelaxationFunction.from_values(red.tau, blue.tau, delta)
     r0, b0 = float(red.rho_0), float(blue.rho_0)
@@ -88,7 +80,6 @@ def make_csf_droplet_fused_step(R: int, C: int, red, blue, sigma: float,
     r_acorr = 1.8 * red.alpha - 0.8
     b_acorr = 1.8 * blue.alpha - 0.8
     beta_r, beta_b = float(red.beta), float(blue.beta)
-    del rk_phi  # phi enters only via m_eq's alpha terms here
 
     block_rows = resolve_block_rows((20,), 20, R, C, dtype,
                                     6 * 2 ** 20, block_rows, False)

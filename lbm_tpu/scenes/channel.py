@@ -158,6 +158,7 @@ def _fused_run(step, f, T: int, converge: bool = False,
         n = min(interval, T - steps)
         f = chunk(f, n)
         steps += n
+        observe.check_finite(f, steps)
     return f, steps
 
 

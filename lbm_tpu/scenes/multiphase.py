@@ -449,6 +449,7 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
                 n = min(snapshot_every, T - done)
                 S = chunk(S, n)
                 done += n
+                observe.check_finite(S, done)
                 frames.append(np.asarray(phase_field(
                     S[:9].sum(0), red.rho_0, S[9:18].sum(0), blue.rho_0)))
             snaps = {"psi": np.stack(frames)}
@@ -458,6 +459,7 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
                 n = min(20000, T - done)
                 S = chunk(S, n)
                 done += n
+                observe.check_finite(S, done)
         from ..ops import d2q9 as _d2q9
 
         rf, bf, fst = S[:9], S[9:18], S[18:]
@@ -617,25 +619,35 @@ def csf_static_droplet(L: int = 100, T: int = 100, radius: float = 25.0,
         from ..models.mrt_csf_droplet import CSFColourFields, CSFState
         from ..ops import d2q9 as _d2q9
 
+        fdtype = dtype  # resolve_fused gated on f32 unless fused=True
         step = make_csf_droplet_fused_step(L, L, red, blue, sigma,
-                                           dtype=jnp.float32)
-        st32 = model.init_state(r0, b0, dtype=jnp.float32)
-        S = jnp.concatenate([st32.red.f, st32.blue.f,
-                             jnp.zeros((2, L, L), jnp.float32)], axis=0)
+                                           dtype=fdtype)
+        st_f = model.init_state(r0, b0, dtype=fdtype)
+        S = jnp.concatenate([st_f.red.f, st_f.blue.f,
+                             jnp.zeros((2, L, L), fdtype)], axis=0)
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
+        frames = {"rho": [], "psi": []} if snapshot_every else None
         done = 0
         while done < T:
+            if frames is not None and done % snapshot_every == 0:
+                dens = np.asarray(S[:9].sum(0) + S[9:18].sum(0))
+                diff = np.asarray(S[:9].sum(0) - S[9:18].sum(0))
+                frames["rho"].append(dens)
+                frames["psi"].append(diff / dens)
             n = min(snapshot_every or 20000, T - done)
             S = chunk(S, n)
             done += n
+            observe.check_finite(S, done)
         rf, bf, fs = S[:9], S[9:18], S[18:]
         rho = rf.sum(0) + bf.sum(0)
         u = _d2q9.calc_u(rf + bf, rho) + 0.5 * fs / rho[None]
         state = CSFState(CSFColourFields(rf, rf.sum(0)),
                          CSFColourFields(bf, bf.sum(0)), u)
-        return MultiphaseResult(state=state, steps=T, snapshots=None)
+        snaps = ({k: np.stack(v) for k, v in frames.items()}
+                 if frames else None)
+        return MultiphaseResult(state=state, steps=T, snapshots=snaps)
 
     state = model.init_state(r0, b0, dtype=dtype)
     record = {"rho": lambda s: s.red.rho + s.blue.rho,

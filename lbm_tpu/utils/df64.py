@@ -107,8 +107,3 @@ def div(a, b):
     q2 = r[0] / b[0]
     hi, lo = _quick_two_sum(q1, q2)
     return jnp.stack([hi, lo])
-
-
-def stack_planes(vals):
-    """[ (2,R,C) x 9 ] -> (9, 2, R, C)."""
-    return jnp.stack(vals, axis=0)

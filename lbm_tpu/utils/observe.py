@@ -86,20 +86,33 @@ def profile(trace_dir: str | None):
     logger.info(f"profiler trace written to {trace_dir}")
 
 
+import functools
+
+
+@functools.cache
+def _finite_checker():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def all_finite(state):
+        flags = [jnp.isfinite(leaf).all()
+                 for leaf in jax.tree.leaves(state)
+                 if hasattr(leaf, "dtype")
+                 and jnp.issubdtype(leaf.dtype, jnp.floating)]
+        return jnp.all(jnp.stack(flags)) if flags else jnp.bool_(True)
+
+    return all_finite
+
+
 def check_finite(state, step_count: int) -> None:
     """Failure detection the reference lacks (SURVEY.md section 5.3): raise
     with a diagnosable message the moment a chunk produces non-finite
     fields, naming the step count so a checkpointed run can be resumed
     from the last good state (io.checkpoint) with adjusted parameters.
-    Costs one jitted isfinite-reduce per chunk (amortised over >=1000
-    steps)."""
-    import jax
-    import jax.numpy as jnp
-
-    ok = all(bool(jnp.isfinite(leaf).all()) for leaf in jax.tree.leaves(state)
-             if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
-                                                          jnp.floating))
-    if not ok:
+    One jitted all-leaves isfinite reduce and one host sync per chunk
+    (amortised over >=1000 steps)."""
+    if not bool(_finite_checker()(state)):
         raise FloatingPointError(
             f"non-finite fields after step {step_count}: the run left the "
             "lattice stability envelope (see the scene docstring). Resume "
