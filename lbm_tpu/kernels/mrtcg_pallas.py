@@ -90,8 +90,18 @@ def _abs_row_val(x, abs_iota, abs_row: int):
     return jnp.sum(jnp.where(mask, x, 0.0), axis=0, keepdims=True)
 
 
+def _abs_col_val(x, col_iota, abs_col: int):
+    """(rows, 1) copy of the global column ``abs_col`` if present on this
+    shard (zeros otherwise — callers only use it under a matching mask).
+    Full-width masked reduce: under 2-D sharding the local lane position
+    of a global column is rank-dependent, so the 128-tile confinement of
+    _edge_col does not apply."""
+    mask = col_iota == abs_col
+    return jnp.sum(jnp.where(mask, x, 0.0), axis=1, keepdims=True)
+
+
 def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
-                 row_edges: bool = True):
+                 row_edges: bool = True, col_iota=None):
     """5x5 cross-correlations of ``x`` with each kernel in ``kerns``, with
     replicate padding on all four global edges, on a slab whose absolute row
     index is ``abs_iota`` (rows beyond the validity margin produce garbage
@@ -111,9 +121,16 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
     rolls + ~25 FMAs at the same 4 column shifts.
 
     Interior blocks pass row_edges=False and skip the edge-row
-    extractions and replicate selects entirely."""
-    rows = x.shape[0]
-    ci = _col_iota(x.shape)
+    extractions and replicate selects entirely.
+
+    ``col_iota`` (GLOBAL column indices, same shape as x) enables the
+    2-D-sharded mode: column rolls act on the local (halo-padded) width
+    while the replicate fixups compare against global columns — on
+    shards not containing a global column edge the fixup masks are empty
+    and the extractions reduce to zeros, exactly like the row logic."""
+    rows, width = x.shape
+    local_cols = col_iota is None
+    ci = _col_iota(x.shape) if local_cols else col_iota
 
     # ---- group kernel rows by direction (exact proportionality)
     bases, base_ids, plans = [], {}, []
@@ -136,13 +153,17 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
     used_db = sorted({b - 2 for base in bases for b in range(5) if base[b]})
     xs = {}
     if used_db != [0]:
-        left = _edge_col(x, 0, C)
-        right = _edge_col(x, C - 1, C)
+        if local_cols:
+            left = _edge_col(x, 0, C)
+            right = _edge_col(x, C - 1, C)
+        else:
+            left = _abs_col_val(x, ci, 0)
+            right = _abs_col_val(x, ci, C - 1)
     for db in used_db:
         if db == 0:
             xs[0] = x
         else:
-            t = pltpu.roll(x, (-db) % C, axis=1)
+            t = pltpu.roll(x, (-db) % width, axis=1)
             xs[db] = jnp.where(ci < -db, left, t) if db < 0 \
                 else jnp.where(ci >= C - db, right, t)
 
@@ -261,7 +282,8 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         assert r_eta[kp] == r_eta[km] and b_eta[kp] == b_eta[km]
         assert WQ[kp] == WQ[km] and BQ[kp] == BQ[km]
 
-    def collide(rf, bf, abs_iota, row_edges=True, fst=None):
+    def collide(rf, bf, abs_iota, row_edges=True, fst=None,
+                col_iota=None):
         r_rho = rf[0]
         b_rho = bf[0]
         for k in range(1, 9):
@@ -292,7 +314,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
 
         # gradients: phase field + per-colour correction fields
         gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C,
-                                row_edges=row_edges)
+                                row_edges=row_edges, col_iota=col_iota)
         gn = jnp.sqrt(gpx * gpx + gpy * gpy)
         inv_gn = 1.0 / (1e-20 + gn)
 
@@ -312,9 +334,9 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             qx = alpha_c * rho_k * ux
             qy = alpha_c * rho_k * uy
             dxqx = _corr5_multi(qx, (KX5,), abs_iota, R, C,
-                                row_edges=row_edges)[0]
+                                row_edges=row_edges, col_iota=col_iota)[0]
             dyqy = _corr5_multi(qy, (KY5,), abs_iota, R, C,
-                                row_edges=row_edges)[0]
+                                row_edges=row_edges, col_iota=col_iota)[0]
             c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
             c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
             return _mrt_omega1(df, c1, c7, s_nu), rho_k
@@ -347,9 +369,11 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             nx = -(gpx * inv_gn)
             ny = -(gpy * inv_gn)
             dxnx, dynx = _corr5_multi(nx, (KX5, KY5), abs_iota, R, C,
-                                      row_edges=row_edges)
+                                      row_edges=row_edges,
+                                      col_iota=col_iota)
             dxny, dyny = _corr5_multi(ny, (KX5, KY5), abs_iota, R, C,
-                                      row_edges=row_edges)
+                                      row_edges=row_edges,
+                                      col_iota=col_iota)
             K = nx * ny * (dynx + dxny) - nx * nx * dyny - ny * ny * dxnx
             fstx = (-0.5 * sigma) * (K * gpx)
             fsty = (-0.5 * sigma) * (K * gpy)
@@ -424,7 +448,8 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
     return collide
 
 
-def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True):
+def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True,
+                     col_iota=None):
     """Periodic streaming + the multiphase drivers' wall rules:
     cols periodic WITHOUT the diagonal row offset (rows 1..R-2), rows
     bounce-back.  cites mrtcg_rayleigh_taylor.cpp:495-533.
@@ -432,16 +457,21 @@ def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True):
     ``row_edges=False`` (interior blocks) skips the row bounce-back masks
     and the interior-rows restriction on the column repair: every slab row
     the kept interior can read from lies in [1, R-2] there, so the result
-    is identical where it matters."""
-    rows = coll[0].shape[0]
-    ci = _col_iota(coll[0].shape)
+    is identical where it matters.
+
+    ``col_iota`` (global column indices) enables the 2-D-sharded mode:
+    rolls act on the local padded width (the column halo strips supply
+    globally-correct neighbours at the seams) and the periodic column
+    repair masks compare against global columns."""
+    rows, width = coll[0].shape
+    ci = _col_iota(coll[0].shape) if col_iota is None else col_iota
     interior = ((abs_iota >= 1) & (abs_iota <= R - 2)) if row_edges else True
     out = [None] * 9
     col_rolled = [None] * 9
     for k in range(9):
         t = coll[k]
         if CY[k] != 0:
-            t = pltpu.roll(t, CY[k] % C, axis=1)
+            t = pltpu.roll(t, CY[k] % width, axis=1)
         col_rolled[k] = t
         if CX[k] != 0:
             t = pltpu.roll(t, CX[k] % rows, axis=0)
@@ -489,30 +519,39 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                             apply_gravity_source, R, C, dtype,
                             surface_tension=surface_tension)
 
-    def run(block, abs_iota, row_edges):
+    def run(block, abs_iota, row_edges, col_iota=None):
         rf = [block[k] for k in range(9)]
         bf = [block[9 + k] for k in range(9)]
         rows = block.shape[1]
         if csf:
             out = collide(rf, bf, abs_iota, row_edges=row_edges,
-                          fst=(block[18], block[19]))
+                          fst=(block[18], block[19]), col_iota=col_iota)
             coll_r, coll_b, fst_new = out
         else:
             coll_r, coll_b = collide(rf, bf, abs_iota,
-                                     row_edges=row_edges)
-        new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
-        new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
+                                     row_edges=row_edges,
+                                     col_iota=col_iota)
+        new_r = _stream_with_bcs(coll_r, abs_iota, R, C,
+                                 row_edges=row_edges, col_iota=col_iota)
+        new_b = _stream_with_bcs(coll_b, abs_iota, R, C,
+                                 row_edges=row_edges, col_iota=col_iota)
         for _ in range(substeps - 1):
             coll_r, coll_b = collide(new_r, new_b, abs_iota,
-                                     row_edges=row_edges)
+                                     row_edges=row_edges,
+                                     col_iota=col_iota)
             new_r = _stream_with_bcs(coll_r, abs_iota, R, C,
-                                     row_edges=row_edges)
+                                     row_edges=row_edges, col_iota=col_iota)
             new_b = _stream_with_bcs(coll_b, abs_iota, R, C,
-                                     row_edges=row_edges)
+                                     row_edges=row_edges, col_iota=col_iota)
         planes = new_r + new_b
         if csf:
             planes = planes + [fst_new[0], fst_new[1]]  # carried, unstreamed
-        return jnp.stack([p[HALO:rows - HALO] for p in planes], axis=0)
+        if col_iota is None:
+            return jnp.stack([p[HALO:rows - HALO] for p in planes], axis=0)
+        # 2-D sharded mode: trim the 128-lane column halos too
+        width = planes[0].shape[1]
+        return jnp.stack(
+            [p[HALO:rows - HALO, 128:width - 128] for p in planes], axis=0)
 
     return run
 

@@ -215,3 +215,222 @@ def make_sharded_fused_step_2d(mesh: Mesh, R: int, C: int, collide_fn,
         local_step, mesh=mesh,
         in_specs=P(None, "x", "y"), out_specs=P(None, "x", "y"),
         check_vma=False)
+
+
+def _body2d_kernel(offs_ref, rowpad_hbm, left_hbm, right_hbm, out_hbm, *,
+                   body_fn, planes, block_rows, n_blocks, C_loc, C_glob,
+                   dtype, row_edges):
+    """Generic 2-D-sharded slab kernel: like _kernel but with an
+    arbitrary position-masked body and scalar-prefetched GLOBAL row/col
+    offsets.  abs rows stay unwrapped (wall masks need true indices; the
+    crossing populations are overwritten); global columns are WRAPPED
+    (the column axis is periodic, so halo columns must carry their true
+    global index — see the csf_droplet_pallas lesson)."""
+    B = block_rows
+    W_pad = C_loc + 2 * CHALO
+    rows = B + 2 * HALO
+
+    def scoped(slab, obuf, in_sems, out_sems):
+        def start_in(slot, i):
+            start = pl.multiple_of(i * B, 8)
+            pltpu.make_async_copy(
+                left_hbm.at[:, pl.ds(start, rows), :],
+                slab.at[slot, :, :, 0:CHALO], in_sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                rowpad_hbm.at[:, pl.ds(start, rows), :],
+                slab.at[slot, :, :, CHALO:CHALO + C_loc],
+                in_sems.at[slot, 1]).start()
+            pltpu.make_async_copy(
+                right_hbm.at[:, pl.ds(start, rows), :],
+                slab.at[slot, :, :, CHALO + C_loc:W_pad],
+                in_sems.at[slot, 2]).start()
+
+        def wait_in(slot):
+            pltpu.make_async_copy(
+                left_hbm.at[:, pl.ds(0, rows), :],
+                slab.at[slot, :, :, 0:CHALO], in_sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                rowpad_hbm.at[:, pl.ds(0, rows), :],
+                slab.at[slot, :, :, CHALO:CHALO + C_loc],
+                in_sems.at[slot, 1]).wait()
+            pltpu.make_async_copy(
+                right_hbm.at[:, pl.ds(0, rows), :],
+                slab.at[slot, :, :, CHALO + C_loc:W_pad],
+                in_sems.at[slot, 2]).wait()
+
+        def dma_out(slot, i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], out_hbm.at[:, pl.ds(i * B, B), :],
+                out_sems.at[slot])
+
+        start_in(0, 0)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start_in(nxt, i + 1)
+
+            wait_in(slot)
+
+            @pl.when(i >= 2)
+            def _():
+                dma_out(slot, i - 2).wait()
+
+            shape = (rows, W_pad)
+            abs_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0) \
+                + (i * B - HALO) + offs_ref[0]
+            cj = jax.lax.broadcasted_iota(jnp.int32, shape, 1) \
+                + (offs_ref[1] - jnp.int32(CHALO))
+            Cg = jnp.int32(C_glob)
+            cj = jax.lax.rem(jax.lax.rem(cj, Cg) + Cg, Cg)
+            obuf[slot] = body_fn(slab[slot], abs_iota, row_edges,
+                                 col_iota=cj)
+
+            dma_out(slot, i).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+
+        @pl.when(n_blocks >= 2)
+        def _():
+            dma_out(jax.lax.rem(n_blocks - 2, 2), n_blocks - 2).wait()
+        dma_out(jax.lax.rem(n_blocks - 1, 2), n_blocks - 1).wait()
+
+    pl.run_scoped(
+        scoped,
+        slab=pltpu.VMEM((2, planes, rows, C_loc + 2 * CHALO), dtype),
+        obuf=pltpu.VMEM((2, planes, block_rows, C_loc), dtype),
+        in_sems=pltpu.SemaphoreType.DMA((2, 3)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def make_local_2d_body_step(planes: int, R_loc: int, C_loc: int, C_glob: int,
+                            body_fn, dtype=jnp.float32,
+                            block_rows: int | None = None,
+                            row_edges: bool = True,
+                            flops_per_cell: int = 2000,
+                            interpret: bool = False):
+    """2-D-sharded local sweep with an arbitrary position-masked body:
+    ``(offs (2,) i32 [row_off, col_off], rowpad (P, R_loc+16, C_loc),
+    left/right (P, R_loc+16, 128)) -> (P, R_loc, C_loc)``."""
+    if C_loc % 128 != 0:
+        raise ValueError("local cols must be a multiple of 128")
+    W_pad = C_loc + 2 * CHALO
+    if block_rows is None:
+        itemsize = jnp.dtype(dtype).itemsize
+        b = 64
+        while b > 8:
+            plane = (b + 2 * HALO) * W_pad * itemsize
+            vmem = 2 * (2 * planes * (b + 2 * HALO) * W_pad
+                        + planes * b * C_loc) * itemsize
+            if plane <= 256 * 1024 and vmem <= 10 * 2 ** 20 \
+                    and R_loc % b == 0:
+                break
+            b -= 8
+        block_rows = b
+    if R_loc % block_rows != 0:
+        raise ValueError(f"local rows {R_loc} not divisible by {block_rows}")
+    kernel = functools.partial(
+        _body2d_kernel, body_fn=body_fn, planes=planes,
+        block_rows=block_rows, n_blocks=R_loc // block_rows, C_loc=C_loc,
+        C_glob=C_glob, dtype=jnp.dtype(dtype).type, row_edges=row_edges)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=jax.ShapeDtypeStruct((planes, R_loc, C_loc), dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * R_loc * C_loc,
+            bytes_accessed=2 * planes * R_loc * C_loc
+            * jnp.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+
+def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
+                              sigma: float, gravity=(0.0, 0.0),
+                              delta: float = 0.1,
+                              apply_gravity_source: bool = True,
+                              dtype=jnp.float32,
+                              block_rows: int | None = None,
+                              interpret: bool = False):
+    """The flagship MRT-CG two-phase step sharded over BOTH mesh axes
+    (rows over 'x', cols over 'y') — the pod-scale decomposition:
+    F (2, 9, R, C) -> (2, 9, R, C), one two-phase halo exchange per step
+    (rows via ppermute over 'x', then 128-lane column strips of the
+    row-padded field over 'y'; corners ride the strips).  The body is
+    the shared make_mrtcg_body with GLOBAL row masks (walls) and WRAPPED
+    global column indices (periodic columns + replicate gradient edges).
+    Requires C - C/ny >= 2*CHALO so no global column appears twice in a
+    slab (the column analog of the row alias guard)."""
+    from .mrtcg_pallas import make_mrtcg_body
+
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    if R % nx or C % ny:
+        raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")
+    R_loc, C_loc = R // nx, C // ny
+    if ny < 2 or C - C_loc < 2 * CHALO:
+        raise ValueError(
+            f"need ny >= 2 and C - C/ny >= {2 * CHALO} (C={C}, ny={ny}): "
+            "otherwise a slab holds a global column twice and the masked "
+            "column extractions double-count — use "
+            "sharded_pallas.make_sharded_mrtcg_step for 1-D meshes")
+
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype)
+    mk = functools.partial(
+        make_local_2d_body_step, 18, R_loc, C_loc, C, run, dtype=dtype,
+        block_rows=block_rows, interpret=interpret)
+    inner_edge = mk(row_edges=True)
+    inner_int = mk(row_edges=False) if nx > 2 else None
+
+    def local_step(F_loc):
+        n_x = lax.axis_size("x")
+        n_y = lax.axis_size("y")
+        top_edge = F_loc[:, :HALO]
+        bot_edge = F_loc[:, -HALO:]
+        if n_x == 1:
+            halo_top, halo_bot = bot_edge, top_edge
+        else:
+            fwd = [(i, (i + 1) % n_x) for i in range(n_x)]
+            bwd = [(i, (i - 1) % n_x) for i in range(n_x)]
+            halo_top = lax.ppermute(bot_edge, "x", fwd)
+            halo_bot = lax.ppermute(top_edge, "x", bwd)
+        rowpad = jnp.concatenate([halo_top, F_loc, halo_bot], axis=1)
+        left_edge = rowpad[:, :, :CHALO]
+        right_edge = rowpad[:, :, -CHALO:]
+        if n_y == 1:
+            halo_left, halo_right = right_edge, left_edge
+        else:
+            fwd = [(i, (i + 1) % n_y) for i in range(n_y)]
+            bwd = [(i, (i - 1) % n_y) for i in range(n_y)]
+            halo_left = lax.ppermute(right_edge, "y", fwd)
+            halo_right = lax.ppermute(left_edge, "y", bwd)
+        rank_x = lax.axis_index("x")
+        offs = jnp.stack([(rank_x * R_loc).astype(jnp.int32),
+                          (lax.axis_index("y") * C_loc).astype(jnp.int32)])
+        if inner_int is None:
+            return inner_edge(offs, rowpad, halo_left, halo_right)
+        return lax.cond(
+            (rank_x == 0) | (rank_x == n_x - 1),
+            lambda o, f, l, r: inner_edge(o, f, l, r),
+            lambda o, f, l, r: inner_int(o, f, l, r),
+            offs, rowpad, halo_left, halo_right)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=P(None, "x", "y"), out_specs=P(None, "x", "y"),
+        check_vma=False)
+
+    def wrapped(F):
+        return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)
+
+    return wrapped
