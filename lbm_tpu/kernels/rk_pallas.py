@@ -31,7 +31,7 @@ NCY = tuple(float(v) for v in lat.NORM_C[1])
 def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
     gx, gy = float(gravity[0]), float(gravity[1])
 
-    def collide(planes, abs_iota, row_edges=True):
+    def collide(planes, abs_iota, row_edges=True, col_iota=None):
         f = [planes[k] for k in range(9)]
         r_rho = planes[9]
         b_rho = planes[10]
@@ -61,7 +61,7 @@ def _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta, gravity, R, C):
         # form to round-off (the jnp model keeps the literal form).
         a_frac = r_rho * inv_rho
         Fx, Fy = _corr5_multi(a_frac, (KX5, KY5), abs_iota, R, C,
-                              row_edges=row_edges)
+                              row_edges=row_edges, col_iota=col_iota)
         Fn = jnp.sqrt(Fx * Fx + Fy * Fy)
         inv_Fn = 1.0 / (Fn + 1e-20)
 
@@ -136,11 +136,14 @@ def make_rk_body(R: int, C: int, *, r_alpha, b_alpha, r_nu, b_nu, sigma,
     collide = _make_collide(r_alpha, b_alpha, r_nu, b_nu, sigma, beta,
                             gravity, R, C)
 
-    def run(block, abs_iota, row_edges):
+    def run(block, abs_iota, row_edges, col_iota=None):
         planes = [block[k] for k in range(11)]
-        coll_r, coll_b = collide(planes, abs_iota, row_edges=row_edges)
-        new_r = _stream_with_bcs(coll_r, abs_iota, R, C, row_edges=row_edges)
-        new_b = _stream_with_bcs(coll_b, abs_iota, R, C, row_edges=row_edges)
+        coll_r, coll_b = collide(planes, abs_iota, row_edges=row_edges,
+                                 col_iota=col_iota)
+        new_r = _stream_with_bcs(coll_r, abs_iota, R, C,
+                                 row_edges=row_edges, col_iota=col_iota)
+        new_b = _stream_with_bcs(coll_b, abs_iota, R, C,
+                                 row_edges=row_edges, col_iota=col_iota)
         r_rho_new = new_r[0]
         b_rho_new = new_b[0]
         for k in range(1, 9):
@@ -148,7 +151,11 @@ def make_rk_body(R: int, C: int, *, r_alpha, b_alpha, r_nu, b_nu, sigma,
             b_rho_new = b_rho_new + new_b[k]
         rows = block.shape[1]
         out = [new_r[k] + new_b[k] for k in range(9)] + [r_rho_new, b_rho_new]
-        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+        if col_iota is None:
+            return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+        width = out[0].shape[1]
+        return jnp.stack(
+            [p[HALO:rows - HALO, 128:width - 128] for p in out], axis=0)
 
     return run
 

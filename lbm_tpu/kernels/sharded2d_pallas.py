@@ -355,6 +355,29 @@ def make_local_2d_body_step(planes: int, R_loc: int, C_loc: int, C_glob: int,
     )
 
 
+def make_sharded2d_rk_step(mesh: Mesh, R: int, C: int, *, r_alpha,
+                           b_alpha, r_nu, b_nu, sigma, beta: float = 0.7,
+                           gravity=(0.0, 0.0), dtype=jnp.float32,
+                           block_rows: int | None = None,
+                           interpret: bool = False):
+    """The RK mixture step sharded over both mesh axes: S (11, R, C) ->
+    (11, R, C); same scheme and guards as make_sharded2d_mrtcg_step."""
+    from .rk_pallas import make_rk_body
+
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    if R % nx or C % ny:
+        raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")
+    R_loc, C_loc = R // nx, C // ny
+    if ny < 2 or C - C_loc < 2 * CHALO:
+        raise ValueError(
+            f"need ny >= 2 and C - C/ny >= {2 * CHALO} (C={C}, ny={ny}); "
+            "use sharded_pallas.make_sharded_rk_step for 1-D meshes")
+    run = make_rk_body(R, C, r_alpha=r_alpha, b_alpha=b_alpha, r_nu=r_nu,
+                       b_nu=b_nu, sigma=sigma, beta=beta, gravity=gravity)
+    return _sharded2d_wrap(mesh, 11, R_loc, C_loc, C, run, dtype,
+                           block_rows, interpret)
+
+
 def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                               sigma: float, gravity=(0.0, 0.0),
                               delta: float = 0.1,
@@ -386,9 +409,25 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
                           apply_gravity_source, dtype)
+    sharded = _sharded2d_wrap(mesh, 18, R_loc, C_loc, C, run, dtype,
+                              block_rows, interpret)
+
+    def wrapped(F):
+        return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)
+
+    return wrapped
+
+
+def _sharded2d_wrap(mesh: Mesh, planes: int, R_loc: int, C_loc: int,
+                    C_glob: int, run, dtype, block_rows, interpret):
+    """shard_map driver shared by the 2-D multiphase factories: two-phase
+    halo exchange (rows over 'x', then 128-lane column strips of the
+    row-padded field over 'y'), scalar global offsets, edge/interior row
+    variants."""
+    nx = mesh.shape["x"]
     mk = functools.partial(
-        make_local_2d_body_step, 18, R_loc, C_loc, C, run, dtype=dtype,
-        block_rows=block_rows, interpret=interpret)
+        make_local_2d_body_step, planes, R_loc, C_loc, C_glob, run,
+        dtype=dtype, block_rows=block_rows, interpret=interpret)
     inner_edge = mk(row_edges=True)
     inner_int = mk(row_edges=False) if nx > 2 else None
 
@@ -425,12 +464,7 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
             lambda o, f, l, r: inner_int(o, f, l, r),
             offs, rowpad, halo_left, halo_right)
 
-    sharded = jax.shard_map(
+    return jax.shard_map(
         local_step, mesh=mesh,
         in_specs=P(None, "x", "y"), out_specs=P(None, "x", "y"),
         check_vma=False)
-
-    def wrapped(F):
-        return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)
-
-    return wrapped

@@ -122,3 +122,39 @@ def test_sharded2d_mrtcg_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+def test_sharded2d_rk_matches_single_chip():
+    """The RK mixture kernel 2-D sharded over a 4x2 mesh equals the
+    single-chip fused kernel (1e-13, f64) over 2 steps."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lbm_tpu.kernels.rk_pallas import make_rk_fused_step
+    from lbm_tpu.kernels.sharded2d_pallas import make_sharded2d_rk_step
+    from lbm_tpu.parallel import mesh as meshmod
+    from lbm_tpu.scenes.multiphase import init_rho_cosine
+    from lbm_tpu.ops import d2q9
+
+    R, C = 96, 512
+    m = meshmod.make_mesh(shape=(4, 2))
+    kw = dict(r_alpha=11.0 / 15.0, b_alpha=0.2, r_nu=0.04, b_nu=0.04,
+              sigma=0.1, beta=0.7, gravity=(-6.25e-6, 0.0))
+    single = make_rk_fused_step(R, C, dtype=jnp.float64, interpret=True,
+                                **kw)
+    sharded = make_sharded2d_rk_step(m, R, C, dtype=jnp.float64,
+                                     interpret=True, **kw)
+    r0 = jnp.asarray(init_rho_cosine(R, C, 3.0, False, 1.0))
+    b0 = jnp.asarray(init_rho_cosine(R, C, 1.0, True, 1.0))
+    f0 = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64), r0 + b0)
+    S = jnp.concatenate([f0, r0[None], b0[None]], axis=0)
+    Ss = jax.device_put(
+        S, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", "y")))
+    a, b = S, Ss
+    for _ in range(2):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)
