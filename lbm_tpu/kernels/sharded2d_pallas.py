@@ -384,7 +384,8 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                               apply_gravity_source: bool = True,
                               dtype=jnp.float32,
                               block_rows: int | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              substeps: int = 1):
     """The flagship MRT-CG two-phase step sharded over BOTH mesh axes
     (rows over 'x', cols over 'y') — the pod-scale decomposition:
     F (2, 9, R, C) -> (2, 9, R, C), one two-phase halo exchange per step
@@ -408,7 +409,7 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
             "sharded_pallas.make_sharded_mrtcg_step for 1-D meshes")
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
-                          apply_gravity_source, dtype)
+                          apply_gravity_source, dtype, substeps=substeps)
     sharded = _sharded2d_wrap(mesh, 18, R_loc, C_loc, C, run, dtype,
                               block_rows, interpret)
 

@@ -158,3 +158,40 @@ def test_sharded2d_rk_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+def test_sharded2d_mrtcg_temporal_blocking():
+    """substeps=2 per 2-D halo exchange equals two plain single-chip
+    steps (one rows+cols exchange per 2 multiphase steps)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
+    from lbm_tpu.kernels.sharded2d_pallas import make_sharded2d_mrtcg_step
+    from lbm_tpu.parallel import mesh as meshmod
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+    from lbm_tpu.ops import d2q9
+
+    R, C = 96, 512
+    m = meshmod.make_mesh(shape=(4, 2))
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64)
+    single = make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   interpret=True, **kw)
+    sharded2 = make_sharded2d_mrtcg_step(m, R, C, DEFAULT_RED,
+                                         DEFAULT_BLUE, interpret=True,
+                                         substeps=2, **kw)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64),
+                           jnp.ones((R, C)))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    F = jnp.stack([r0[None] * feq / tot, b0[None] * feq / tot])
+    Fs = jax.device_put(
+        F, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, None, "x", "y")))
+    got = sharded2(Fs)
+    want = single(single(F))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                               atol=1e-13)
