@@ -1,15 +1,22 @@
-"""Throughput benchmark: fused D2Q9 BGK collide-stream, MLUPS per chip.
+"""Throughput benchmark: fused D2Q9 collide-stream kernels, MLUPS per chip.
 
 The reference publishes no performance numbers (SURVEY.md section 6); the
 driver-set target is >= 2000 MLUPS/chip for the fused collide-stream kernel
 (BASELINE.md).  Prints exactly ONE JSON line to stdout; all diagnostics go
 to stderr.
+
+By default the driver-recorded number (``value``) is measured on a
+REPRESENTATIVE wide grid (4096x2048) and the tuned tall-narrow geometry
+(7936x128 — column rolls confined to one 128-lane tile) is reported
+alongside as ``value_peak``, so the headline is unambiguous about shape
+generality.  Passing --rows/--cols explicitly benches just that geometry.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 import time
 
@@ -18,46 +25,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    # default geometry: tall-narrow at C=128 — column rolls stay within one
-    # 128-lane tile and the 496-row blocks fill the 256 KiB Mosaic plane
-    # ceiling, minimising temporal-blocking halo redundancy (measured
-    # 33.7 GLUPS here vs 21.5 at 7168x512 vs 14.7 at 4096x2048)
-    ap.add_argument("--rows", type=int, default=7936)
-    ap.add_argument("--cols", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=800)
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--quick", action="store_true", help="small grid, few steps")
-    ap.add_argument("--model", default="bgk",
-                    choices=["bgk", "kbc", "mrtcg", "csf", "rk",
-                             "cavity", "cylinder", "sediment"],
-                    help="collision family / fused scene kernel to benchmark")
-    ap.add_argument("--impl", default="auto",
-                    choices=["auto", "jnp", "pallas"],
-                    help="step implementation: XLA-fused jnp or Pallas kernel")
-    ap.add_argument("--substeps", type=int, default=8,
-                    help="LBM steps per kernel launch (temporal blocking; "
-                         "pallas impl only, 1..8)")
-    ap.add_argument("--sharded", action="store_true",
-                    help="shard the grid over all devices via the "
-                         "production ppermute+Pallas kernel (or the GSPMD "
-                         "jnp step with --impl jnp); weak-scaling harness "
-                         "— needs a multi-chip slice to measure scaling)")
-    args = ap.parse_args()
-    if args.quick:
-        args.rows, args.cols, args.steps = 1024, 1024, 400
-
+def build_step(args, H, W):
+    """Build (step_fn, initial_state, impl, substeps) for one geometry."""
     import jax
     import jax.numpy as jnp
 
     from lbm_tpu.ops import d2q9
 
     dtype = jnp.dtype(args.dtype)
-    H, W = args.rows, args.cols
-    log(f"devices: {jax.devices()}")
-    log(f"grid {H}x{W}, {args.steps} steps, {args.dtype}, impl={args.impl}")
-
     omega = 1.0 / 0.8
 
     def jnp_step(f):
@@ -68,8 +43,6 @@ def main():
 
     impl = args.impl
     step = jnp_step
-    if args.model != "bgk" and args.sharded:
-        ap.error("--sharded currently benchmarks the bgk model only")
 
     rho0 = jnp.ones((H, W), dtype)
     u0 = jnp.zeros((2, H, W), dtype).at[0].set(0.05)
@@ -140,8 +113,8 @@ def main():
     elif args.model == "cavity":
         from lbm_tpu.kernels.cavity_pallas import make_cavity_fused_step
 
-        L = min(args.rows, args.cols)
-        if args.rows != args.cols:
+        L = min(H, W)
+        if H != W:
             log(f"cavity kernel is square; using {L}x{L}")
         H = W = L
         step = make_cavity_fused_step(L, omega=omega, force=1e-5,
@@ -159,8 +132,8 @@ def main():
         fused = make_cylinder_fused_step(H, W, 1.0 / 0.55, dtype=dtype)
         kforce = make_ibm_forcing_step(H, W, ib, dtype=dtype)
         if kforce is None:
-            ap.error("cylinder bench: marker window does not fit this "
-                     "grid; pick rows/cols >= 256")
+            raise SystemExit("cylinder bench: marker window does not fit "
+                             "this grid; pick rows/cols >= 256")
 
         def step(c):
             g, F = c
@@ -214,13 +187,22 @@ def main():
         f = meshmod.shard_state(m, f)
         log(f"sharded over mesh {m.devices.shape} ({n_dev} devices, {impl})")
 
+    substeps = args.substeps if (impl == "pallas"
+                                 and args.model in ("bgk", "kbc")) else 1
+    return step, f, impl, substeps, H, W
+
+
+def measure(args, H, W):
+    """Bench one geometry; returns (median marginal MLUPS, impl)."""
+    import jax
+
+    step, f, impl, substeps, H, W = build_step(args, H, W)
+    log(f"grid {H}x{W}, {args.steps} steps, {args.dtype}, impl={impl}")
+
     chunk = jax.jit(
         lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
         static_argnums=1,
     )
-
-    substeps = args.substeps if (impl == "pallas"
-                                 and args.model in ("bgk", "kbc")) else 1
 
     def timed(n):
         """Full round-trip with a forced scalar read: through the axon relay
@@ -243,7 +225,6 @@ def main():
     # than fall back to a launch-overhead-polluted end-to-end rate.  One
     # computed rescale (vs repeated x4) keeps it to a single extra
     # compile pair through the slow relay.
-    import math
     if dt_probe < 0.1 and n_full < 500000:
         scale = max(2, math.ceil(0.12 / max(dt_probe, 1e-3)))
         scale = min(scale, max(2, 500000 // n_full))
@@ -275,17 +256,75 @@ def main():
         # end-to-end rate instead of a meaningless difference
         marginal = H * W * n_full * substeps / dt_full / 1e6
         log("marginal window under noise floor; using end-to-end rate")
-    log(f"median marginal {marginal:.0f} MLUPS ({impl})")
-    mlups = marginal
+    log(f"median marginal {marginal:.0f} MLUPS ({impl}) at {H}x{W}")
+    return marginal, impl
+
+
+# (wide representative, tall-narrow peak) default geometries per model.
+# Multiphase/stencil kernels use smaller trip-count-friendly grids so the
+# two-geometry default run stays under the relay's launch ceiling.
+WIDE_GRID = (4096, 2048)
+PEAK_GRID = (7936, 128)
+PEAK_GRID_STENCIL = (2048, 128)  # 128-lane tile confinement, stencil models
+WIDE_GRID_STENCIL = (1024, 512)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=None,
+                    help="explicit geometry (disables the two-grid default)")
+    ap.add_argument("--cols", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--quick", action="store_true", help="small grid, few steps")
+    ap.add_argument("--model", default="bgk",
+                    choices=["bgk", "kbc", "mrtcg", "csf", "rk",
+                             "cavity", "cylinder", "sediment"],
+                    help="collision family / fused scene kernel to benchmark")
+    ap.add_argument("--impl", default="auto",
+                    choices=["auto", "jnp", "pallas"],
+                    help="step implementation: XLA-fused jnp or Pallas kernel")
+    ap.add_argument("--substeps", type=int, default=8,
+                    help="LBM steps per kernel launch (temporal blocking; "
+                         "pallas impl only, 1..8)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard the grid over all devices via the "
+                         "production ppermute+Pallas kernel (or the GSPMD "
+                         "jnp step with --impl jnp); weak-scaling harness "
+                         "— needs a multi-chip slice to measure scaling)")
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    if args.model != "bgk" and args.sharded:
+        ap.error("--sharded currently benchmarks the bgk model only")
+
+    stencil = args.model in ("mrtcg", "csf", "rk")
+    if args.quick:
+        args.rows, args.cols, args.steps = 1024, 1024, 400
+    if args.rows is not None or args.cols is not None:
+        wide = (args.rows or 1024, args.cols or 1024)
+        peak = None  # explicit geometry: single measurement
+    else:
+        wide = WIDE_GRID_STENCIL if stencil else WIDE_GRID
+        peak = PEAK_GRID_STENCIL if stencil else PEAK_GRID
 
     baseline = 2000.0  # BASELINE.md north star, MLUPS/chip
-    print(json.dumps({
+    mlups, impl = measure(args, *wide)
+    record = {
         "metric": args.model + "_d2q9_collide_stream_mlups_" + impl
                   + ("_sharded" if args.sharded else ""),
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / baseline, 3),
-    }))
+        "grid": f"{wide[0]}x{wide[1]}",
+    }
+    if peak is not None:
+        mlups_peak, _ = measure(args, *peak)
+        record["value_peak"] = round(mlups_peak, 1)
+        record["grid_peak"] = f"{peak[0]}x{peak[1]}"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
 WQ = tuple(float(v) for v in lat.W)
 HALO = 8  # sublane-aligned halo depth (Mosaic requires 8-row alignment)
+CHALO = 128  # lane-aligned column halo width (2-D sharded kernels)
 
 
 # opposite-direction pairs (kp, km) with c_km = -c_kp; the single source

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import lattice as lat
 from ..core.params import ColourParams
 from ..ops.gradients import KERNEL_X5, KERNEL_Y5
-from .collide_stream import HALO
+from .collide_stream import CHALO, HALO
 
 CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
@@ -548,10 +548,11 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
             planes = planes + [fst_new[0], fst_new[1]]  # carried, unstreamed
         if col_iota is None:
             return jnp.stack([p[HALO:rows - HALO] for p in planes], axis=0)
-        # 2-D sharded mode: trim the 128-lane column halos too
+        # 2-D sharded mode: trim the lane-aligned column halos too
         width = planes[0].shape[1]
         return jnp.stack(
-            [p[HALO:rows - HALO, 128:width - 128] for p in planes], axis=0)
+            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in planes],
+            axis=0)
 
     return run
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lattice as lat
-from .collide_stream import HALO
+from .collide_stream import CHALO, HALO
 from .mrtcg_pallas import KX5, KY5, _corr5_multi, _stream_with_bcs
 
 CX = tuple(int(v) for v in lat.C[0])
@@ -155,7 +155,7 @@ def make_rk_body(R: int, C: int, *, r_alpha, b_alpha, r_nu, b_nu, sigma,
             return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
         width = out[0].shape[1]
         return jnp.stack(
-            [p[HALO:rows - HALO, 128:width - 128] for p in out], axis=0)
+            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in out], axis=0)
 
     return run
 

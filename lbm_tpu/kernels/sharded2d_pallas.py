@@ -36,9 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .collide_stream import CX, CY, HALO
-
-CHALO = 128  # lane-aligned column halo width
+from .collide_stream import CHALO, CX, CY, HALO
 
 
 def _stream_slab_padded(coll, W_pad, rows):
@@ -142,12 +140,20 @@ def make_local_2d_step(R_loc: int, C_loc: int, collide_fn, dtype=jnp.float32,
         raise ValueError("local cols must be a multiple of 128")
     if block_rows is None:
         itemsize = jnp.dtype(dtype).itemsize
+
+        def fits(b):
+            return (b + 2 * HALO) * (C_loc + 2 * CHALO) * itemsize \
+                <= 256 * 1024
         b = 128
         while b > 8:
-            plane = (b + 2 * HALO) * (C_loc + 2 * CHALO) * itemsize
-            if plane <= 256 * 1024 and R_loc % b == 0:
+            if fits(b) and R_loc % b == 0:
                 break
             b //= 2
+        if not fits(b):  # fall-through guard: fail clean, not in Mosaic
+            raise ValueError(
+                f"no block_rows fits the 256 KiB plane ceiling for "
+                f"{C_loc} local cols (+{2 * CHALO} halo) {jnp.dtype(dtype)}; "
+                "shard the column axis more finely")
         block_rows = b
     if R_loc % block_rows != 0:
         raise ValueError(f"local rows {R_loc} not divisible by {block_rows}")
@@ -322,15 +328,25 @@ def make_local_2d_body_step(planes: int, R_loc: int, C_loc: int, C_glob: int,
     W_pad = C_loc + 2 * CHALO
     if block_rows is None:
         itemsize = jnp.dtype(dtype).itemsize
-        b = 64
-        while b > 8:
+
+        def fits(b):
             plane = (b + 2 * HALO) * W_pad * itemsize
             vmem = 2 * (2 * planes * (b + 2 * HALO) * W_pad
                         + planes * b * C_loc) * itemsize
-            if plane <= 256 * 1024 and vmem <= 10 * 2 ** 20 \
-                    and R_loc % b == 0:
+            return plane <= 256 * 1024 and vmem <= 10 * 2 ** 20
+        b = 64
+        while b > 8:
+            if fits(b) and R_loc % b == 0:
                 break
             b -= 8
+        # the loop falls through to b=8 for wide C_loc; re-check the
+        # Mosaic plane/VMEM ceilings there so an oversized slab raises a
+        # clean ValueError instead of a Mosaic compile failure
+        if not fits(b):
+            raise ValueError(
+                f"no block_rows fits the VMEM budget for {planes} planes x "
+                f"{C_loc} local cols (+{2 * CHALO} halo) {jnp.dtype(dtype)}; "
+                "shard the column axis more finely")
         block_rows = b
     if R_loc % block_rows != 0:
         raise ValueError(f"local rows {R_loc} not divisible by {block_rows}")

@@ -87,9 +87,9 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
         from ..kernels.cavity_pallas import make_cavity_fused_step
 
         kstep = make_cavity_fused_step(L, omega=omega, force=force,
-                                       dtype=jnp.float32)
-        f = d2q9.equilibrium(jnp.zeros((2, L, L), jnp.float32),
-                             jnp.ones((L, L), jnp.float32))
+                                       dtype=dtype)
+        f = d2q9.equilibrium(jnp.zeros((2, L, L), dtype),
+                             jnp.ones((L, L), dtype))
         chunk = jax.jit(
             lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: kstep(x), s),
             static_argnums=1)
@@ -100,7 +100,7 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
             done += n
         rho = d2q9.calc_rho(f)
         return CavityResult(f=f, rho=rho, u=d2q9.calc_u(f, rho), steps=T)
-    fg = jnp.asarray([force, 0.0])
+    fg = jnp.asarray([force, 0.0], dtype)
     frows = slice(a + 5, a + 55)
     fcols = slice(0, a)
     block = _block_wall_assignments(L)

@@ -103,9 +103,9 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
         from ..ops import d2q9 as _d
 
         step = make_channel_fused_step(H, W, omega, rho_inlet, rho_outlet,
-                                       dtype=jnp.float32)
-        f = _d.incomp_equilibrium(jnp.zeros((2, H, W), jnp.float32),
-                                  jnp.ones((H, W), jnp.float32))
+                                       dtype=dtype)
+        f = _d.incomp_equilibrium(jnp.zeros((2, H, W), dtype),
+                                  jnp.ones((H, W), dtype))
         f, steps = _fused_run(step, f, T, converge=True)
         rho = _d.calc_rho(f)
         u = _d.calc_momentum(f)
@@ -133,9 +133,13 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
 
 
 def _fused_run(step, f, T: int, converge: bool = False,
-               tolerance: float = 1e-12, interval: int = 2000):
+               tolerance: float = 1e-12, interval: int = 100):
     """Run a fused one-launch step T times (chunked), optionally stopping
-    on the reference's relative-mean-ux convergence test."""
+    on the reference's relative-mean-ux convergence test.  ``interval``
+    defaults to the reference's 100-step cadence
+    (horizontal_poiseuille_test.cpp:113-126) so the converged ``steps``
+    count matches the jnp path's; raise it to trade fidelity of the stop
+    step for fewer host syncs on the TPU."""
     chunk = jax.jit(
         lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
         static_argnums=1)
@@ -183,9 +187,9 @@ def vertical_poiseuille(H: int = 51, W: int = 51, T: int = 10000,
         step = make_channel_variant_step(
             H, W, omega=omega, incompressible=False,
             pressure=(rho_inlet, rho_outlet, 1), row_walls="bounce",
-            dtype=jnp.float32)
-        f = d2q9.equilibrium(jnp.zeros((2, H, W), jnp.float32),
-                             jnp.ones((H, W), jnp.float32))
+            dtype=dtype)
+        f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype),
+                             jnp.ones((H, W), dtype))
         f, steps = _fused_run(step, f, T)
         rho = d2q9.calc_rho(f)
         return ChannelResult(f=f, rho=rho, u=d2q9.calc_u(f, rho),
@@ -227,9 +231,9 @@ def gravity_channel(H: int = 21, W: int = 21, T: int = 10000,
         step = make_channel_variant_step(
             H, W, omega=omega, incompressible=True,
             pressure=(1.0, 1.0, 0), force=(fg, 0.0), col_walls="bounce",
-            dtype=jnp.float32)
-        f = d2q9.incomp_equilibrium(jnp.zeros((2, H, W), jnp.float32),
-                                    jnp.ones((H, W), jnp.float32))
+            dtype=dtype)
+        f = d2q9.incomp_equilibrium(jnp.zeros((2, H, W), dtype),
+                                    jnp.ones((H, W), dtype))
         f, steps = _fused_run(step, f, T, converge=True,
                               tolerance=tolerance, interval=100)
         rho = d2q9.calc_rho(f)
@@ -276,9 +280,9 @@ def specular_channel(H: int = 51, W: int = 51, T: int = 10000,
         step = make_channel_variant_step(
             H, W, omega=omega, incompressible=False,
             pressure=(rho_inlet, 1.0, 0), col_walls="specular",
-            dtype=jnp.float32)
-        f = d2q9.equilibrium(jnp.zeros((2, H, W), jnp.float32),
-                             jnp.ones((H, W), jnp.float32))
+            dtype=dtype)
+        f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype),
+                             jnp.ones((H, W), dtype))
         f, steps = _fused_run(step, f, T)
         rho = d2q9.calc_rho(f)
         return ChannelResult(f=f, rho=rho, u=d2q9.calc_u(f, rho),
@@ -310,7 +314,7 @@ def free_stream(H: int = 54, W: int = 42, T: int = 1000,
     cites /root/reference/test/free_stream_test.cpp:75-135."""
     dtype = default_float(dtype)
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
-    u_w = jnp.asarray([u_stream, 0.0])
+    u_w = jnp.asarray([u_stream, 0.0], dtype)
 
     if fused:
         from ..kernels.channel_pallas import make_channel_variant_step
@@ -318,9 +322,9 @@ def free_stream(H: int = 54, W: int = 42, T: int = 1000,
         step = make_channel_variant_step(
             H, W, omega=omega, incompressible=True, row_walls="abb",
             abb_u=(u_stream, 0.0), col_walls="specular",
-            dtype=jnp.float32)
-        u0 = jnp.zeros((2, H, W), jnp.float32).at[0].set(u_stream)
-        f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), jnp.float32))
+            dtype=dtype)
+        u0 = jnp.zeros((2, H, W), dtype).at[0].set(u_stream)
+        f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
         f, steps = _fused_run(step, f, T)
         rho = d2q9.calc_rho(f)
         return ChannelResult(f=f, rho=rho, u=d2q9.calc_momentum(f),

@@ -47,9 +47,9 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
         from ..kernels.channel_pallas import make_channel_fused_step
 
         step = make_channel_fused_step(H, W, omega, rho_inlet, rho_outlet,
-                                       dtype=jnp.float32, family="kbc")
-        f = model.equilibrium(jnp.ones((H, W), jnp.float32),
-                              jnp.zeros((2, H, W), jnp.float32))
+                                       dtype=dtype, family="kbc")
+        f = model.equilibrium(jnp.ones((H, W), dtype),
+                              jnp.zeros((2, H, W), dtype))
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
@@ -144,8 +144,8 @@ def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
     if fused:
         from ..kernels.collide_stream import make_kbc_fused_step
 
-        step = make_kbc_fused_step(H, W, omega, jnp.float32)
-        g = f.astype(jnp.float32)
+        step = make_kbc_fused_step(H, W, omega, dtype)
+        g = f.astype(dtype)
         chunk = jax.jit(
             lambda x, n: jax.lax.fori_loop(0, n, lambda _, y: step(y), x),
             static_argnums=1)

@@ -13,7 +13,8 @@ def test_kbc_fused_matches_model():
     s2 = 1.0 / 0.9
     m0 = jnp.ones((R, C), jnp.float32)
     u = jnp.zeros((2, R, C), jnp.float32).at[0].set(
-        0.02 * jnp.sin(jnp.linspace(0, 6.28, C))[None, :])
+        (0.02 * jnp.sin(jnp.linspace(0, 6.28, C))[None, :])
+        .astype(jnp.float32))
     f = kbc.equilibrium(m0, u).astype(jnp.float32)
     # perturb so gamma is nontrivial
     f = f + 1e-3 * jnp.asarray(
