@@ -158,6 +158,32 @@ class SimulationParams:
 
 
 @dataclass(frozen=True)
+class PhysicalConfig:
+    """The complete physical-units [flow]/[lattice]/[simulation] bundle the
+    reference's single-phase drivers parse at startup
+    (/root/reference/test/free_stream_test.cpp:23-36,
+    test/cylinder_test.cpp argv handling, src/params.cpp:7-120).
+
+    ``simulation`` is None when the TOML lacks a [simulation] table — the
+    reference's own shipped parameters.toml does (SURVEY.md section 5.6), and
+    its drivers would throw; scenes fall back to their keyword defaults for
+    T / snapshot cadence instead."""
+
+    flow: FlowParams
+    lattice: LatticeParams
+    simulation: SimulationParams | None
+
+    @classmethod
+    def load(cls, path: str) -> "PhysicalConfig":
+        tbl = load_toml(path)
+        flow = FlowParams.from_toml(tbl)
+        lattice = LatticeParams.from_toml(tbl, flow)
+        simulation = (SimulationParams.from_toml(tbl, lattice)
+                      if "simulation" in tbl else None)
+        return cls(flow=flow, lattice=lattice, simulation=simulation)
+
+
+@dataclass(frozen=True)
 class DomainParams:
     """Lattice-units [domain] table.  cites /root/reference/test/mrtcg_static_droplet.cpp:103-117"""
 

@@ -103,6 +103,8 @@ def main(argv=None):
         formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("scene", choices=sorted(SCENES))
     ap.add_argument("--config", help="TOML config (scenes that accept one)")
+    ap.add_argument("--markers", help="IBM marker TOML (cylinder_flow), the "
+                    "reference's second argv file (cylinder_test.cpp:27-28)")
     ap.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="override a scene keyword, e.g. --set T=1000")
     ap.add_argument("--out", default=None, help="output prefix for .npy dumps")
@@ -123,11 +125,17 @@ def main(argv=None):
     import inspect
 
     kwargs = {}
+    params = inspect.signature(SCENES[args.scene]).parameters
     if args.config:
-        if "config_path" in inspect.signature(SCENES[args.scene]).parameters:
+        if "config_path" in params:
             kwargs["config_path"] = args.config
         else:
             ap.error(f"scene {args.scene} does not take --config")
+    if args.markers:
+        if "markers_path" in params:
+            kwargs["markers_path"] = args.markers
+        else:
+            ap.error(f"scene {args.scene} does not take --markers")
     for item in args.set:
         key, _, val = item.partition("=")
         try:

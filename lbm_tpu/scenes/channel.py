@@ -34,6 +34,68 @@ class ChannelResult:
     u: jnp.ndarray
     steps: int
     l2: float | None = None
+    snapshots: dict | None = None
+
+
+class SnapshotRecorder:
+    """Accumulates the reference drivers' per-snapshot fields at the
+    [simulation] cadence (the reference snapshots when ``sp.snapshot(t)``,
+    i.e. t %% snapshot_steps == 0, including t=0 —
+    free_stream_test.cpp:79-88, cylinder_test.cpp:90-101), optionally
+    streaming to disk via io.snapshots.SnapshotWriter instead of host RAM.
+
+    ``fields(state) -> {name: array}`` extracts the recorded fields from
+    whatever the scene's step carry is."""
+
+    def __init__(self, cadence: int, fields, prefix: str | None = None):
+        self.cadence = cadence
+        self.fields = fields
+        self.frames: dict[str, list] = {}
+        self.writer = None
+        if prefix:
+            from ..io.snapshots import SnapshotWriter
+
+            self.writer = SnapshotWriter(prefix)
+
+    def record(self, state) -> None:
+        for name, arr in self.fields(state).items():
+            if self.writer:
+                self.writer.append(name, arr)
+            else:
+                self.frames.setdefault(name, []).append(np.asarray(arr))
+
+    def run(self, chunk, state, T: int):
+        """Advance ``state`` for T steps via ``chunk(state, n)``, recording
+        before every ``cadence``-step chunk (so samples land exactly at the
+        reference's t %% cadence == 0 instants, t=0 included)."""
+        done = 0
+        while done < T:
+            self.record(state)
+            n = min(self.cadence, T - done)
+            state = chunk(state, n)
+            done += n
+            observe.check_finite(state, done)
+        return state
+
+    def result(self) -> dict | None:
+        if self.writer:
+            self.writer.close()
+            return None
+        return {k: np.stack(v) for k, v in self.frames.items() if v}
+
+
+def single_phase_fields(incompressible: bool = True):
+    """The single-phase drivers' snapshot triple: ux, uy, ps = rho/3
+    (free_stream_test.cpp:142-145 saves rhos/3.0 as the pressure field;
+    cylinder_test.cpp records calc_u's u = momentum/rho while free_stream
+    records calc_incomp_u's plain momentum)."""
+
+    def fields(f):
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_momentum(f) if incompressible else d2q9.calc_u(f, rho)
+        return {"ux": u[0], "uy": u[1], "ps": rho / 3.0}
+
+    return fields
 
 
 def poiseuille_analytic(W: int, u_max: float) -> np.ndarray:
@@ -308,10 +370,33 @@ def specular_channel(H: int = 51, W: int = 51, T: int = 10000,
 
 def free_stream(H: int = 54, W: int = 42, T: int = 1000,
                 u_stream: float = 0.1, omega: float = 1.0 / 0.55,
+                config_path: str | None = None,
+                snapshot_prefix: str | None = None,
                 fused: bool | None = None,
                 dtype=None) -> ChannelResult:
     """Uniform stream preserved by ABB inlet/outlet + specular side walls.
-    cites /root/reference/test/free_stream_test.cpp:75-135."""
+    cites /root/reference/test/free_stream_test.cpp:75-135.
+
+    ``config_path`` drives the scene from a physical-units
+    [flow]/[lattice]/[simulation] TOML exactly like the reference driver
+    (free_stream_test.cpp:23-36): grid H=lattice.X, W=lattice.Y, omega from
+    the relaxation time, T = simulation.total_steps, and (ux, uy, ps=rho/3)
+    snapshots at the simulation.snapshot_steps cadence, returned in
+    ``result.snapshots`` (or streamed to ``snapshot_prefix``).  The stream
+    velocity stays 0.1 — the reference driver hardcodes it (:52, :66)
+    rather than using lattice.u."""
+    recorder = None
+    if config_path is not None:
+        from ..core.params import PhysicalConfig
+
+        cfg = PhysicalConfig.load(config_path)
+        H, W = cfg.lattice.X, cfg.lattice.Y
+        omega = cfg.lattice.omega
+        if cfg.simulation is not None:
+            T = cfg.simulation.total_steps
+            recorder = SnapshotRecorder(cfg.simulation.snapshot_steps,
+                                        single_phase_fields(True),
+                                        snapshot_prefix)
     dtype = default_float(dtype)
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
     u_w = jnp.asarray([u_stream, 0.0], dtype)
@@ -325,10 +410,18 @@ def free_stream(H: int = 54, W: int = 42, T: int = 1000,
             dtype=dtype)
         u0 = jnp.zeros((2, H, W), dtype).at[0].set(u_stream)
         f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
-        f, steps = _fused_run(step, f, T)
+        if recorder is not None:
+            chunk = jax.jit(
+                lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+                static_argnums=1)
+            f = recorder.run(chunk, f, T)
+            steps = T
+        else:
+            f, steps = _fused_run(step, f, T)
         rho = d2q9.calc_rho(f)
         return ChannelResult(f=f, rho=rho, u=d2q9.calc_momentum(f),
-                             steps=steps)
+                             steps=steps,
+                             snapshots=recorder.result() if recorder else None)
 
     model = SinglePhaseModel(
         omega=omega,
@@ -342,9 +435,14 @@ def free_stream(H: int = 54, W: int = 42, T: int = 1000,
     )
     u0 = jnp.zeros((2, H, W), dtype=dtype).at[0].set(u_stream)
     f = model.init(H, W, dtype=dtype, u0=u0)
-    f = jax.jit(model.run_chunk, static_argnums=1)(f, T)
+    chunk = jax.jit(model.run_chunk, static_argnums=1)
+    if recorder is not None:
+        f = recorder.run(chunk, f, T)
+    else:
+        f = chunk(f, T)
     rho, u = model.macroscopics(f)
-    return ChannelResult(f=f, rho=rho, u=u, steps=T)
+    return ChannelResult(f=f, rho=rho, u=u, steps=T,
+                         snapshots=recorder.result() if recorder else None)
 
 
 def horizontal_poiseuille_df64(H: int = 21, W: int = 21, T: int = 8301,

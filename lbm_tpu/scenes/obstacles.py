@@ -33,6 +33,7 @@ class CylinderResult:
     surface_force: jnp.ndarray  # (2,) total force on the body
     steps: int
     forces: object = None   # (T//record_every, 2) series when recorded
+    snapshots: dict | None = None
 
 
 def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
@@ -40,6 +41,10 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                   n_markers: int = 64, u_stream: float = 0.05,
                   omega: float = 1.0 / 0.55,
                   ibm: IBM | None = None,
+                  config_path: str | None = None,
+                  markers_path: str | None = None,
+                  marker_name: str = "cylinder-a",
+                  snapshot_prefix: str | None = None,
                   fused: bool | None = None,
                   interpret: bool = False,
                   guo_coeffs: tuple = _WEAK_GUO,
@@ -72,7 +77,28 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
     reference quirk, cylinder_test.cpp:66-67); with the standard
     ``guo_coeffs=(3, 9)`` shedding self-sustains at constant amplitude
     with Strouhal = 0.176 — literature 0.16-0.17 at this Re, shifted up
-    by the 12.5%% blockage."""
+    by the 12.5%% blockage.
+
+    ``config_path`` + ``markers_path`` drive the scene exactly like the
+    reference driver's two TOML argv files (cylinder_test.cpp:24-38,
+    :63, :75-77): grid H=lattice.X, W=lattice.Y, u_stream=lattice.u,
+    omega from the relaxation time, markers from [marker_name].x/.y
+    (src/ibm.cpp ctor schema), T = simulation.total_steps, and
+    (ux, uy, ps, surface_force, forces) snapshots at the
+    simulation.snapshot_steps cadence in ``result.snapshots``."""
+    snap_cadence = None
+    if config_path is not None:
+        from ..core.params import PhysicalConfig
+
+        cfg = PhysicalConfig.load(config_path)
+        H, W = cfg.lattice.X, cfg.lattice.Y
+        u_stream = cfg.lattice.u
+        omega = cfg.lattice.omega
+        if cfg.simulation is not None:
+            T = cfg.simulation.total_steps
+            snap_cadence = cfg.simulation.snapshot_steps
+    if markers_path is not None and ibm is None:
+        ibm = IBM.from_toml(markers_path, marker_name)
     dtype = default_float(dtype)
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
     ib = ibm or IBM.circle(center[0], center[1], radius, n_markers)
@@ -80,6 +106,23 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
 
     r0, r1 = ib.roi_rows
     c0, c1 = ib.roi_cols
+
+    def _make_recorder(unpack):
+        # reference snapshot set: ux, uy (calc_u), ps = rho/3, the surface
+        # force and the ROI force field, all sampled BEFORE the step
+        # (cylinder_test.cpp:90-101, :168-174 saves rhos/3.0)
+        if snap_cadence is None:
+            return None
+        from .channel import SnapshotRecorder
+
+        def fields(carry):
+            f, Fw, Fs = unpack(carry)
+            rho = d2q9.calc_rho(f)
+            u = d2q9.calc_u(f, rho)
+            return {"ux": u[0], "uy": u[1], "ps": rho / 3.0,
+                    "surface_force": Fs, "forces": Fw}
+
+        return SnapshotRecorder(snap_cadence, fields, snapshot_prefix)
 
     if fused:
         from ..kernels.cylinder_pallas import make_cylinder_fused_step
@@ -118,6 +161,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
         f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), jnp.float32))
         carry = (f, jnp.zeros((2, H, W), jnp.float32))
         forces = None
+        recorder = None
         if record_every:
             # record the surface force every k steps in-device (lax.scan);
             # one host transfer per launch chunk
@@ -148,18 +192,25 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                 lambda c, n: jax.lax.fori_loop(
                     0, n, lambda _, x: fused_step(x), c),
                 static_argnums=1)
-            done = 0
-            while done < T:
-                n = min(20000, T - done)
-                carry = chunk(carry, n)
-                done += n
+            recorder = _make_recorder(lambda c: (
+                c[0], c[1][:, r0:r1, c0:c1],
+                c[1][:, r0:r1, c0:c1].sum(axis=(1, 2))))
+            if recorder is not None:
+                carry = recorder.run(chunk, carry, T)
+            else:
+                done = 0
+                while done < T:
+                    n = min(20000, T - done)
+                    carry = chunk(carry, n)
+                    done += n
         f, F_full = carry
         F = F_full[:, r0:r1, c0:c1]
         F_s = F.sum(axis=(1, 2))
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
         return CylinderResult(f=f, rho=rho, u=u, F_roi=F, surface_force=F_s,
-                              steps=T, forces=forces)
+                              steps=T, forces=forces,
+                              snapshots=recorder.result() if recorder else None)
 
     def step(carry):
         f, _F, _Fs = carry
@@ -193,15 +244,21 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
         static_argnums=1,
     )
     carry = (f, F0, Fs0)
-    done = 0
-    while done < T:
-        n = min(2000, T - done)
-        carry = chunk(carry, n)
-        done += n
+    recorder = _make_recorder(lambda c: c)
+    if recorder is not None:
+        carry = recorder.run(chunk, carry, T)
+    else:
+        done = 0
+        while done < T:
+            n = min(2000, T - done)
+            carry = chunk(carry, n)
+            done += n
     f, F, F_s = carry
     rho = d2q9.calc_rho(f)
     u = d2q9.calc_u(f, rho)
-    return CylinderResult(f=f, rho=rho, u=u, F_roi=F, surface_force=F_s, steps=T)
+    return CylinderResult(f=f, rho=rho, u=u, F_roi=F, surface_force=F_s,
+                          steps=T,
+                          snapshots=recorder.result() if recorder else None)
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +315,7 @@ class SedimentationResult:
     u: jnp.ndarray
     C: jnp.ndarray
     steps: int
+    snapshots: dict | None = None
 
 
 def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
@@ -265,6 +323,8 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
                             w_s: float = 3e-3, C_w: float = 1e-3,
                             R23: int = -151, C28: int = 200, C38: int = 250,
                             inlet_rows: int = 50,
+                            config_path: str | None = None,
+                            snapshot_prefix: str | None = None,
                             fused: bool | None = None,
                             dtype=None) -> SedimentationResult:
     """Sediment-laden flow along cols past a bottom-mounted rectangle.
@@ -281,7 +341,44 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
       rectangle anti-bounce-back (:220-232), bounce-back rowN (:233-236).
 
     ``fused=True`` (f32, W%128==0) runs the whole coupled step as one
-    Pallas launch per step (kernels.sediment_pallas)."""
+    Pallas launch per step (kernels.sediment_pallas).
+
+    ``config_path`` drives the scene from the physical-units TOML like the
+    reference driver (rectangle_sedimentation_test.cpp:28-38): grid
+    H=lattice.X, W=lattice.Y, u_in=lattice.u, omega from the relaxation
+    time, T = simulation.total_steps, with (ux, uy, ps, cs) snapshots at
+    the simulation cadence (:112-122, :242-245).  The rectangle geometry
+    stays at the driver's hardcoded values (:73-75 comment out the
+    multiplier-derived forms)."""
+    snap_cadence = None
+    if config_path is not None:
+        from ..core.params import PhysicalConfig
+
+        cfg = PhysicalConfig.load(config_path)
+        H, W = cfg.lattice.X, cfg.lattice.Y
+        u_in = cfg.lattice.u
+        omega = cfg.lattice.omega
+        if cfg.simulation is not None:
+            T = cfg.simulation.total_steps
+            snap_cadence = cfg.simulation.snapshot_steps
+
+    def _make_recorder(unpack):
+        # reference snapshot set: ux, uy, ps = rho/3 and the scalar field
+        # cs, sampled before the step (rectangle_sedimentation_test.cpp:
+        # 112-122 and the rhos/3.0 save at :242-245)
+        if snap_cadence is None:
+            return None
+        from .channel import SnapshotRecorder
+
+        def fields(carry):
+            f, g = unpack(carry)
+            rho = d2q9.calc_rho(f)
+            u = d2q9.calc_u(f, rho)
+            return {"ux": u[0], "uy": u[1], "ps": rho / 3.0,
+                    "cs": d2q9.calc_rho(g)}
+
+        return SnapshotRecorder(snap_cadence, fields, snapshot_prefix)
+
     dtype = default_float(dtype)
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
     R23 = R23 % H if R23 < 0 else R23
@@ -302,16 +399,22 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
         chunk = jax.jit(
             lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), s),
             static_argnums=1)
-        done = 0
-        while done < T:
-            n = min(20000, T - done)
-            S = chunk(S, n)
-            done += n
+        recorder = _make_recorder(lambda s: (s[:9], s[9:]))
+        if recorder is not None:
+            S = recorder.run(chunk, S, T)
+        else:
+            done = 0
+            while done < T:
+                n = min(20000, T - done)
+                S = chunk(S, n)
+                done += n
         f, g = S[:9], S[9:]
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
         return SedimentationResult(f=f, g=g, rho=rho, u=u,
-                                   C=d2q9.calc_rho(g), steps=T)
+                                   C=d2q9.calc_rho(g), steps=T,
+                                   snapshots=recorder.result() if recorder
+                                   else None)
 
     fixed_u_w = jnp.zeros((2, H), dtype).at[1].set(u_in)  # inlet wall velocity
     cw_profile = np.zeros(H)
@@ -382,10 +485,16 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
         static_argnums=1,
     )
     carry = (f, g, u, rho, C0)
-    done = 0
-    while done < T:
-        n = min(2000, T - done)
-        carry = chunk(carry, n)
-        done += n
+    recorder = _make_recorder(lambda c: (c[0], c[1]))
+    if recorder is not None:
+        carry = recorder.run(chunk, carry, T)
+    else:
+        done = 0
+        while done < T:
+            n = min(2000, T - done)
+            carry = chunk(carry, n)
+            done += n
     f, g, u, rho, C = carry
-    return SedimentationResult(f=f, g=g, rho=rho, u=u, C=C, steps=T)
+    return SedimentationResult(f=f, g=g, rho=rho, u=u, C=C, steps=T,
+                               snapshots=recorder.result() if recorder
+                               else None)
