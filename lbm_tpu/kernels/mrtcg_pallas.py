@@ -424,8 +424,11 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         o3(0, total0, None,
            pref * (-uF3) * WQ[0] if pref is not None else None)
         for kp, km in PAIRS:
-            # unit-velocity c.grad(psi): diagonals carry the 1/sqrt(2)
-            unit_scale = 1.0 if kp in (1, 2) else UCX[5]
+            # unit-velocity c.grad(psi): diagonals carry the 1/sqrt(2) —
+            # except in CSF mode, whose driver dots the PLAIN E set
+            # (mrt_rayleigh_taylor.cpp:304-320 vs
+            # mrtcg_rayleigh_taylor.cpp:302-318)
+            unit_scale = 1.0 if (csf or kp in (1, 2)) else UCX[5]
             kap = (rb_gn * (unit_scale * gc_p[kp])) \
                 * (r_rho * r_phi[kp] + b_rho * b_phi[kp])
             src_p = src_m = None

@@ -155,10 +155,15 @@ def xi_perturbation(grad, grad_norm):
     return 0.5 * grad_norm[None] * (w * unit * unit - b)
 
 
-def kappa_recolour(r_rho, b_rho, rho, grad, grad_norm, r_phi, b_phi):
+def kappa_recolour(r_rho, b_rho, rho, grad, grad_norm, r_phi, b_phi,
+                   unit_e: bool = True):
     """Recolouring flux kappa.
-    cites /root/reference/test/mrtcg_static_droplet.cpp:354-370"""
-    uc = jnp.asarray(lat.UNIT_C, grad.dtype)
+    cites /root/reference/test/mrtcg_static_droplet.cpp:354-370 and
+    mrtcg_rayleigh_taylor.cpp:302-318 (grad.matmul(unit_E), the default);
+    the CSF driver's active eval_kappa instead dots grad with the PLAIN E
+    set — no 1/sqrt(2) on diagonals (mrt_rayleigh_taylor.cpp:304-320,
+    its unit_E-free form) — selected with ``unit_e=False``."""
+    uc = jnp.asarray(lat.UNIT_C if unit_e else lat.C, grad.dtype)
     guc = tdot(uc.T, grad, axes=([1], [0]))
     r_phi = jnp.asarray(r_phi, grad.dtype)[:, None, None]
     b_phi = jnp.asarray(b_phi, grad.dtype)[:, None, None]
@@ -221,12 +226,19 @@ class MRTCGModel:
         return RelaxationFunction.from_omegas(self.red, self.blue, self.delta)
 
     def init_state(self, r_rho, b_rho, dtype=None,
-                   u_init_gravity_shift: bool = False) -> TwoPhaseState:
+                   u_init_gravity_shift: bool = False,
+                   u0=None) -> TwoPhaseState:
+        """``u0`` (broadcastable to (2, R, C)) sets the initial velocity the
+        equilibria are evaluated at — the CSF RT driver initialises at the
+        scalar shift 0.5 Fg/red.rho_0 BEFORE building the equilibria
+        (mrt_rayleigh_taylor.cpp:464-467)."""
         dtype = default_float(dtype)
         r_rho = jnp.asarray(r_rho, dtype)
         b_rho = jnp.asarray(b_rho, dtype)
         rho = r_rho + b_rho
         u = jnp.zeros((2,) + r_rho.shape, dtype)
+        if u0 is not None:
+            u = u + jnp.asarray(u0, dtype)
         if u_init_gravity_shift:
             # static droplet driver: u = 0.5 Fg / rho at t=0
             # cites mrtcg_static_droplet.cpp:452-457
@@ -272,7 +284,8 @@ class MRTCGModel:
             b_o2 = self.blue.A * (1.0 - 0.5 * self.blue.rlx) * eta_f
 
         kap = kappa_recolour(r.rho, b.rho, rho, grad, grad_norm,
-                             self.red.phi(), self.blue.phi())
+                             self.red.phi(), self.blue.phi(),
+                             unit_e=self.surface_tension != "csf")
         total = r.f + r_o1 + r_o2 + b.f + b_o1 + b_o2
         r_o3 = recolour(total, r.rho, rho, self.red.beta, kap)
         b_o3 = recolour(total, b.rho, rho, self.blue.beta, kap)

@@ -117,6 +117,15 @@ class RKDropletModel:
     blue: RKDropletColour
     sigma: float = 5e-3
     delta: float = 0.98
+    # The driver's boundary block (rk_static_droplet_test.cpp:204-211)
+    # copies ALL NINE populations of each edge line from the opposite
+    # edge's post-collision values (utils::indices left/right/top/bottom
+    # end in Ellipsis over k) — NOT just the periodic repair of the
+    # boundary-crossing directions.  Reproduced by default (the far field
+    # is uniform, so the difference is ~1e-9 per step, but it is not
+    # bit-equal to periodic streaming); set exact_periodic=True for the
+    # mathematically clean fully periodic variant.
+    exact_periodic: bool = False
 
     def relax(self) -> RelaxationFunction:
         # droplet test interpolates relaxation *times*, then inverts
@@ -160,8 +169,14 @@ class RKDropletModel:
             omega1 = relax[None] * (feq - col.f)
             omega2 = reis_perturbation(grad, grad_norm, params.A, prefactor=0.5)
             f_col = col.f + omega1 + omega2
-            f_adv = d2q9.stream(f_col)  # fully periodic (driver BCs are the
-            # exact periodic repair, rk_static_droplet_test.cpp:204-211)
+            f_adv = d2q9.stream(f_col)
+            if not self.exact_periodic:
+                # faithful full-edge wrap copy of all 9 populations
+                # (rk_static_droplet_test.cpp:204-211; see class docstring)
+                f_adv = f_adv.at[:, 1:-1, 0].set(f_col[:, 1:-1, -1])
+                f_adv = f_adv.at[:, 1:-1, -1].set(f_col[:, 1:-1, 0])
+                f_adv = f_adv.at[:, 0, :].set(f_col[:, -1, :])
+                f_adv = f_adv.at[:, -1, :].set(f_col[:, 0, :])
             return RKColourFields(f_adv, f_adv.sum(axis=0))
 
         r_new = colour_step(r, self.red)

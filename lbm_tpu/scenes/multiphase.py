@@ -481,11 +481,11 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
     )
     r0 = init_rho_cosine(R, C, red.rho_0, fill_below=True, amplitude_sign=1.0)
     b0 = init_rho_cosine(R, C, blue.rho_0, fill_below=False, amplitude_sign=1.0)
-    state = model.init_state(r0, b0, dtype=dtype)
-    # initial velocity shift by 0.5 Fg / red.rho_0 (scalar), mrt_rayleigh_taylor.cpp:464
-    fg = jnp.asarray([gravity_magnitude, 0.0], dtype)
-    u0 = state.u + 0.5 * fg[:, None, None] / red.rho_0
-    state = TwoPhaseState(state.red, state.blue, u0)
+    # initial velocity = 0.5 Fg / red.rho_0 (scalar) BEFORE the equilibria
+    # are built, mrt_rayleigh_taylor.cpp:464-467
+    fg = np.asarray([gravity_magnitude, 0.0])
+    state = model.init_state(r0, b0, dtype=dtype,
+                             u0=(0.5 * fg / red.rho_0)[:, None, None])
     record = {
         "psi": lambda s: mrt_cg.phase_field(s.red.rho, red.rho_0,
                                             s.blue.rho, blue.rho_0),
@@ -497,15 +497,22 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
 def rk_static_droplet(L: int = 101, T: int = 2000, radius: float = 25.0,
                       sigma: float = 5e-3,
                       snapshot_every: int | None = None,
+                      exact_periodic: bool = False,
                       dtype=None) -> MultiphaseResult:
     """RK (Reis-Phillips) static droplet.
     Constants cite /root/reference/test/rk_static_droplet_test.cpp:504-506:
     red(rho_0=1.2, alpha=1/3, A=1e-4, nu=0.16, beta=+0.7),
-    blue(rho_0=1.0, alpha=0.2, A=1e-4, nu=0.14, beta=-0.7), delta=0.98."""
+    blue(rho_0=1.0, alpha=0.2, A=1e-4, nu=0.14, beta=-0.7), delta=0.98.
+
+    The default edges reproduce the driver's full-edge wrap copy, which
+    slowly exchanges colour mass (see RKDropletModel.exact_periodic);
+    ``exact_periodic=True`` selects exactly mass-conserving periodic
+    streaming instead."""
     dtype = default_float(dtype)
     red = RKDropletColour(rho_0=1.2, alpha=1.0 / 3.0, A=1e-4, nu=0.16, beta=0.7)
     blue = RKDropletColour(rho_0=1.0, alpha=0.2, A=1e-4, nu=0.14, beta=-0.7)
-    model = RKDropletModel(red=red, blue=blue, sigma=sigma, delta=0.98)
+    model = RKDropletModel(red=red, blue=blue, sigma=sigma, delta=0.98,
+                           exact_periodic=exact_periodic)
     r0 = init_rho_droplet(L, L, red.rho_0, inside=True, radius=radius, sharpness=2.0)
     b0 = init_rho_droplet(L, L, blue.rho_0, inside=False, radius=radius, sharpness=2.0)
     state = model.init_state(r0, b0, dtype=dtype)

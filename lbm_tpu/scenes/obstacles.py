@@ -45,6 +45,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
                   markers_path: str | None = None,
                   marker_name: str = "cylinder-a",
                   snapshot_prefix: str | None = None,
+                  reference_weights: bool = False,
                   fused: bool | None = None,
                   interpret: bool = False,
                   guo_coeffs: tuple = _WEAK_GUO,
@@ -97,11 +98,17 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
         if cfg.simulation is not None:
             T = cfg.simulation.total_steps
             snap_cadence = cfg.simulation.snapshot_steps
+    # reference_weights selects the reference's Peskin-weight pairing,
+    # which dots the x-fractions with the COLUMN axis (ibm.cpp:47-57 vs
+    # :171) — the transposed-weights quirk, off by default because the
+    # mathematically-intended pairing is the default everywhere in ops/ibm
     if markers_path is not None and ibm is None:
-        ibm = IBM.from_toml(markers_path, marker_name)
+        ibm = IBM.from_toml(markers_path, marker_name,
+                            reference_transposed_weights=reference_weights)
     dtype = default_float(dtype)
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
-    ib = ibm or IBM.circle(center[0], center[1], radius, n_markers)
+    ib = ibm or IBM.circle(center[0], center[1], radius, n_markers,
+                           reference_transposed_weights=reference_weights)
     u_w = jnp.asarray([u_stream, 0.0], dtype)
 
     r0, r1 = ib.roi_rows

@@ -66,3 +66,26 @@ def test_cylinder_drag_positive():
     # wake: velocity behind the cylinder is below the free stream
     ux = np.asarray(res.u[0] / res.rho)
     assert ux[45, 30] < 0.05
+
+
+def test_cylinder_scene_reference_weights_flag():
+    """VERDICT item: cylinder_flow(reference_weights=True) must select the
+    reference's transposed Peskin-weight pairing (ibm.cpp:47-57 pairs the
+    x-fractions with the COLUMN axis) — an f64 A/B showing the pairings
+    differ and that the flag equals a hand-built transposed IBM."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops.ibm import IBM
+    from lbm_tpu.scenes.obstacles import cylinder_flow
+
+    kw = dict(H=48, W=40, T=5, center=(20.3, 17.6), radius=6.0,
+              n_markers=16, dtype=jnp.float64, fused=False)
+    res_std = cylinder_flow(**kw)
+    res_ref = cylinder_flow(reference_weights=True, **kw)
+    # the pairings genuinely differ for asymmetric marker fractions
+    assert float(jnp.abs(res_std.u - res_ref.u).max()) > 1e-12
+    # and the flag reproduces a hand-built transposed-weights IBM exactly
+    ib = IBM.circle(20.3, 17.6, 6.0, 16, reference_transposed_weights=True)
+    res_hand = cylinder_flow(ibm=ib, **kw)
+    np.testing.assert_array_equal(np.asarray(res_ref.u),
+                                  np.asarray(res_hand.u))

@@ -107,13 +107,22 @@ def test_mrtcg_rt_interface_falls():
 
 
 def test_rk_droplet_mass_and_stability():
+    r0 = mp.init_rho_droplet(41, 41, 1.2, True, 10.0, sharpness=2.0)
+    # The faithful default reproduces the driver's full-edge wrap-copy BC,
+    # which exchanges colour mass slowly (measured via the torch oracle in
+    # test_rk_transcription: red 380.09 -> 366.91 over 100 steps) — bound
+    # the drift rather than assert conservation.
     res = mp.rk_static_droplet(L=41, T=100, radius=10.0)
     st = res.state
-    r0 = mp.init_rho_droplet(41, 41, 1.2, True, 10.0, sharpness=2.0)
-    # droplet-test init resets rho from equilibrium sums; compare vs that
     assert np.isfinite(np.asarray(st.red.f)).all()
-    assert float(st.red.rho.sum()) == pytest.approx(float(np.asarray(r0).sum()), rel=1e-8)
+    assert float(st.red.rho.sum()) == pytest.approx(
+        float(np.asarray(r0).sum()), rel=0.05)
     assert np.abs(np.asarray(st.u)).max() < 0.1
+    # exact_periodic=True restores exact per-colour mass conservation
+    res_p = mp.rk_static_droplet(L=41, T=100, radius=10.0,
+                                 exact_periodic=True)
+    assert float(res_p.state.red.rho.sum()) == pytest.approx(
+        float(np.asarray(r0).sum()), rel=1e-8)
 
 
 def test_rk_mixture_step_conserves_mass():
