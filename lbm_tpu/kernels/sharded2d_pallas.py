@@ -401,7 +401,8 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                               dtype=jnp.float32,
                               block_rows: int | None = None,
                               interpret: bool = False,
-                              substeps: int = 1):
+                              substeps: int = 1,
+                              surface_tension: str = "perturbation"):
     """The flagship MRT-CG two-phase step sharded over BOTH mesh axes
     (rows over 'x', cols over 'y') — the pod-scale decomposition:
     F (2, 9, R, C) -> (2, 9, R, C), one two-phase halo exchange per step
@@ -410,7 +411,12 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
     the shared make_mrtcg_body with GLOBAL row masks (walls) and WRAPPED
     global column indices (periodic columns + replicate gradient edges).
     Requires C - C/ny >= 2*CHALO so no global column appears twice in a
-    slab (the column analog of the row alias guard)."""
+    slab (the column analog of the row alias guard).
+
+    ``surface_tension='csf'`` runs the CSF curvature body instead (the
+    mrt_rayleigh_taylor.cpp variant); the state is then the flat
+    (20, R, C) stack incl. the two surface-force carry planes, exactly
+    as sharded_pallas.make_sharded_mrtcg_step returns for 1-D meshes."""
     from .mrtcg_pallas import make_mrtcg_body
 
     nx, ny = mesh.shape["x"], mesh.shape["y"]
@@ -424,10 +430,14 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
             "column extractions double-count — use "
             "sharded_pallas.make_sharded_mrtcg_step for 1-D meshes")
 
+    planes = 20 if surface_tension == "csf" else 18
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
-                          apply_gravity_source, dtype, substeps=substeps)
-    sharded = _sharded2d_wrap(mesh, 18, R_loc, C_loc, C, run, dtype,
+                          apply_gravity_source, dtype, substeps=substeps,
+                          surface_tension=surface_tension)
+    sharded = _sharded2d_wrap(mesh, planes, R_loc, C_loc, C, run, dtype,
                               block_rows, interpret)
+    if planes == 20:
+        return sharded  # (20, R, C) incl. the fst carry planes
 
     def wrapped(F):
         return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)

@@ -195,3 +195,45 @@ def test_sharded2d_mrtcg_temporal_blocking():
     want = single(single(F))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
                                atol=1e-13)
+
+
+def test_sharded2d_csf_matches_single_chip():
+    """The CSF-mode two-phase kernel (20-plane state incl. the fst carry)
+    sharded over a 4x2 (rows x cols) mesh equals the single-chip fused
+    kernel (1e-13, f64) over 2 steps — closes the last 2-D sharding gap
+    (every multiphase family now rides the pod-scale wrapper)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lbm_tpu.kernels.mrtcg_pallas import make_csf_fused_step
+    from lbm_tpu.kernels.sharded2d_pallas import make_sharded2d_mrtcg_step
+    from lbm_tpu.parallel import mesh as meshmod
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+    from lbm_tpu.ops import d2q9
+
+    R, C = 96, 512
+    m = meshmod.make_mesh(shape=(4, 2))
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64)
+    single = make_csf_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                 interpret=True, **kw)
+    sharded = make_sharded2d_mrtcg_step(m, R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                        interpret=True,
+                                        surface_tension="csf", **kw)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, 1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, 1.0)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64),
+                           jnp.ones((R, C)))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    S = jnp.concatenate([r0[None] * feq / tot, b0[None] * feq / tot,
+                         jnp.zeros((2, R, C), jnp.float64)], axis=0)
+    Ss = jax.device_put(
+        S, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", "y")))
+    a, b = S, Ss
+    for _ in range(2):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)
