@@ -661,3 +661,316 @@ def csf_static_droplet(L: int = 100, T: int = 100, radius: float = 25.0,
               "psi": lambda s: (s.red.rho - s.blue.rho) / (s.red.rho + s.blue.rho)}
     state, snaps = _run_chunks(model, state, T, snapshot_every, record)
     return MultiphaseResult(state=state, steps=T, snapshots=snaps)
+
+
+_DF64_DEBUG = None  # set to a list to capture per-step internals (debug)
+
+
+def mrtcg_static_droplet_df64(R: int = 100, C: int = 100, T: int = 100,
+                              red: ColourParams = DEFAULT_RED,
+                              blue: ColourParams = DEFAULT_BLUE,
+                              sigma: float = 0.1, radius: float = 25.0,
+                              chunk_steps: int = 1000) -> MultiphaseResult:
+    """The MRT-CG static droplet in double-single ("df64") arithmetic
+    (utils.df64): f64-class precision from f32 pairs, so the reference's
+    double-precision Laplace-law validation (mrtcg_static_droplet.cpp's
+    implicit dp = sigma/R check) can run ON the TPU, which has no native
+    f64.  Same algebra and step order as MRTCGModel (pinned to the
+    literal transcription in tests/test_mrtcg_transcription.py): CG
+    equilibria, diagonal-S MRT with the C correction, 5x5 isotropic
+    gradients (replicate edges), xi perturbation, unit_E recolouring,
+    the droplet BCs (no-diagonal-offset periodic cols + bounce-back
+    rows) and Fg entering only through the 0.5 Fg/rho velocity shift
+    (force source disabled, :513-515).  Every arithmetic op is an
+    error-free-transformation df64 op; streaming/edge assignments act on
+    the (hi, lo) pairs exactly."""
+    from ..core import lattice as lat
+    from ..utils import df64 as df
+
+    shape = (R, C)
+    fg_y = -6.25e-6  # cites mrtcg_static_droplet.cpp:452 (Fg)
+    CXl = [int(v) for v in lat.C[0]]
+    CYl = [int(v) for v in lat.C[1]]
+    W_ = np.asarray(lat.W, np.float64)
+    B_ = np.asarray(lat.B_CG, np.float64)
+    M_ = np.asarray(lat.M_MRT, np.float64)
+    Mi_ = np.asarray(lat.MI_MRT, np.float64)
+    UE = np.asarray(lat.UNIT_C, np.float64)  # (2, 9)
+    phi_r = np.asarray(red.phi(), np.float64)
+    phi_b = np.asarray(blue.phi(), np.float64)
+    eta_r = np.asarray(red.eta(), np.float64)
+    eta_b = np.asarray(blue.eta(), np.float64)
+
+    # relaxation_function scalars (rates), mrtcg_static_droplet.cpp:34-101
+    delta = 0.1
+    r_om, b_om = red.rlx, blue.rlx
+    s1 = 2.0 * r_om * b_om / (r_om + b_om)
+    s2 = 2.0 * (r_om - s1) / delta
+    s3 = -s2 / (2.0 * delta)
+    t2 = 2.0 * (s1 - b_om) / delta
+    t3 = t2 / (2.0 * delta)
+
+    # 5x5 isotropic derivative taps (src/differential.hpp:9-40)
+    XI = (1.0 / 5040.0) * np.array(
+        [[1.0, 32.0, 84.0, 32.0, 1.0],
+         [32.0, 448.0, 960.0, 448.0, 32.0],
+         [84.0, 960.0, 0.0, 960.0, 84.0],
+         [32.0, 448.0, 960.0, 448.0, 32.0],
+         [1.0, 32.0, 84.0, 32.0, 1.0]])
+    KY = np.array([[-2.0, -1.0, 0.0, 1.0, 2.0]] * 5)
+    KX = -np.array([[2.0] * 5, [1.0] * 5, [0.0] * 5, [-1.0] * 5,
+                    [-2.0] * 5])
+    TAP_X = XI * KX
+    TAP_Y = XI * KY
+
+    def K(v):
+        return df.const(v, shape)
+
+    def conv5(a, taps):
+        p = jnp.pad(a, ((0, 0), (2, 2), (2, 2)), mode="edge")
+        acc = None
+        for i in range(5):
+            for j in range(5):
+                w = taps[i, j]
+                if w == 0.0:
+                    continue
+                term = df.mul(K(w), p[:, i:i + R, j:j + C])
+                acc = term if acc is None else df.add(acc, term)
+        return acc
+
+    def cg_equilibrium(rho_k, phi, eta, ux, uy, uu):
+        out = []
+        for k in range(9):
+            cu = None
+            if CXl[k] == 1:
+                cu = ux
+            elif CXl[k] == -1:
+                cu = df.neg(ux)
+            if CYl[k] == 1:
+                cu = uy if cu is None else df.add(cu, uy)
+            elif CYl[k] == -1:
+                cu = df.neg(uy) if cu is None else df.sub(cu, uy)
+            if cu is None:
+                poly = df.scale(df.neg(uu), 3.0)
+            else:
+                poly = df.add(
+                    df.mul(K(3.0 * eta[k]), cu),
+                    df.sub(df.scale(df.mul(cu, cu), 9.0),
+                           df.scale(uu, 3.0)))
+            out.append(df.mul(rho_k,
+                              df.add(K(phi[k]), df.mul(K(W_[k]), poly))))
+        return out
+
+    def mrt_omega1(d, s_nu, c1, c7):
+        # m = M d (integer coefficients), t = s*m (+C), o1 = Mi t
+        m = []
+        for j in range(9):
+            acc = None
+            for k in range(9):
+                co = M_[j, k]
+                if co == 0.0:
+                    continue
+                term = d[k] if co == 1.0 else (
+                    df.neg(d[k]) if co == -1.0 else df.scale(d[k], co))
+                acc = term if acc is None else df.add(acc, term)
+            m.append(acc)
+        t = [None] * 9
+        t[1] = df.add(df.mul(K(1.25), m[1]), c1)
+        t[2] = df.mul(K(1.14), m[2])
+        # 1.6 is NOT exactly representable in f32 — df.scale would drop
+        # 2.4e-8 relative (measured as a 6e-10 omega1 error); use the
+        # split constant
+        t[4] = df.mul(K(1.6), m[4])
+        t[6] = df.mul(K(1.6), m[6])
+        t[7] = df.add(df.mul(s_nu, m[7]), c7)
+        t[8] = df.mul(s_nu, m[8])
+        out = []
+        for k in range(9):
+            acc = None
+            for j in (1, 2, 4, 6, 7, 8):
+                co = Mi_[k, j]
+                if co == 0.0:
+                    continue
+                term = df.mul(K(co), t[j])
+                acc = term if acc is None else df.add(acc, term)
+            out.append(acc)
+        return out
+
+    def step(carry):
+        rf, bf, u_carry = carry
+        ux, uy = u_carry[:, 0], u_carry[:, 1]
+        r_rho = rf[0]
+        b_rho = bf[0]
+        for k in range(1, 9):
+            r_rho = df.add(r_rho, rf[k])
+            b_rho = df.add(b_rho, bf[k])
+        rho = df.add(r_rho, b_rho)
+        uu = df.add(df.mul(ux, ux), df.mul(uy, uy))
+
+        r_eq = cg_equilibrium(r_rho, phi_r, eta_r, ux, uy, uu)
+        b_eq = cg_equilibrium(b_rho, phi_b, eta_b, ux, uy, uu)
+
+        # psi + s_nu
+        a = df.div(r_rho, K(red.rho_0))
+        b2 = df.div(b_rho, K(blue.rho_0))
+        psi = df.div(df.sub(a, b2), df.add(a, b2))
+        pos = df.add(K(s1), df.add(df.mul(K(s2), psi),
+                                   df.mul(K(s3), df.mul(psi, psi))))
+        neg_p = df.add(K(s1), df.add(df.mul(K(t2), psi),
+                                     df.mul(K(t3), df.mul(psi, psi))))
+        s_nu = df.where(psi[0] > delta, K(r_om), pos)
+        s_nu = df.where(psi[0] <= 0.0, neg_p, s_nu)
+        s_nu = df.where(psi[0] < -delta, K(b_om), s_nu)
+
+        # C correction moments (1.8 alpha - 0.8) rho_k u
+        def corr(alpha, rho_k):
+            q = df.mul(K(1.8 * alpha - 0.8), rho_k)
+            dxq = conv5(df.mul(q, ux), TAP_X)
+            dyq = conv5(df.mul(q, uy), TAP_Y)
+            c1 = df.scale(df.add(dxq, dyq), 3.0 * (1.0 - 0.5 * 1.25))
+            c7 = df.mul(df.sub(K(1.0), df.scale(s_nu, 0.5)),
+                        df.sub(dxq, dyq))
+            return c1, c7
+
+        rc1, rc7 = corr(red.alpha, r_rho)
+        bc1, bc7 = corr(blue.alpha, b_rho)
+        r_o1 = mrt_omega1([df.sub(r_eq[k], rf[k]) for k in range(9)],
+                          s_nu, rc1, rc7)
+        b_o1 = mrt_omega1([df.sub(b_eq[k], bf[k]) for k in range(9)],
+                          s_nu, bc1, bc7)
+
+        gx = conv5(psi, TAP_X)
+        gy = conv5(psi, TAP_Y)
+        gn = df.sqrt(df.add(df.mul(gx, gx), df.mul(gy, gy)))
+        eps_gn = df.add(K(1e-20), gn)
+        A_half_gn = df.mul(df.mul(K(4.5 * sigma), s_nu),
+                           df.scale(gn, 0.5))
+
+        coll_r, coll_b = [], []
+        ratio_r = df.div(r_rho, rho)
+        ratio_b = df.div(b_rho, rho)
+        rb = df.mul(r_rho, b_rho)
+        den_kap = df.mul(df.mul(rho, rho), eps_gn)
+        for k in range(9):
+            # xi perturbation
+            gc = None
+            if CXl[k]:
+                gc = gx if CXl[k] == 1 else df.neg(gx)
+            if CYl[k]:
+                gc = (gy if CYl[k] == 1 else df.neg(gy)) if gc is None \
+                    else (df.add(gc, gy) if CYl[k] == 1 else df.sub(gc, gy))
+            if gc is None:
+                o2 = df.mul(A_half_gn, K(-B_[k]))
+            else:
+                unit = df.div(gc, eps_gn)
+                o2 = df.mul(A_half_gn,
+                            df.sub(df.mul(K(W_[k]), df.mul(unit, unit)),
+                                   K(B_[k])))
+            total = df.add(df.add(df.add(rf[k], r_o1[k]), o2),
+                           df.add(df.add(bf[k], b_o1[k]), o2))
+            # kappa (unit_E)
+            if UE[0, k] == 0.0 and UE[1, k] == 0.0:
+                kap = None
+            else:
+                guc = None
+                if UE[0, k] != 0.0:
+                    guc = df.mul(K(UE[0, k]), gx)
+                if UE[1, k] != 0.0:
+                    term = df.mul(K(UE[1, k]), gy)
+                    guc = term if guc is None else df.add(guc, term)
+                num = df.mul(df.mul(rb, guc),
+                             df.add(df.mul(r_rho, K(phi_r[k])),
+                                    df.mul(b_rho, K(phi_b[k]))))
+                kap = df.div(num, den_kap)
+            o3r = df.mul(ratio_r, total)
+            o3b = df.mul(ratio_b, total)
+            if kap is not None:
+                o3r = df.add(o3r, df.mul(K(red.beta), kap))
+                o3b = df.add(o3b, df.mul(K(blue.beta), kap))
+            coll_r.append(o3r)
+            coll_b.append(o3b)
+
+        if _DF64_DEBUG is not None:
+            _DF64_DEBUG.append({"psi": psi, "s_nu": s_nu, "gx": gx,
+                                "gy": gy, "gn": gn, "r_o1": r_o1,
+                                "b_o1": b_o1, "coll_r": coll_r,
+                                "r_eq": r_eq, "rc1": rc1, "rc7": rc7})
+
+        # stream (periodic roll) + droplet BCs
+        def advect_bc(coll):
+            new = [jnp.roll(coll[k], (CXl[k], CYl[k]), (1, 2))
+                   for k in range(9)]
+            S = slice(1, -1)
+            for k in (2, 5, 6):      # periodic cols, no diagonal offset
+                new[k] = new[k].at[:, S, 0].set(coll[k][:, S, -1])
+            for k in (4, 8, 7):
+                new[k] = new[k].at[:, S, -1].set(coll[k][:, S, 0])
+            OPP = [int(v) for v in lat.OPP]
+            for k in (1, 5, 8):      # bounce-back row -1 (outgoing 1,5,8)
+                new[OPP[k]] = new[OPP[k]].at[:, -1, :].set(coll[k][:, -1, :])
+            for k in (3, 7, 6):      # bounce-back row 0 (outgoing 3,7,6)
+                new[OPP[k]] = new[OPP[k]].at[:, 0, :].set(coll[k][:, 0, :])
+            return new
+
+        rf_n = advect_bc(coll_r)
+        bf_n = advect_bc(coll_b)
+
+        r_rho_n = rf_n[0]
+        b_rho_n = bf_n[0]
+        for k in range(1, 9):
+            r_rho_n = df.add(r_rho_n, rf_n[k])
+            b_rho_n = df.add(b_rho_n, bf_n[k])
+        rho_n = df.add(r_rho_n, b_rho_n)
+        fs = [df.add(rf_n[k], bf_n[k]) for k in range(9)]
+        mx = df.sub(df.add(df.add(fs[1], fs[5]), fs[8]),
+                    df.add(df.add(fs[3], fs[6]), fs[7]))
+        my = df.sub(df.add(df.add(fs[2], fs[5]), fs[6]),
+                    df.add(df.add(fs[4], fs[7]), fs[8]))
+        ux_n = df.div(mx, rho_n)
+        uy_n = df.add(df.div(my, rho_n),
+                      df.div(K(0.5 * fg_y), rho_n))
+        return (jnp.stack(rf_n), jnp.stack(bf_n),
+                jnp.stack([ux_n, uy_n], axis=0).transpose(1, 0, 2, 3))
+
+    # --- init (droplet sigmoid, u = 0.5 Fg/rho, equilibria at that u)
+    r0 = init_rho_droplet(R, C, red.rho_0, inside=True, radius=radius)
+    b0 = init_rho_droplet(R, C, blue.rho_0, inside=False, radius=radius)
+    r_rho0 = df.from_f64(r0)
+    b_rho0 = df.from_f64(b0)
+    rho0 = df.add(r_rho0, b_rho0)
+    ux0 = K(0.0)
+    uy0 = df.div(K(0.5 * fg_y), rho0)
+    uu0 = df.mul(uy0, uy0)
+    rf0 = jnp.stack(cg_equilibrium(r_rho0, phi_r, eta_r, ux0, uy0, uu0))
+    bf0 = jnp.stack(cg_equilibrium(b_rho0, phi_b, eta_b, ux0, uy0, uu0))
+    u0 = jnp.stack([ux0, uy0], axis=0).transpose(1, 0, 2, 3)
+
+    def unstack(carry):
+        rf, bf, u = carry
+        return ([rf[k] for k in range(9)], [bf[k] for k in range(9)], u)
+
+    chunk = jax.jit(
+        lambda c, n: jax.lax.fori_loop(
+            0, n, lambda _, x: step(unstack(x)), c),
+        static_argnums=1)
+    carry = (rf0, bf0, u0)
+    done = 0
+    while done < T:
+        n = min(chunk_steps, T - done)
+        carry = chunk(carry, n)
+        done += n
+        observe.check_finite(carry, done)
+    rf, bf, u = carry
+
+    # host-side f64 macroscopics
+    from ..utils.df64 import to_f64
+
+    r_rho = sum(to_f64(rf[k]) for k in range(9))
+    b_rho = sum(to_f64(bf[k]) for k in range(9))
+    state = TwoPhaseState(
+        mrt_cg.ColourFields(jnp.asarray([to_f64(rf[k]) for k in range(9)]),
+                            jnp.asarray(r_rho)),
+        mrt_cg.ColourFields(jnp.asarray([to_f64(bf[k]) for k in range(9)]),
+                            jnp.asarray(b_rho)),
+        jnp.asarray(np.stack([to_f64(u[:, 0]), to_f64(u[:, 1])])))
+    return MultiphaseResult(state=state, steps=T, snapshots=None)

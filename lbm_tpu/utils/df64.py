@@ -107,3 +107,26 @@ def div(a, b):
     q2 = r[0] / b[0]
     hi, lo = _quick_two_sum(q1, q2)
     return jnp.stack([hi, lo])
+
+
+def sqrt(a):
+    """One Newton refinement on the f32 root (a >= 0; exact 0 at a == 0)."""
+    s1 = jnp.sqrt(a[0])
+    r = sub(a, mul(dd(s1), dd(s1)))
+    s2 = jnp.where(s1 > 0.0, r[0] / (2.0 * s1), jnp.zeros_like(s1))
+    hi, lo = _quick_two_sum(s1, s2)
+    return jnp.stack([hi, lo])
+
+
+def where(mask, a, b):
+    """Elementwise select on df64 pairs (mask is a plain bool array)."""
+    return jnp.where(mask[None], a, b)
+
+
+def const(value, shape):
+    """A df64 constant field from a python/numpy f64 scalar."""
+    import numpy as np
+
+    hi = jnp.float32(np.float64(value))
+    lo = jnp.float32(np.float64(value) - np.float64(np.float32(value)))
+    return jnp.stack([jnp.full(shape, hi), jnp.full(shape, lo)])

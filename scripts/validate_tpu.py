@@ -192,6 +192,27 @@ def poiseuille_df64():
     check("poiseuille_df64_L2", float(r.l2), 0.0, 1e-11)
 
 
+def laplace_df64():
+    """MRT-CG droplet Laplace law in df64 ON the chip (VERDICT r1 item 6):
+    the reference's implicit double-precision dp = sigma/R validation
+    (mrtcg_static_droplet.cpp workload) with f64-class arithmetic from f32
+    pairs — plus per-colour mass conservation at double precision, which
+    the f32 gate cannot resolve (its drift floor is ~1e-6)."""
+    from lbm_tpu.scenes import multiphase as mp
+
+    R = 100
+    res = mp.mrtcg_static_droplet_df64(R=R, C=R, T=20000, radius=25.0,
+                                       sigma=0.1)
+    st = res.state
+    p = np.asarray(st.red.rho) * mp.DEFAULT_RED.cs2 \
+        + np.asarray(st.blue.rho) * mp.DEFAULT_BLUE.cs2
+    dp = p[R // 2 - 3:R // 2 + 3, R // 2 - 3:R // 2 + 3].mean() \
+        - np.concatenate([p[:4, :].ravel(), p[-4:, :].ravel()]).mean()
+    check("laplace_df64_dp_over_2sigmaR", dp / (2 * 0.1 / 25.0), 0.9, 1.1)
+    r0 = mp.init_rho_droplet(R, R, mp.DEFAULT_RED.rho_0, True, 25.0)
+    drift = abs(float(np.asarray(st.red.rho).sum()) / float(r0.sum()) - 1.0)
+    check("laplace_df64_red_mass_drift", drift, 0.0, 1e-9)
+
 def sharded():
     """The sharded fused kernels (Mosaic path, not interpret) are
     bit-identical to the single-chip kernels on a 1-rank mesh: same
@@ -265,7 +286,7 @@ def variants():
 
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded"]
-LONG = ["csf_growth", "variants", "strouhal"]
+LONG = ["csf_growth", "variants", "strouhal", "laplace_df64"]
 
 
 def main(argv):

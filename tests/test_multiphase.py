@@ -189,3 +189,52 @@ def test_mrtcg_multimode_rt():
     total = np.asarray(st.red.rho + st.blue.rho)
     assert abs(total.sum() / (r0.sum() + mp.init_rho_modes(
         64, 32, 1.0, fill_below=False, modes=modes).sum()) - 1) < 1e-4
+
+
+def test_mrtcg_droplet_df64_matches_f64_model():
+    """The on-chip df64 MRT-CG droplet reproduces the f64 jnp model
+    (itself pinned to the literal reference transcription) at df64
+    accuracy (~2^-48 per op) over several steps.
+
+    Runs under disable_jit: the df64 step unrolls to ~10k HLO ops and
+    XLA:CPU takes >10 min to optimise that graph on this 1-core box,
+    while eager dispatch finishes in seconds (the jitted path is
+    exercised on real hardware by validate_tpu.py laplace_df64).
+
+    Two comparisons: beta=0 pins every operator except recolouring at
+    1e-12; the full-parameter run gets a looser bound because kappa's
+    unit direction grad/|grad| is ill-conditioned where the phase
+    gradient ~ 0 (deep inside either phase) — there f64 and df64 round
+    the near-zero gradient differently and the direction flips, with
+    amplitude bounded by rho_r rho_b/rho^2 ~ 1e-3 (measured max 8e-5
+    over 2 steps).  The reference's own f64 kappa has the same
+    indeterminacy at those cells."""
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    R = C = 24
+    T = 2
+    r0 = mp.init_rho_droplet(R, C, mp.DEFAULT_RED.rho_0, True, 7.0)
+    b0 = mp.init_rho_droplet(R, C, mp.DEFAULT_BLUE.rho_0, False, 7.0)
+
+    for red, blue, atol in (
+            (replace(mp.DEFAULT_RED, beta=0.0),
+             replace(mp.DEFAULT_BLUE, beta=0.0), 1e-12),
+            (mp.DEFAULT_RED, mp.DEFAULT_BLUE, 3e-4)):
+        with jax.disable_jit():
+            res = mp.mrtcg_static_droplet_df64(R, C, T, red=red, blue=blue,
+                                               radius=7.0)
+        model = mrt_cg.MRTCGModel(
+            red=red, blue=blue, sigma=0.1,
+            gravity=(0.0, -6.25e-6), apply_gravity_source=False,
+            boundary=mp.mrtcg_boundary)
+        st = model.init_state(r0, b0, dtype=jnp.float64,
+                              u_init_gravity_shift=True)
+        for _ in range(T):
+            st = model.step(st)
+        np.testing.assert_allclose(np.asarray(res.state.red.f),
+                                   np.asarray(st.red.f), rtol=0, atol=atol)
+        np.testing.assert_allclose(np.asarray(res.state.blue.f),
+                                   np.asarray(st.blue.f), rtol=0, atol=atol)
+        np.testing.assert_allclose(np.asarray(res.state.u),
+                                   np.asarray(st.u), rtol=0, atol=atol)
