@@ -312,53 +312,64 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         psi = (a - b) / (a + b)
         s_nu = relax(psi)
 
-        # gradients: phase field + per-colour correction fields
+        # gradients: phase field + colour-combined correction field
         gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C,
                                 row_edges=row_edges, col_iota=col_iota)
         gn = jnp.sqrt(gpx * gpx + gpy * gpy)
         inv_gn = 1.0 / (1e-20 + gn)
 
-        def colour_omega1(f, phi, eta, alpha_c):
-            uu3 = 3.0 * uu
-            feq = [None] * 9
-            feq[0] = phi[0] - WQ[0] * uu3
-            for kp, km in PAIRS:
-                even = phi[kp] + WQ[kp] * (9.0 * cc_p[kp] - uu3)
-                odd = (WQ[kp] * 3.0 * eta[kp]) * cu_p[kp]
-                feq[kp] = even + odd
-                feq[km] = even - odd
-            rho_k = f[0]
-            for k in range(1, 9):
-                rho_k = rho_k + f[k]
-            df = [rho_k * feq[k] - f[k] for k in range(9)]
-            qx = alpha_c * rho_k * ux
-            qy = alpha_c * rho_k * uy
-            dxqx = _corr5_multi(qx, (KX5,), abs_iota, R, C,
-                                row_edges=row_edges, col_iota=col_iota)[0]
-            dyqy = _corr5_multi(qy, (KY5,), abs_iota, R, C,
-                                row_edges=row_edges, col_iota=col_iota)[0]
-            c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
-            c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
-            return _mrt_omega1(df, c1, c7, s_nu), rho_k
-
-        r_o1, r_rho_k = colour_omega1(rf, r_phi, r_eta, r_alpha_c)
-        b_o1, b_rho_k = colour_omega1(bf, b_phi, b_eta, b_alpha_c)
+        # --- colour-summed collision.  omega1/omega2 enter the step ONLY
+        # through r_o1 + o2r + b_o1 + o2b inside total
+        # (mrtcg_static_droplet.cpp:505: total_f = r.adv_f + r.omega1 +
+        # r.omega2 + b.adv_f + b.omega1 + b.omega2; the per-colour split
+        # reappears only in the recolouring), so the equilibria, the M/Mi
+        # moment chain and the correction stencils all run ONCE on
+        # colour-combined fields: the summed equilibrium uses the class
+        # fields ab = rho_r phi_r + rho_b phi_b and
+        # e = rho_r eta_r + rho_b eta_b (phi/eta take one value per
+        # |c| class), and the correction gradients act on
+        # (c_r rho_r + c_b rho_b) u — 2 stencil applications instead of 4
+        # and one MRT chain instead of two.
+        fsum = [rf[k] + bf[k] for k in range(9)]
+        uu3 = 3.0 * uu
+        ab = {}
+        ee = {}
+        for cls in (0, 1, 5):   # class representatives: rest, axis, diag
+            ab[cls] = r_phi[cls] * r_rho + b_phi[cls] * b_rho
+            if cls:              # k=0 has no odd (eta) term
+                ee[cls] = r_eta[cls] * r_rho + b_eta[cls] * b_rho
+        eqs = [None] * 9
+        eqs[0] = ab[0] - (WQ[0] * uu3) * rho
+        for kp, km in PAIRS:
+            cls = 1 if kp in (1, 2) else 5
+            even = ab[cls] + WQ[kp] * ((9.0 * cc_p[kp] - uu3) * rho)
+            odd = (3.0 * WQ[kp]) * (ee[cls] * cu_p[kp])
+            eqs[kp] = even + odd
+            eqs[km] = even - odd
+        dfs = [eqs[k] - fsum[k] for k in range(9)]
+        q_c = r_alpha_c * r_rho + b_alpha_c * b_rho
+        dxqx = _corr5_multi(q_c * ux, (KX5,), abs_iota, R, C,
+                            row_edges=row_edges, col_iota=col_iota)[0]
+        dyqy = _corr5_multi(q_c * uy, (KY5,), abs_iota, R, C,
+                            row_edges=row_edges, col_iota=col_iota)[0]
+        c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
+        c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
+        o1s = _mrt_omega1(dfs, c1, c7, s_nu)
 
         gc_p = pair_cu(gpx, gpy)         # {kp: c_kp . grad(psi)}
         fst_new = None
         if not csf:
-            # perturbation omega2: unit^2 is even under k -> opp(k) and
-            # W/B depend on |c| only, so o2 is IDENTICAL for the two
-            # directions of a pair — computed once per pair
-            A = (4.5 * sigma) * s_nu
-            half_A_gn = 0.5 * A * gn
-            o2 = [None] * 9
-            o2[0] = half_A_gn * (-BQ[0])
+            # perturbation omega2 SUMMED over colours: o2r == o2b (same
+            # A = 4.5 sigma s_nu both, mrtcg_static_droplet.cpp:505-507)
+            # so o2r + o2b = 2 * (0.5 A gn (...)) = A gn (...); unit^2 is
+            # even under k -> opp(k) so one value per pair
+            A_gn = ((4.5 * sigma) * s_nu) * gn
+            o2s = [None] * 9
+            o2s[0] = A_gn * (-BQ[0])
             for kp, km in PAIRS:
                 unit = gc_p[kp] * inv_gn
-                o2[kp] = o2[km] = half_A_gn * (WQ[kp] * unit * unit
-                                               - BQ[kp])
-            o2r = o2b = o2
+                o2s[kp] = o2s[km] = A_gn * (WQ[kp] * unit * unit
+                                            - BQ[kp])
         else:
             # CSF curvature force (models.mrt_cg local_curvature/csf_eta,
             # mrt_rayleigh_taylor.cpp:355-384): inward normal from the
@@ -380,20 +391,16 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             fst_new = (fstx, fsty)
             uFs3 = 3.0 * (ux * fstx + uy * fsty)
             Fc_p = pair_cu(fstx, fsty)   # {kp: c_kp . fst}
-            o2r = [None] * 9
-            o2b = [None] * 9
-            eta0 = WQ[0] * (-uFs3)
-            o2r[0] = r_A_pref * eta0
-            o2b[0] = b_A_pref * eta0
+            # colour-summed CSF perturbation: o2r + o2b =
+            # (A_r(1 - rlx_r/2) + A_b(1 - rlx_b/2)) * eta_k
+            s_A_pref = r_A_pref + b_A_pref
+            o2s = [None] * 9
+            o2s[0] = s_A_pref * (WQ[0] * (-uFs3))
             for kp, km in PAIRS:
                 even = WQ[kp] * (9.0 * cu_p[kp] * Fc_p[kp] - uFs3)
                 odd = WQ[kp] * (3.0 * Fc_p[kp])
-                e_p = even + odd
-                e_m = even - odd
-                o2r[kp] = r_A_pref * e_p
-                o2r[km] = r_A_pref * e_m
-                o2b[kp] = b_A_pref * e_p
-                o2b[km] = b_A_pref * e_m
+                o2s[kp] = s_A_pref * (even + odd)
+                o2s[km] = s_A_pref * (even - odd)
 
         # recolouring: guc flips sign with the direction while the phi
         # factor is shared, so kap(opp(k)) = -kap(k); the Guo source
@@ -420,7 +427,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             coll_r[k] = o3r
             coll_b[k] = o3b
 
-        total0 = rf[0] + r_o1[0] + o2r[0] + bf[0] + b_o1[0] + o2b[0]
+        total0 = fsum[0] + o1s[0] + o2s[0]
         o3(0, total0, None,
            pref * (-uF3) * WQ[0] if pref is not None else None)
         for kp, km in PAIRS:
@@ -438,10 +445,8 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
                 odd_s = (pref * WQ[kp]) * (3.0 * cF)
                 src_p = even_s + odd_s
                 src_m = even_s - odd_s
-            tot_p = rf[kp] + r_o1[kp] + o2r[kp] + bf[kp] + b_o1[kp] \
-                + o2b[kp]
-            tot_m = rf[km] + r_o1[km] + o2r[km] + bf[km] + b_o1[km] \
-                + o2b[km]
+            tot_p = fsum[kp] + o1s[kp] + o2s[kp]
+            tot_m = fsum[km] + o1s[km] + o2s[km]
             o3(kp, tot_p, kap, src_p)
             o3(km, tot_m, -kap, src_m)
         if csf:
