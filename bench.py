@@ -56,8 +56,10 @@ def build_step(args, H, W):
                                    substeps=min(args.substeps, 8))
         f = kbc_model.equilibrium(rho0, u0).astype(dtype)
         impl = "pallas"
-    elif args.model == "mrtcg":
-        from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
+    elif args.model in ("mrtcg", "mrtcg_reduced"):
+        from lbm_tpu.kernels.mrtcg_pallas import (
+            make_mrtcg_fused_step, make_mrtcg_reduced_step,
+            reduce_mrtcg_state)
         from lbm_tpu.scenes.multiphase import (
             DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
         from lbm_tpu.models.mrt_cg import MRTCGModel
@@ -66,25 +68,29 @@ def build_step(args, H, W):
         if args.substeps != 1:
             log("mrtcg kernel runs substeps=1 (gradient stencils consume "
                 "3 halo rows/sweep)")
-        step = make_mrtcg_fused_step(
-            H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
-            dtype=dtype)
+        kw = dict(dtype=dtype)
         model = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
                            gravity=(6.25e-7, 0.0), boundary=mrtcg_boundary)
         st = model.init_state(init_rho_cosine(H, W, 3.0, True, -1.0),
                               init_rho_cosine(H, W, 1.0, False, -1.0),
                               dtype=dtype)
         f = jnp.stack([st.red.f, st.blue.f])
+        if args.model == "mrtcg_reduced":
+            step = make_mrtcg_reduced_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0), **kw)
+            f = reduce_mrtcg_state(f)
+        else:
+            step = make_mrtcg_fused_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0), **kw)
         impl = "pallas"
-    elif args.model == "csf":
-        from lbm_tpu.kernels.mrtcg_pallas import make_csf_fused_step
+    elif args.model in ("csf", "csf_reduced"):
+        from lbm_tpu.kernels.mrtcg_pallas import (
+            make_csf_fused_step, make_mrtcg_reduced_step,
+            reduce_mrtcg_state)
         from lbm_tpu.models.mrt_cg import MRTCGModel
         from lbm_tpu.scenes.multiphase import (
             DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine, mrtcg_boundary)
 
-        step = make_csf_fused_step(
-            H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
-            dtype=dtype)
         m = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
                        gravity=(6.25e-7, 0.0), boundary=mrtcg_boundary,
                        surface_tension="csf")
@@ -93,6 +99,15 @@ def build_step(args, H, W):
                           dtype=dtype)
         f = jnp.concatenate([st.red.f, st.blue.f,
                              jnp.zeros((2, H, W), dtype)], axis=0)
+        if args.model == "csf_reduced":
+            step = make_mrtcg_reduced_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
+                dtype=dtype, surface_tension="csf")
+            f = reduce_mrtcg_state(f, surface_tension="csf")
+        else:
+            step = make_csf_fused_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
+                dtype=dtype)
         impl = "pallas"
     elif args.model == "rk":
         from lbm_tpu.kernels.rk_pallas import make_rk_fused_step
@@ -278,7 +293,8 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
     ap.add_argument("--model", default="bgk",
-                    choices=["bgk", "kbc", "mrtcg", "csf", "rk",
+                    choices=["bgk", "kbc", "mrtcg", "mrtcg_reduced",
+                             "csf", "csf_reduced", "rk",
                              "cavity", "cylinder", "sediment"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",

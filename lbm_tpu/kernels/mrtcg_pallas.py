@@ -282,19 +282,23 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         assert r_eta[kp] == r_eta[km] and b_eta[kp] == b_eta[km]
         assert WQ[kp] == WQ[km] and BQ[kp] == BQ[km]
 
-    def collide(rf, bf, abs_iota, row_edges=True, fst=None,
-                col_iota=None):
-        r_rho = rf[0]
-        b_rho = bf[0]
-        for k in range(1, 9):
-            r_rho = r_rho + rf[k]
-            b_rho = b_rho + bf[k]
-        rho = r_rho + b_rho
+    def collide(fsum, rho, r_rho, b_rho, abs_iota, row_edges=True,
+                fst=None, col_iota=None, reduced=False):
+        """Colour-summed collision on the class fields.
+
+        The per-colour populations enter ONLY through their colour sum
+        ``fsum`` and the densities ``r_rho``/``b_rho`` (the split
+        reappears only at the recolouring output), so callers may carry
+        either the full 18-plane state or the reduced 10-plane one.
+
+        ``reduced=False`` returns (coll_r, coll_b): the full recoloured
+        per-colour post-collision populations.  ``reduced=True`` returns
+        (coll_s, coll_r): the colour SUM and the red part — enough to
+        advance the reduced state (the next step's b planes are never
+        needed individually, only b_rho = rho - r_rho)."""
         inv_rho = 1.0 / rho
-        mom_x = (rf[1] + bf[1]) - (rf[3] + bf[3]) + (rf[5] + bf[5]) \
-            - (rf[6] + bf[6]) - (rf[7] + bf[7]) + (rf[8] + bf[8])
-        mom_y = (rf[2] + bf[2]) - (rf[4] + bf[4]) + (rf[5] + bf[5]) \
-            + (rf[6] + bf[6]) - (rf[7] + bf[7]) - (rf[8] + bf[8])
+        mom_x = fsum[1] - fsum[3] + fsum[5] - fsum[6] - fsum[7] + fsum[8]
+        mom_y = fsum[2] - fsum[4] + fsum[5] + fsum[6] - fsum[7] - fsum[8]
         if csf:
             # the carried-u shift includes the PREVIOUS step's surface
             # force (models.mrt_cg step tail: u += 0.5 (Fg + fst)/rho)
@@ -330,7 +334,6 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         # |c| class), and the correction gradients act on
         # (c_r rho_r + c_b rho_b) u — 2 stencil applications instead of 4
         # and one MRT chain instead of two.
-        fsum = [rf[k] + bf[k] for k in range(9)]
         uu3 = 3.0 * uu
         ab = {}
         ee = {}
@@ -407,25 +410,42 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         # splits even/odd like every other c-polynomial
         rb_gn = (r_rho * b_rho) * (inv_rho * inv_rho) * inv_gn
         r_frac = r_rho * inv_rho
-        b_frac = b_rho * inv_rho
         pref = (1.0 - 0.5 * s_nu) if apply_gravity_source and (gx or gy) \
             else None
         uF3 = None
         if pref is not None:
             uF3 = 3.0 * (ux * gx + uy * gy)
         coll_r = [None] * 9
-        coll_b = [None] * 9
+        coll_s = [None] * 9  # colour SUM (reduced) or blue (full)
+        beta_s = beta_r + beta_b
 
-        def o3(k, total, kap, src):
-            o3r = r_frac * total + beta_r * kap if kap is not None \
-                else r_frac * total
-            o3b = b_frac * total + beta_b * kap if kap is not None \
-                else b_frac * total
-            if src is not None:
-                o3r = o3r + src
-                o3b = o3b + src
-            coll_r[k] = o3r
-            coll_b[k] = o3b
+        if reduced:
+            # reduced output: the SUM needs no r_frac multiply at all
+            # (r_frac + b_frac = 1 analytically — the o3 recolouring is a
+            # convex split of the colour-blind total) and the source adds
+            # once per colour
+            def o3(k, total, kap, src):
+                cs = total if kap is None else total + beta_s * kap
+                cr = r_frac * total if kap is None \
+                    else r_frac * total + beta_r * kap
+                if src is not None:
+                    cs = cs + 2.0 * src
+                    cr = cr + src
+                coll_s[k] = cs
+                coll_r[k] = cr
+        else:
+            b_frac = b_rho * inv_rho
+
+            def o3(k, total, kap, src):
+                o3r = r_frac * total + beta_r * kap if kap is not None \
+                    else r_frac * total
+                o3b = b_frac * total + beta_b * kap if kap is not None \
+                    else b_frac * total
+                if src is not None:
+                    o3r = o3r + src
+                    o3b = o3b + src
+                coll_r[k] = o3r
+                coll_s[k] = o3b
 
         total0 = fsum[0] + o1s[0] + o2s[0]
         o3(0, total0, None,
@@ -434,10 +454,11 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             # unit-velocity c.grad(psi): diagonals carry the 1/sqrt(2) —
             # except in CSF mode, whose driver dots the PLAIN E set
             # (mrt_rayleigh_taylor.cpp:304-320 vs
-            # mrtcg_rayleigh_taylor.cpp:302-318)
+            # mrtcg_rayleigh_taylor.cpp:302-318); the phi-weighted density
+            # factor is exactly the equilibrium class field ab[cls]
+            cls = 1 if kp in (1, 2) else 5
             unit_scale = 1.0 if (csf or kp in (1, 2)) else UCX[5]
-            kap = (rb_gn * (unit_scale * gc_p[kp])) \
-                * (r_rho * r_phi[kp] + b_rho * b_phi[kp])
+            kap = (rb_gn * (unit_scale * gc_p[kp])) * ab[cls]
             src_p = src_m = None
             if pref is not None:
                 cF = CX[kp] * gx + CY[kp] * gy  # scalar
@@ -449,9 +470,13 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             tot_m = fsum[km] + o1s[km] + o2s[km]
             o3(kp, tot_p, kap, src_p)
             o3(km, tot_m, -kap, src_m)
+        if reduced:
+            out = coll_s, coll_r
+        else:
+            out = coll_r, coll_s
         if csf:
-            return coll_r, coll_b, fst_new
-        return coll_r, coll_b
+            return out + (fst_new,)
+        return out
 
     return collide
 
@@ -500,19 +525,36 @@ def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True,
     return out
 
 
+def reduced_planes(surface_tension: str = "perturbation") -> int:
+    """Plane count of the reduced state: 9 colour-summed populations +
+    1 red density (+ 2 surface-force carries in CSF mode)."""
+    return 12 if surface_tension == "csf" else 10
+
+
 def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                     sigma: float, gravity=(0.0, 0.0), delta: float = 0.1,
                     apply_gravity_source: bool = True, dtype=jnp.float32,
                     surface_tension: str = "perturbation",
-                    substeps: int = 1):
+                    substeps: int = 1, reduced: bool = False,
+                    split_out: bool = False):
     """The per-slab MRT-CG step body, shared by the single-chip pipeline
     and the sharded halo-input kernel: ``run(block (P, rows, C),
-    abs_iota, row_edges) -> (P, rows - 2*HALO, C)`` where abs_iota holds
-    GLOBAL row indices (the row masks and replicate extractions are
+    abs_iota, row_edges) -> (P_out, rows - 2*HALO, C)`` where abs_iota
+    holds GLOBAL row indices (the row masks and replicate extractions are
     position-based, so the same body works on any shard given its
     offset).  P = 18 for the perturbation mode; the CSF mode carries the
     surface force as 2 extra planes (P = 20: the model's carried-u shift
     uses the PREVIOUS step's fst, so it is state).
+
+    ``reduced=True`` runs on the REDUCED state (P = 10 / 12 CSF):
+    planes 0..8 the colour-summed populations, plane 9 the red density
+    (+ fst).  The step only ever consumes the per-colour populations
+    through their sum and the densities (see collide's docstring), so
+    this layout is closed under the update — it carries 10 planes of HBM
+    traffic per step instead of 18 for identical physics.  The blue
+    density is rho - r_rho; per-colour populations can be materialised
+    exactly at any step with ``split_out=True`` (reduced input, full
+    18/20-plane output: the same collide + per-colour streaming).
 
     ``substeps`` > 1 (perturbation mode only) applies that many full
     collide-stream-BC sweeps per slab pass — communication-avoiding
@@ -523,35 +565,82 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
         raise ValueError("substeps must be 1 or 2 (3 halo rows/sweep)")
     if csf and substeps != 1:
         raise ValueError("csf mode supports substeps=1 (5 halo rows/sweep)")
+    if split_out and (reduced or substeps != 1):
+        raise ValueError("split_out takes the reduced layout in and "
+                         "supports substeps=1")
     collide = _make_collide(red, blue, sigma, gravity, delta,
                             apply_gravity_source, R, C, dtype,
                             surface_tension=surface_tension)
+    reduced_in = reduced or split_out
+
+    def macros(block):
+        """(fsum, rho, r_rho, b_rho, fst) from either state layout."""
+        if reduced_in:
+            fsum = [block[k] for k in range(9)]
+            rho = fsum[0]
+            for k in range(1, 9):
+                rho = rho + fsum[k]
+            r_rho = block[9]
+            b_rho = rho - r_rho
+            fst = (block[10], block[11]) if csf else None
+        else:
+            rf = [block[k] for k in range(9)]
+            bf = [block[9 + k] for k in range(9)]
+            r_rho, b_rho = rf[0], bf[0]
+            for k in range(1, 9):
+                r_rho = r_rho + rf[k]
+                b_rho = b_rho + bf[k]
+            rho = r_rho + b_rho
+            fsum = [rf[k] + bf[k] for k in range(9)]
+            fst = (block[18], block[19]) if csf else None
+        return fsum, rho, r_rho, b_rho, fst
+
+    def sweep(fsum, rho, r_rho, b_rho, fst, abs_iota, row_edges, col_iota):
+        """One collide+stream; returns the next (fsum, rho, r_rho, b_rho,
+        fst) in reduced form, or (new_r, new_b, fst) when materialising."""
+        out = collide(fsum, rho, r_rho, b_rho, abs_iota,
+                      row_edges=row_edges, fst=fst, col_iota=col_iota,
+                      reduced=reduced)
+        fst_new = out[2] if csf else None
+        new_a = _stream_with_bcs(out[0], abs_iota, R, C,
+                                 row_edges=row_edges, col_iota=col_iota)
+        new_b = _stream_with_bcs(out[1], abs_iota, R, C,
+                                 row_edges=row_edges, col_iota=col_iota)
+        return new_a, new_b, fst_new
 
     def run(block, abs_iota, row_edges, col_iota=None):
-        rf = [block[k] for k in range(9)]
-        bf = [block[9 + k] for k in range(9)]
         rows = block.shape[1]
-        if csf:
-            out = collide(rf, bf, abs_iota, row_edges=row_edges,
-                          fst=(block[18], block[19]), col_iota=col_iota)
-            coll_r, coll_b, fst_new = out
-        else:
-            coll_r, coll_b = collide(rf, bf, abs_iota,
-                                     row_edges=row_edges,
-                                     col_iota=col_iota)
-        new_r = _stream_with_bcs(coll_r, abs_iota, R, C,
-                                 row_edges=row_edges, col_iota=col_iota)
-        new_b = _stream_with_bcs(coll_b, abs_iota, R, C,
-                                 row_edges=row_edges, col_iota=col_iota)
+        fsum, rho, r_rho, b_rho, fst = macros(block)
+        new_a, new_b, fst_new = sweep(fsum, rho, r_rho, b_rho, fst,
+                                      abs_iota, row_edges, col_iota)
         for _ in range(substeps - 1):
-            coll_r, coll_b = collide(new_r, new_b, abs_iota,
-                                     row_edges=row_edges,
-                                     col_iota=col_iota)
-            new_r = _stream_with_bcs(coll_r, abs_iota, R, C,
-                                     row_edges=row_edges, col_iota=col_iota)
-            new_b = _stream_with_bcs(coll_b, abs_iota, R, C,
-                                     row_edges=row_edges, col_iota=col_iota)
-        planes = new_r + new_b
+            if reduced:
+                fsum = new_a
+                rho = fsum[0]
+                for k in range(1, 9):
+                    rho = rho + fsum[k]
+                r_rho = new_b[0]
+                for k in range(1, 9):
+                    r_rho = r_rho + new_b[k]
+                b_rho = rho - r_rho
+            else:
+                rf, bf = new_a, new_b
+                r_rho, b_rho = rf[0], bf[0]
+                for k in range(1, 9):
+                    r_rho = r_rho + rf[k]
+                    b_rho = b_rho + bf[k]
+                rho = r_rho + b_rho
+                fsum = [rf[k] + bf[k] for k in range(9)]
+            new_a, new_b, fst_new = sweep(fsum, rho, r_rho, b_rho, None,
+                                          abs_iota, row_edges, col_iota)
+        if reduced:
+            # collapse the streamed red planes to the next red density
+            r_next = new_b[0]
+            for k in range(1, 9):
+                r_next = r_next + new_b[k]
+            planes = new_a + [r_next]
+        else:
+            planes = new_a + new_b
         if csf:
             planes = planes + [fst_new[0], fst_new[1]]  # carried, unstreamed
         if col_iota is None:
@@ -646,3 +735,93 @@ def make_csf_fused_step(R: int, C: int, red: ColourParams,
                                block_rows=block_rows,
                                vmem_budget=6 * 2 ** 20,
                                flops_per_cell=2600, interpret=interpret)
+
+
+def reduce_mrtcg_state(F, surface_tension: str = "perturbation"):
+    """Full state -> reduced state.
+
+    Perturbation: F (2, 9, R, C) -> (10, R, C) = [red+blue populations,
+    red density].  CSF: S (20, R, C) -> (12, R, C) (fst carried through).
+    Exact (sums of the carried planes) — see make_mrtcg_body(reduced)."""
+    if surface_tension == "csf":
+        return jnp.concatenate(
+            [F[:9] + F[9:18], F[:9].sum(0)[None], F[18:]], axis=0)
+    return jnp.concatenate([F[0] + F[1], F[0].sum(0)[None]], axis=0)
+
+
+def _make_reduced_pipeline(R, C, red, blue, sigma, gravity, delta,
+                           apply_gravity_source, dtype, block_rows,
+                           interpret, surface_tension, split_out):
+    from .pipeline import make_block_pipeline, resolve_block_rows
+
+    csf = surface_tension == "csf"
+    p_in = reduced_planes(surface_tension)
+    p_out = (20 if csf else 18) if split_out else p_in
+    block_rows = resolve_block_rows(
+        (p_in,), p_out, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+    n_blocks = R // block_rows
+
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype,
+                          surface_tension=surface_tension,
+                          reduced=not split_out, split_out=split_out)
+
+    def body(block, abs_iota, i):
+        if n_blocks <= 2:
+            return run(block, abs_iota, True)
+        edge = (i == 0) | (i == n_blocks - 1)
+        return jax.lax.cond(
+            edge,
+            lambda b, a: run(b, a, True),
+            lambda b, a: run(b, a, False),
+            block, abs_iota)
+
+    return make_block_pipeline(p_in, R, C, body, planes_out=p_out,
+                               dtype=dtype, block_rows=block_rows,
+                               vmem_budget=6 * 2 ** 20,
+                               flops_per_cell=2600 if csf else 2000,
+                               interpret=interpret)
+
+
+def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
+                            blue: ColourParams, sigma: float,
+                            gravity=(0.0, 0.0), delta: float = 0.1,
+                            apply_gravity_source: bool = True,
+                            dtype=jnp.float32,
+                            block_rows: int | None = None,
+                            surface_tension: str = "perturbation",
+                            interpret: bool = False):
+    """Reduced-state fused MRT-CG step: G (10, R, C) -> (10, R, C)
+    (12 planes in CSF mode, fst carried in planes 10-11).  Same physics
+    as make_mrtcg_fused_step on 10/18ths of the HBM traffic — the
+    memory-optimal layout for long production runs; convert with
+    reduce_mrtcg_state / make_mrtcg_split_step."""
+    return _make_reduced_pipeline(
+        R, C, red, blue, sigma, gravity, delta, apply_gravity_source,
+        dtype, block_rows, interpret, surface_tension, split_out=False)
+
+
+def make_mrtcg_split_step(R: int, C: int, red: ColourParams,
+                          blue: ColourParams, sigma: float,
+                          gravity=(0.0, 0.0), delta: float = 0.1,
+                          apply_gravity_source: bool = True,
+                          dtype=jnp.float32,
+                          block_rows: int | None = None,
+                          surface_tension: str = "perturbation",
+                          interpret: bool = False):
+    """One MRT-CG step that takes the REDUCED state and materialises the
+    full per-colour populations: G (10, R, C) -> F (2, 9, R, C)
+    ((12,..) -> (20, R, C) flat in CSF mode, fst last).  Running
+    reduced_step T-1 times then this once equals the 18-plane fused step
+    run T times (same collide, per-colour streaming on the last step)."""
+    csf = surface_tension == "csf"
+    step = _make_reduced_pipeline(
+        R, C, red, blue, sigma, gravity, delta, apply_gravity_source,
+        dtype, block_rows, interpret, surface_tension, split_out=True)
+    if csf:
+        return step
+
+    def wrapped(G):
+        return step(G).reshape(2, 9, R, C)
+
+    return wrapped

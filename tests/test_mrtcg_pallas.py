@@ -132,3 +132,75 @@ def test_csf_droplet_fused_matches_model_interpret():
     np.testing.assert_allclose(np.asarray(S[9:18]),
                                np.asarray(state.blue.f), rtol=0,
                                atol=1e-13)
+
+
+def test_mrtcg_reduced_matches_full_interpret():
+    """The reduced 10-plane kernel tracks the 18-plane kernel exactly
+    (f64, interpret): the step consumes the per-colour populations only
+    through their sum and the densities, so the reduced layout is closed
+    under the update.  The split step materialises per-colour
+    populations that match the full kernel's at round-off."""
+    from lbm_tpu.kernels.mrtcg_pallas import (
+        make_mrtcg_reduced_step, make_mrtcg_split_step, reduce_mrtcg_state)
+
+    R, C = 32, 128
+    model, state = _setup(R, C)
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64,
+              block_rows=8, interpret=True)
+    full = make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw)
+    red = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw)
+    split = make_mrtcg_split_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw)
+
+    F = jnp.stack([state.red.f, state.blue.f])
+    G = reduce_mrtcg_state(F)
+    for _ in range(3):
+        F = full(F)
+        G = red(G)
+        np.testing.assert_allclose(np.asarray(G[:9]),
+                                   np.asarray(F[0] + F[1]),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(G[9]),
+                                   np.asarray(F[0].sum(0)),
+                                   rtol=0, atol=1e-12)
+    # final-step split: exact per-colour materialisation
+    F_split = split(G)
+    F_next = full(F)
+    np.testing.assert_allclose(np.asarray(F_split), np.asarray(F_next),
+                               rtol=0, atol=1e-12)
+
+
+def test_csf_reduced_matches_full_interpret():
+    """Reduced (12-plane) CSF kernel vs the 20-plane one (f64,
+    interpret; atol matches the CSF roundoff-chaos note above)."""
+    from lbm_tpu.kernels.mrtcg_pallas import (
+        make_csf_fused_step, make_mrtcg_reduced_step,
+        make_mrtcg_split_step, reduce_mrtcg_state)
+
+    R, C = 48, 128
+    model, state = _setup(R, C)
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64,
+              block_rows=8, interpret=True)
+    full = make_csf_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw)
+    red = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                  surface_tension="csf", **kw)
+    split = make_mrtcg_split_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                  surface_tension="csf", **kw)
+
+    S = jnp.concatenate([state.red.f, state.blue.f,
+                         jnp.zeros((2, R, C), jnp.float64)], axis=0)
+    G = reduce_mrtcg_state(S, surface_tension="csf")
+    for _ in range(3):
+        S = full(S)
+        G = red(G)
+        np.testing.assert_allclose(np.asarray(G[:9]),
+                                   np.asarray(S[:9] + S[9:18]),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(G[9]),
+                                   np.asarray(S[:9].sum(0)),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(G[10:]),
+                                   np.asarray(S[18:]), rtol=0, atol=1e-6)
+    S_split = split(G)
+    S_next = full(S)
+    np.testing.assert_allclose(np.asarray(S_split), np.asarray(S_next),
+                               rtol=0, atol=1e-6)
