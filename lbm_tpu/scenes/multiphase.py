@@ -169,13 +169,20 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
     state = model.init_state(r0, b0, dtype=dtype, u_init_gravity_shift=True)
 
     if fused:
-        from ..kernels.mrtcg_pallas import make_mrtcg_fused_step
+        # reduced-state production path: T-1 steps on the 10-plane state
+        # (10/18ths the HBM traffic), one split step to materialise the
+        # exact per-colour populations at the end
+        from ..kernels.mrtcg_pallas import (
+            make_mrtcg_reduced_step, make_mrtcg_split_step,
+            reduce_mrtcg_state)
         from ..models.mrt_cg import ColourFields
 
-        step = make_mrtcg_fused_step(
-            R, C, red, blue, sigma, (0.0, -6.25e-6),
-            apply_gravity_source=False, dtype=jnp.float32)
+        kw = dict(sigma=sigma, gravity=(0.0, -6.25e-6),
+                  apply_gravity_source=False, dtype=jnp.float32)
+        step = make_mrtcg_reduced_step(R, C, red, blue, **kw)
+        split = make_mrtcg_split_step(R, C, red, blue, **kw)
         F = jnp.stack([state.red.f, state.blue.f]).astype(jnp.float32)
+        G = reduce_mrtcg_state(F)
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
@@ -184,13 +191,18 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
         meter = observe.StepMeter(R * C, total_steps=T)
         while done < T:
             if snapshot_every and done % snapshot_every == 0:
-                r_rho = np.asarray(F[0].sum(0))
-                b_rho = np.asarray(F[1].sum(0))
-                snaps["rho"].append(r_rho + b_rho)
+                rho_f = np.asarray(G[:9].sum(0))
+                r_rho = np.asarray(G[9])
+                snaps["rho"].append(rho_f)
                 snaps["psi"].append(np.asarray(mrt_cg.phase_field(
-                    r_rho, red.rho_0, b_rho, blue.rho_0)))
-            n = min(snapshot_every or 5000, T - done, 20000)
-            F = chunk(F, n)
+                    r_rho, red.rho_0, rho_f - r_rho, blue.rho_0)))
+            if done == T - 1:  # final step materialises the colours
+                F = split(G)
+                done += 1
+                meter.update(1)
+                break
+            n = min(snapshot_every or 5000, T - 1 - done, 20000)
+            G = chunk(G, n)
             done += n
             meter.update(n)
         r_rho = F[0].sum(0)
@@ -288,14 +300,21 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
 
     if fused:
         # fully fused two-phase Pallas step (f32; 630x faster than the jnp
-        # path on the axon v5e — 0.011 ms/step at 256x128)
-        from ..kernels.mrtcg_pallas import make_mrtcg_fused_step
+        # path on the axon v5e at 256x128), on the REDUCED 10-plane state
+        # (kernels.mrtcg_pallas: 10/18ths the HBM traffic, +38% at
+        # 1024x512); the final step materialises the per-colour
+        # populations exactly via the split kernel
+        from ..kernels.mrtcg_pallas import (
+            make_mrtcg_reduced_step, make_mrtcg_split_step,
+            reduce_mrtcg_state)
         from ..models.mrt_cg import ColourFields
 
-        step = make_mrtcg_fused_step(
-            R, C, red, blue, sigma, (gravity_magnitude, 0.0),
-            dtype=jnp.float32)
+        kw = dict(sigma=sigma, gravity=(gravity_magnitude, 0.0),
+                  dtype=jnp.float32)
+        step = make_mrtcg_reduced_step(R, C, red, blue, **kw)
+        split = make_mrtcg_split_step(R, C, red, blue, **kw)
         F = jnp.stack([state.red.f, state.blue.f]).astype(jnp.float32)
+        G = reduce_mrtcg_state(F)
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
@@ -308,9 +327,13 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
             from ..io.checkpoint import Checkpointer
 
             ckpt = Checkpointer(checkpoint_dir, every=checkpoint_every)
-            restored, at_step = ckpt.restore_latest(F)
+            restored, at_step = ckpt.restore_latest(G)
             if restored is not None:
-                F = jnp.asarray(restored)
+                restored = jnp.asarray(restored)
+                if restored.shape == (2, 9, R, C):
+                    # checkpoint from a pre-reduced-state run
+                    restored = reduce_mrtcg_state(restored)
+                G = restored
                 done = last_ckpt = int(at_step)
                 if writer is not None:
                     # a fresh SnapshotWriter would overwrite the previous
@@ -332,27 +355,32 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
             if ckpt is not None and done - last_ckpt >= checkpoint_every:
                 from ..io import checkpoint as _ck
 
-                _ck.save(ckpt.path(done), np.asarray(F), step=done)
+                _ck.save(ckpt.path(done), np.asarray(G), step=done)
                 ckpt._prune()
                 last_ckpt = done
             if snapshot_every and done % snapshot_every == 0:
-                r_rho = np.asarray(F[0].sum(0))
-                b_rho = np.asarray(F[1].sum(0))
+                mom = np.asarray(G[:9])
+                r_rho = np.asarray(G[9])
+                rho_fr = mom.sum(0)
                 psi_fr = np.asarray(mrt_cg.phase_field(
-                    r_rho, red.rho_0, b_rho, blue.rho_0))
-                mom = np.asarray(F.sum(0))
-                ux_fr = (mom[1] - mom[3] + mom[5] - mom[6] - mom[7] + mom[8]) \
-                    / (r_rho + b_rho)
+                    r_rho, red.rho_0, rho_fr - r_rho, blue.rho_0))
+                ux_fr = (mom[1] - mom[3] + mom[5] - mom[6] - mom[7]
+                         + mom[8]) / rho_fr
                 if writer is not None:
                     writer.append("psi", psi_fr)
                     writer.append("ux", ux_fr)
                 else:
                     snaps["psi"].append(psi_fr)
                     snaps["ux"].append(ux_fr)
-            n = min(snapshot_every or 1000, T - done)
+            if done == T - 1:  # final step materialises the colours
+                F = split(G)
+                done += 1
+                meter.update(1)
+                break
+            n = min(snapshot_every or 1000, T - 1 - done)
             # the axon relay hangs on single launches >~2s; cap trip counts
             n = min(n, 20000)
-            F = chunk(F, n)
+            G = chunk(G, n)
             done += n
             meter.update(n)
         r_rho = F[0].sum(0)
@@ -416,12 +444,19 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
     fused = resolve_fused(fused, dtype, rows=R, cols=C)
 
     if fused:
-        from ..kernels.mrtcg_pallas import make_csf_fused_step
+        # reduced-state production path (12 planes: 9 mixture + red rho +
+        # fst carry vs the 20-plane full kernel); the final step
+        # materialises the exact per-colour populations via the split
+        # kernel (kernels.mrtcg_pallas.make_mrtcg_reduced_step)
+        from ..kernels.mrtcg_pallas import (
+            make_mrtcg_reduced_step, make_mrtcg_split_step,
+            reduce_mrtcg_state)
         from ..models.mrt_cg import ColourFields
 
-        step = make_csf_fused_step(
-            R, C, red, blue, sigma, (gravity_magnitude, 0.0),
-            dtype=jnp.float32)
+        kw = dict(sigma=sigma, gravity=(gravity_magnitude, 0.0),
+                  surface_tension="csf", dtype=jnp.float32)
+        step = make_mrtcg_reduced_step(R, C, red, blue, **kw)
+        split = make_mrtcg_split_step(R, C, red, blue, **kw)
         r0 = init_rho_cosine(R, C, red.rho_0, True, 1.0)
         b0 = init_rho_cosine(R, C, blue.rho_0, False, 1.0)
         m = MRTCGModel(red=red, blue=blue, sigma=sigma,
@@ -436,6 +471,7 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
         fg32 = jnp.asarray([gravity_magnitude, 0.0], jnp.float32)
         fst0 = fg32[:, None, None] * (rho0_mix / red.rho_0 - 1.0)
         S = jnp.concatenate([st.red.f, st.blue.f, fst0], axis=0)
+        G = reduce_mrtcg_state(S, surface_tension="csf")
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
@@ -447,19 +483,38 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
             done = 0
             while done < T:
                 n = min(snapshot_every, T - done)
-                S = chunk(S, n)
-                done += n
-                observe.check_finite(S, done)
-                frames.append(np.asarray(phase_field(
-                    S[:9].sum(0), red.rho_0, S[9:18].sum(0), blue.rho_0)))
+                if done + n == T:  # final chunk ends in the split step
+                    if n > 1:
+                        G = chunk(G, n - 1)
+                    S = split(G)
+                    done = T
+                    observe.check_finite(S, done)
+                    frames.append(np.asarray(phase_field(
+                        S[:9].sum(0), red.rho_0, S[9:18].sum(0),
+                        blue.rho_0)))
+                else:
+                    G = chunk(G, n)
+                    done += n
+                    observe.check_finite(G, done)
+                    r_rho = G[9]
+                    rho = G[:9].sum(0)
+                    frames.append(np.asarray(phase_field(
+                        r_rho, red.rho_0, rho - r_rho, blue.rho_0)))
             snaps = {"psi": np.stack(frames)}
         else:
             done = 0
             while done < T:
                 n = min(20000, T - done)
-                S = chunk(S, n)
-                done += n
-                observe.check_finite(S, done)
+                if done + n == T:
+                    if n > 1:
+                        G = chunk(G, n - 1)
+                    S = split(G)
+                    done = T
+                    observe.check_finite(S, done)
+                else:
+                    G = chunk(G, n)
+                    done += n
+                    observe.check_finite(G, done)
         from ..ops import d2q9 as _d2q9
 
         rf, bf, fst = S[:9], S[9:18], S[18:]
