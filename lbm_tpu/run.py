@@ -46,6 +46,7 @@ def _register_all():
         "rk_rayleigh_taylor": multiphase.rk_rayleigh_taylor,
         "cylinder_flow": obstacles.cylinder_flow,
         "rectangle_sedimentation": obstacles.rectangle_sedimentation,
+        "falling_cylinder": obstacles.falling_cylinder,
         "ring_cavity": cavity.ring_cavity,
     })
 

@@ -505,3 +505,152 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
     return SedimentationResult(f=f, g=g, rho=rho, u=u, C=C, steps=T,
                                snapshots=recorder.result() if recorder
                                else None)
+
+
+@dataclass
+class FallingCylinderResult:
+    f: jnp.ndarray
+    rho: jnp.ndarray
+    u: jnp.ndarray
+    center: jnp.ndarray      # (2,) final body center (rows, cols)
+    velocity: jnp.ndarray    # (2,) final body velocity
+    steps: int
+    trajectory: object = None  # (T//record_every, 6): cx, cy, Ux, Uy, Fx, Fy
+
+
+def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
+                     center=None, radius: float = 12.0,
+                     n_markers: int | None = None, rho_s: float = 1.25,
+                     gravity: float = 5e-5, omega: float = 1.0 / 0.6,
+                     m_max: int = 5, record_every: int = 10,
+                     dtype=None) -> FallingCylinderResult:
+    """Sedimenting rigid cylinder via moving-marker IBM — fluid-structure
+    coupling beyond the reference's static markers (src/ibm.cpp:15-191
+    precomputes its weight maps once; ROADMAP item 4).
+
+    A cylinder of density ``rho_s`` (fluid rho_0 = 1) falls under gravity
+    ``g`` along +rows in a closed no-slip box.  Each step:
+
+      macroscopics -> BGK collide -> dense Peskin factors rebuilt from
+      the marker positions (ops.moving_ibm.window_factors, a traced
+      window following the body) -> multi-direct forcing toward the
+      body velocity U_b -> standard Guo source over the window ->
+      stream -> halfway bounce-back on all four walls.
+
+    Rigid-body closure (translation only; the symmetric fall is
+    torque-free): direct-forcing momentum exchange F_h = -sum_j f_j and
+
+        rho_s A dU/dt = F_h + (rho_s - 1) A g e_x,   A = pi r^2
+
+    then semi-implicit Euler: U += dU, x += U.  Using the full body
+    inertia rho_s A (not Uhlmann's buoyant (rho_s-1) A, which goes
+    unstable here: the per-step exchange gain ~ 2.6 r exceeds the
+    buoyant inertia for moderate ratios — measured blow-up in 20 steps
+    at rho_s=1.5, r=6) trades a transient added-mass error of order
+    1/rho_s for unconditional stability at the ratios the scene targets
+    (stability needs roughly rho_s r > 2.6).  Markers default to ~1-cell
+    spacing (ceil(2 pi r)), the standard direct-forcing resolution.
+
+    ``record_every`` returns an in-device (T//k, 6) trajectory series
+    (center, velocity, hydrodynamic force).  ``center`` defaults to
+    (H/4, W/2); the body must keep its markers (+2-cell support) inside
+    the closed box for the whole run."""
+    from ..ops.moving_ibm import circle_markers, forcing_window, \
+        window_factors
+
+    dtype = default_float(dtype)
+    if center is None:
+        center = (0.25 * H, 0.5 * W)
+    if not (radius + 3 <= center[0] <= H - radius - 3
+            and radius + 3 <= center[1] <= W - radius - 3):
+        raise ValueError(f"center {center} puts markers (+2-cell Peskin "
+                         f"support) outside the {H}x{W} grid")
+    if n_markers is None:
+        n_markers = int(np.ceil(2.0 * np.pi * radius))
+    # window: marker ring +/- radius, 2-cell Peskin support, 3 slack
+    half = int(np.ceil(radius)) + 5
+    wr = wc = 2 * half
+    if wr > H or wc > W:
+        raise ValueError("window exceeds grid; enlarge H/W")
+    area = np.pi * radius * radius
+    m_eff = rho_s * area                  # full body inertia (stable)
+    g_net = (rho_s - 1.0) * area * gravity
+
+    def step(carry):
+        f, cen, ub, _Fh = carry
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        f_equi = d2q9.equilibrium(u, rho)
+        f_coll = d2q9.bgk_collision(f, f_equi, omega)
+
+        r0 = jnp.clip(jnp.round(cen[0]).astype(jnp.int32) - half,
+                      0, H - wr)
+        c0 = jnp.clip(jnp.round(cen[1]).astype(jnp.int32) - half,
+                      0, W - wc)
+        zero = jnp.int32(0)
+        u_win = jax.lax.dynamic_slice(u, (zero, r0, c0), (2, wr, wc))
+        rho_win = jax.lax.dynamic_slice(rho, (r0, c0), (wr, wc))
+        xs, ys = circle_markers(cen, radius, n_markers, dtype=f.dtype)
+        X, Y = window_factors(xs, ys, r0.astype(f.dtype),
+                              c0.astype(f.dtype), wr, wc)
+        F_win, f_sum = forcing_window(u_win, rho_win, X, Y, ub, m_max)
+
+        S = d2q9.guo_source(u_win, F_win, omega)
+        patch = jax.lax.dynamic_slice(f_coll, (zero, r0, c0), (9, wr, wc)) + S
+        f_coll = jax.lax.dynamic_update_slice(f_coll, patch, (zero, r0, c0))
+
+        f_new = d2q9.stream(f_coll)
+        for side in ("row0", "rowN", "col0", "colN"):
+            f_new = bc.bounce_back(f_new, f_coll, side)
+
+        F_h = -f_sum
+        accel = (F_h + jnp.asarray([g_net, 0.0], f.dtype)) / m_eff
+        ub = ub + accel
+        cen = cen + ub
+        return f_new, cen, ub, F_h
+
+    u0 = jnp.zeros((2, H, W), dtype)
+    f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
+    carry = (f, jnp.asarray(center, dtype), jnp.zeros((2,), dtype),
+             jnp.zeros((2,), dtype))
+
+    trajectory = None
+    if record_every:
+        if T % record_every:
+            raise ValueError("T must be a multiple of record_every")
+
+        def outer(c, _):
+            c2 = jax.lax.fori_loop(0, record_every,
+                                   lambda _, x: step(x), c)
+            _, cen, ub, F_h = c2
+            return c2, jnp.concatenate([cen, ub, F_h])
+
+        scan = jax.jit(
+            lambda c, n: jax.lax.scan(outer, c, None, length=n),
+            static_argnums=1)
+        series = []
+        done = 0
+        while done < T:
+            n = min(20000 // record_every or 1,
+                    (T - done) // record_every)
+            carry, tr = scan(carry, n)
+            series.append(np.asarray(tr))
+            done += n * record_every
+            from ..utils import observe
+            observe.check_finite(carry[0], done)
+        trajectory = np.concatenate(series)
+    else:
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(2000, T - done)
+            carry = chunk(carry, n)
+            done += n
+    f, cen, ub, _ = carry
+    rho = d2q9.calc_rho(f)
+    u = d2q9.calc_u(f, rho)
+    return FallingCylinderResult(f=f, rho=rho, u=u, center=cen,
+                                 velocity=ub, steps=T,
+                                 trajectory=trajectory)
