@@ -56,7 +56,7 @@ def build_step(args, H, W):
                                    substeps=min(args.substeps, 8))
         f = kbc_model.equilibrium(rho0, u0).astype(dtype)
         impl = "pallas"
-    elif args.model in ("mrtcg", "mrtcg_reduced"):
+    elif args.model in ("mrtcg", "mrtcg_full"):
         from lbm_tpu.kernels.mrtcg_pallas import (
             make_mrtcg_fused_step, make_mrtcg_reduced_step,
             reduce_mrtcg_state)
@@ -75,15 +75,17 @@ def build_step(args, H, W):
                               init_rho_cosine(H, W, 1.0, False, -1.0),
                               dtype=dtype)
         f = jnp.stack([st.red.f, st.blue.f])
-        if args.model == "mrtcg_reduced":
+        if args.model == "mrtcg_full":
+            # the 18-plane kernel, kept for comparison; production scenes
+            # run the reduced 10-plane state (scenes/multiphase.py)
+            step = make_mrtcg_fused_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0), **kw)
+        else:
             step = make_mrtcg_reduced_step(
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0), **kw)
             f = reduce_mrtcg_state(f)
-        else:
-            step = make_mrtcg_fused_step(
-                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0), **kw)
         impl = "pallas"
-    elif args.model in ("csf", "csf_reduced"):
+    elif args.model in ("csf", "csf_full"):
         from lbm_tpu.kernels.mrtcg_pallas import (
             make_csf_fused_step, make_mrtcg_reduced_step,
             reduce_mrtcg_state)
@@ -99,15 +101,16 @@ def build_step(args, H, W):
                           dtype=dtype)
         f = jnp.concatenate([st.red.f, st.blue.f,
                              jnp.zeros((2, H, W), dtype)], axis=0)
-        if args.model == "csf_reduced":
+        if args.model == "csf_full":
+            step = make_csf_fused_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
+                dtype=dtype)
+        else:
+            # production path: reduced 12-plane CSF state
             step = make_mrtcg_reduced_step(
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
                 dtype=dtype, surface_tension="csf")
             f = reduce_mrtcg_state(f, surface_tension="csf")
-        else:
-            step = make_csf_fused_step(
-                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
-                dtype=dtype)
         impl = "pallas"
     elif args.model == "rk":
         from lbm_tpu.kernels.rk_pallas import make_rk_fused_step
@@ -214,10 +217,12 @@ def measure(args, H, W):
     step, f, impl, substeps, H, W = build_step(args, H, W)
     log(f"grid {H}x{W}, {args.steps} steps, {args.dtype}, impl={impl}")
 
+    # DYNAMIC trip count: one executable serves every window size (a
+    # traced fori_loop bound lowers to while_loop; measured identical
+    # per-step rate to the static form), so window sizing below costs
+    # probes, not recompiles, through the slow relay.
     chunk = jax.jit(
-        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-        static_argnums=1,
-    )
+        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g))
 
     def timed(n):
         """Full round-trip with a forced scalar read: through the axon relay
@@ -229,25 +234,22 @@ def measure(args, H, W):
         return time.perf_counter() - t0, s
 
     t0 = time.perf_counter()
-    n_small = max(2, args.steps // substeps // 8)
-    n_full = max(4 * n_small, args.steps // substeps)
     timed(2)
-    timed(n_small)  # compile+warm both trip counts outside the timed region
-    timed(n_full)   # first execution of a fresh executable can be very slow
+    timed(2)
+    # Size the window for ~1.2 s launches, safely under the relay's ~2 s
+    # single-launch hang ceiling.  Small windows are untrustworthy: the
+    # relay's completion polling quantises launch cost by 10-20 ms
+    # (measured cost(1000 steps) < cost(800) on the same kernel), which
+    # depressed sub-0.2 s marginal windows by up to 27%.
+    n = max(2, args.steps // substeps)
+    dt, _ = timed(n)
+    while dt < 0.25 and n < 500000:
+        n = min(500000, max(n * 2, int(n * 0.4 / max(dt, 1e-3))))
+        dt, _ = timed(n)
+    n_full = min(500000, max(n, int(n * 1.2 / max(dt, 1e-3))))
+    n_small = max(1, n_full // 8)
+    timed(n_small)
     dt_probe, _ = timed(n_full)
-    # widen the marginal window on fast kernels: if the full run is too
-    # close to the per-launch noise floor, scale the trip counts up rather
-    # than fall back to a launch-overhead-polluted end-to-end rate.  One
-    # computed rescale (vs repeated x4) keeps it to a single extra
-    # compile pair through the slow relay.
-    if dt_probe < 0.1 and n_full < 500000:
-        scale = max(2, math.ceil(0.12 / max(dt_probe, 1e-3)))
-        scale = min(scale, max(2, 500000 // n_full))
-        n_small *= scale
-        n_full *= scale
-        timed(n_small)
-        timed(n_full)
-        dt_probe, _ = timed(n_full)
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s "
         f"(n_full={n_full}, {dt_probe:.3f}s/launch)")
 
@@ -293,8 +295,8 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
     ap.add_argument("--model", default="bgk",
-                    choices=["bgk", "kbc", "mrtcg", "mrtcg_reduced",
-                             "csf", "csf_reduced", "rk",
+                    choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
+                             "csf", "csf_full", "rk",
                              "cavity", "cylinder", "sediment"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
