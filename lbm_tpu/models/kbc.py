@@ -183,23 +183,32 @@ def delta_h(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray,
     return jnp.stack(rows, axis=0)
 
 
+def _eq_factor_pairs(u: jnp.ndarray):
+    """Per-axis product-form equilibrium factors: 3-tuples over
+    cx/cy in {0, +1, -1} with Phi_0 = 1 - (cs2 + u^2) and
+    Phi_{+-1} = (cs2 + u^2 +- u)/2.  cites ulbm.cpp:248-263."""
+    ux, uy = u[0], u[1]
+    x2, y2 = ux * ux, uy * uy
+    ax, ay = CS2 + x2, CS2 + y2
+    px = (1.0 - ax, 0.5 * (ax + ux), 0.5 * (ax - ux))   # cx = 0, +1, -1
+    py = (1.0 - ay, 0.5 * (ay + uy), 0.5 * (ay - uy))   # cy = 0, +1, -1
+    return px, py
+
+
+_CX3 = [int(v) % 3 for v in lat.C[0]]
+_CY3 = [int(v) % 3 for v in lat.C[1]]
+
+
 def _eq_factors(u: jnp.ndarray) -> jnp.ndarray:
     """Product-form equilibrium per unit density (9, R, C).
     cites ulbm.cpp:248-263 (and :230-246 for the reciprocal use).
 
     The reference expands the products into per-direction polynomials;
     here they are kept factored — eqf_k = Phi_{cx_k}(ux) * Phi_{cy_k}(uy)
-    with Phi_0 = 1 - (cs2 + u^2) and Phi_{+-1} = (cs2 + u^2 -+... + u)/2 —
-    which is the same function in ~20 vector ops instead of ~100 (verified
-    identical to the expansion to f64 round-off)."""
-    ux, uy = u[0], u[1]
-    x2, y2 = ux * ux, uy * uy
-    ax, ay = CS2 + x2, CS2 + y2
-    px = (1.0 - ax, 0.5 * (ax + ux), 0.5 * (ax - ux))   # cx = 0, +1, -1
-    py = (1.0 - ay, 0.5 * (ay + uy), 0.5 * (ay - uy))   # cy = 0, +1, -1
-    cx = [int(v) for v in lat.C[0]]
-    cy = [int(v) for v in lat.C[1]]
-    return jnp.stack([px[cx[k] % 3] * py[cy[k] % 3] for k in range(9)],
+    (same function in ~20 vector ops instead of ~100; verified identical
+    to the expansion to f64 round-off)."""
+    px, py = _eq_factor_pairs(u)
+    return jnp.stack([px[_CX3[k]] * py[_CY3[k]] for k in range(9)],
                      axis=0)
 
 
@@ -223,10 +232,25 @@ def gamma(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray, s2: float,
         feq = equilibrium(m0, u)
     ds = delta_s(cT, u, m0, feq)
     dh = delta_h(cT, u, m0, feq)
-    inv_feq = 1.0 / feq
+    # Factored reciprocal: 1/feq_k = (1/m0) ipx[cx_k] ipy[cy_k] with only
+    # 3+3 distinct axis factors (the product-form split of
+    # ulbm.cpp:248-263), and the 1/m0 factor cancels between num and den
+    # (both get scaled by m0; the eps floor absorbs the rescale) —
+    # 6 plane divides instead of 9 in the stage the kernel ablation
+    # blamed for ~a third of its time.
+    px, py = _eq_factor_pairs(u)
+    ipx = tuple(1.0 / p for p in px)
+    ipy = tuple(1.0 / p for p in py)
     is2 = 1.0 / s2
-    num = (ds * dh * inv_feq).sum(axis=0)
-    den = (dh * dh * inv_feq).sum(axis=0)
+    num = None
+    den = None
+    for k in range(9):
+        w = ipx[_CX3[k]] * ipy[_CY3[k]]
+        dhw = dh[k] * w
+        nk = ds[k] * dhw
+        dk = dh[k] * dhw
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
     eps = 1e-28 if num.dtype == jnp.float32 else 1e-200
     g = is2 - (1.0 - is2) * num / (den + eps)
     # Clamp to the linear-stability window of the h-moment relaxation:
@@ -243,16 +267,17 @@ def collide(f: jnp.ndarray, m0: jnp.ndarray, u: jnp.ndarray, s2: float) -> jnp.n
     cT = central_moments(f, u)
     g = gamma(cT, u, m0, s2, equilibrium(m0, u))
 
-    # subtract equilibrium central moments (only k = 0, 3, 8 nonzero)
-    # (plane-wise, no scatter: keeps this lowerable inside Pallas kernels)
-    cT = jnp.stack(
-        [cT[0] - m0, cT[1], cT[2], cT[3] - 2.0 * CS2 * m0, cT[4],
-         cT[5], cT[6], cT[7], cT[8] - CS4 * m0], axis=0)
-
-    # relaxation-rate diagonal
-    one = jnp.ones_like(m0)
-    s = jnp.stack([one, one, one] + [s2 * one] * 3 + [g * s2] * 3, axis=0)
-    T = cT * s
+    # subtract equilibrium central moments (only k = 0, 3, 8 nonzero) and
+    # apply the relaxation diagonal in the same stack: rows 0-2 relax at
+    # unit rate (no multiply), 3-5 at the scalar s2, 6-8 at the per-cell
+    # g*s2 — skips the all-ones planes and three identity multiplies of
+    # the explicit diagonal form (plane-wise, no scatter: keeps this
+    # lowerable inside Pallas kernels)
+    gs2 = g * s2
+    T = jnp.stack(
+        [cT[0] - m0, cT[1], cT[2],
+         s2 * (cT[3] - 2.0 * CS2 * m0), s2 * cT[4], s2 * cT[5],
+         gs2 * cT[6], gs2 * cT[7], gs2 * (cT[8] - CS4 * m0)], axis=0)
 
     # inv(N) back-map (explicit algebra, ulbm.cpp:104-112)
     ux, uy = u[0], u[1]

@@ -69,8 +69,18 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
     (max|u| > 0.5 by t=500; NaN by t~2500 in f32 AND ~2000 in f64, so the
     reference's own 50k-step run cannot have produced finite fields).
     F=3e-5 gives a steady circulation over the full 50k steps
-    (max|u| = 0.023, anti-symmetric arm flow +-1.07e-2)."""
+    (max|u| = 0.023, anti-symmetric arm flow +-1.07e-2).  Runs that
+    outlive the measured envelope warn up front (the NaN watchdog will
+    stop them); pass force=3e-5 for long runs."""
     dtype = default_float(dtype)
+    if force >= 1e-3 and T > 1500:
+        import warnings
+
+        warnings.warn(
+            f"ring_cavity: F={force:g} is super-critical (reference "
+            "workload quirk, decompose_domain_loop.cpp:41-78) — fields go "
+            "non-finite by t~2000-2500; use force=3e-5 for T > 1500",
+            stacklevel=2)
     if fused is None and mesh_shape is not None:
         fused = False  # auto never overrides an explicit sharded request
     fused = resolve_fused(fused, dtype, rows=L, cols=L)
