@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..boundary import bc
 from ..ops import d2q9
 from ..parallel import mesh as meshmod, sharded
-from ..utils.xmath import default_float, resolve_fused
+from ..utils.xmath import default_float, launch_cap, resolve_fused
 
 
 @dataclass
@@ -105,7 +105,7 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
             static_argnums=1)
         done = 0
         while done < T:
-            n = min(20000, T - done)
+            n = min(launch_cap(L * L, 0.12), T - done)
             f = chunk(f, n)
             done += n
         rho = d2q9.calc_rho(f)

@@ -21,7 +21,7 @@ import numpy as np
 from ..boundary import bc
 from ..models.single_phase import SinglePhaseModel
 from ..ops import d2q9
-from ..utils.xmath import default_float, resolve_fused
+from ..utils.xmath import default_float, launch_cap, resolve_fused
 from ..utils import observe
 
 TAU_DEFAULT = math.sqrt(3.0 / 16.0) + 0.5  # cites horizontal_poiseuille_test.cpp:55
@@ -208,7 +208,7 @@ def _fused_run(step, f, T: int, converge: bool = False,
     if not converge:
         done = 0
         while done < T:
-            n = min(20000, T - done)
+            n = min(launch_cap(f[0].size, 0.12), T - done)
             f = chunk(f, n)
             done += n
             observe.check_finite(f, done)

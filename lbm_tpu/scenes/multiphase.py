@@ -20,7 +20,7 @@ from ..models import mrt_cg
 from ..utils import observe
 from ..models.mrt_cg import MRTCGModel, TwoPhaseState
 from ..models.rk_cg import RKDropletColour, RKDropletModel, RKMixtureModel
-from ..utils.xmath import default_float, resolve_fused
+from ..utils.xmath import default_float, launch_cap, resolve_fused
 
 
 def _sigmoid(x):
@@ -133,6 +133,19 @@ def _run_chunks(model, state, T: int, snapshot_every: int | None,
     return state, {k: np.stack(v) if v else None for k, v in snaps.items()}
 
 
+def _capped_chunk(chunk, cap: int):
+    """Wrap a jitted ``(state, n_static) -> state`` chunk so one host call
+    may exceed the relay's per-launch trip cap (utils.xmath.launch_cap):
+    the requested n runs in <=cap pieces, preserving callers' snapshot
+    cadence arithmetic exactly."""
+    def run(s, n):
+        while n > cap:
+            s = chunk(s, cap)
+            n -= cap
+        return chunk(s, n) if n else s
+    return run
+
+
 def _state_cells(state) -> int:
     """Grid size of a model state (rows*cols of the first array leaf)."""
     leaf = jax.tree.leaves(state)[0]
@@ -183,9 +196,9 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
         split = make_mrtcg_split_step(R, C, red, blue, **kw)
         F = jnp.stack([state.red.f, state.blue.f]).astype(jnp.float32)
         G = reduce_mrtcg_state(F)
-        chunk = jax.jit(
+        chunk = _capped_chunk(jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-            static_argnums=1)
+            static_argnums=1), launch_cap(R * C))
         done = 0
         snaps = {"rho": [], "psi": []}
         meter = observe.StepMeter(R * C, total_steps=T)
@@ -201,7 +214,7 @@ def mrtcg_static_droplet(R: int = 100, C: int = 100, T: int = 100,
                 done += 1
                 meter.update(1)
                 break
-            n = min(snapshot_every or 5000, T - 1 - done, 20000)
+            n = min(snapshot_every or 5000, T - 1 - done)
             G = chunk(G, n)
             done += n
             meter.update(n)
@@ -315,9 +328,9 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
         split = make_mrtcg_split_step(R, C, red, blue, **kw)
         F = jnp.stack([state.red.f, state.blue.f]).astype(jnp.float32)
         G = reduce_mrtcg_state(F)
-        chunk = jax.jit(
+        chunk = _capped_chunk(jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-            static_argnums=1)
+            static_argnums=1), launch_cap(R * C))
         snaps = {"psi": [], "ux": []}
         done = 0
         meter = observe.StepMeter(R * C, total_steps=T)
@@ -378,8 +391,6 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                 meter.update(1)
                 break
             n = min(snapshot_every or 1000, T - 1 - done)
-            # the axon relay hangs on single launches >~2s; cap trip counts
-            n = min(n, 20000)
             G = chunk(G, n)
             done += n
             meter.update(n)
@@ -472,9 +483,9 @@ def mrt_csf_rayleigh_taylor(R: int = 256, C: int = 128, T: int = 10000,
         fst0 = fg32[:, None, None] * (rho0_mix / red.rho_0 - 1.0)
         S = jnp.concatenate([st.red.f, st.blue.f, fst0], axis=0)
         G = reduce_mrtcg_state(S, surface_tension="csf")
-        chunk = jax.jit(
+        chunk = _capped_chunk(jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-            static_argnums=1)
+            static_argnums=1), launch_cap(R * C))
         snaps = None
         if snapshot_every:
             from ..models.mrt_cg import phase_field
@@ -616,9 +627,9 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
         S = jnp.concatenate(
             [state.f, state.r_rho[None], state.b_rho[None]], axis=0
         ).astype(jnp.float32)
-        chunk = jax.jit(
+        chunk = _capped_chunk(jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-            static_argnums=1)
+            static_argnums=1), launch_cap(R * C))
         snaps = {"r_rho": [], "ux": []}
         done = 0
         meter = observe.StepMeter(R * C, total_steps=T)
@@ -629,7 +640,7 @@ def rk_rayleigh_taylor(L: int = 256, T: int = 100000, sigma: float = 0.1,
                 rho = Sn[9] + Sn[10]
                 snaps["ux"].append(
                     (Sn[1] - Sn[3] + Sn[5] - Sn[6] - Sn[7] + Sn[8]) / rho)
-            n = min(snapshot_every or 1000, T - done, 20000)
+            n = min(snapshot_every or 1000, T - done)
             S = chunk(S, n)
             done += n
             meter.update(n)
@@ -687,9 +698,9 @@ def csf_static_droplet(L: int = 100, T: int = 100, radius: float = 25.0,
         st_f = model.init_state(r0, b0, dtype=fdtype)
         S = jnp.concatenate([st_f.red.f, st_f.blue.f,
                              jnp.zeros((2, L, L), fdtype)], axis=0)
-        chunk = jax.jit(
+        chunk = _capped_chunk(jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-            static_argnums=1)
+            static_argnums=1), launch_cap(L * L))
         frames = {"rho": [], "psi": []} if snapshot_every else None
         done = 0
         while done < T:

@@ -19,7 +19,7 @@ from ..boundary import bc
 from ..core import lattice as lat
 from ..ops import d2q9
 from ..ops.ibm import IBM
-from ..utils.xmath import default_float, resolve_fused
+from ..utils.xmath import default_float, launch_cap, resolve_fused
 
 _WEAK_GUO = (1.0 / 3.0, 1.0 / 9.0)  # cylinder_test.cpp:66-67
 
@@ -189,7 +189,8 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
             series = []
             done = 0
             while done < T:
-                n = min(20000 // record_every or 1, (T - done) // record_every)
+                cap = launch_cap(H * W, 0.12)
+                n = min(cap // record_every or 1, (T - done) // record_every)
                 carry, Fs = scan(carry, n)
                 series.append(np.asarray(Fs))
                 done += n * record_every
@@ -207,7 +208,7 @@ def cylinder_flow(H: int = 160, W: int = 120, T: int = 500,
             else:
                 done = 0
                 while done < T:
-                    n = min(20000, T - done)
+                    n = min(launch_cap(H * W, 0.12), T - done)
                     carry = chunk(carry, n)
                     done += n
         f, F_full = carry
@@ -412,7 +413,7 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
         else:
             done = 0
             while done < T:
-                n = min(20000, T - done)
+                n = min(launch_cap(H * W, 0.12), T - done)
                 S = chunk(S, n)
                 done += n
         f, g = S[:9], S[9:]
@@ -631,7 +632,7 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
         series = []
         done = 0
         while done < T:
-            n = min(20000 // record_every or 1,
+            n = min(launch_cap(H * W, 0.12) // record_every or 1,
                     (T - done) // record_every)
             carry, tr = scan(carry, n)
             series.append(np.asarray(tr))

@@ -16,7 +16,7 @@ from ..boundary import bc
 from ..models import kbc
 from ..ops import d2q9
 from ..utils import observe
-from ..utils.xmath import default_float, resolve_fused
+from ..utils.xmath import default_float, launch_cap, resolve_fused
 
 
 @dataclass
@@ -56,7 +56,7 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
         done = 0
         meter = observe.StepMeter(H * W, total_steps=T)
         while done < T:
-            n = min(20000, T - done)
+            n = min(launch_cap(H * W, 0.12), T - done)
             f = chunk(f, n)
             float(f[0, 0, 0])  # keep launches under the relay's ~2s ceiling
             done += n
@@ -152,7 +152,7 @@ def ulbm_double_shear(H: int = 128, W: int = 128, T: int = 10000,
         done = 0
         meter = observe.StepMeter(H * W, total_steps=T)
         while done < T:
-            n = min(20000, T - done)
+            n = min(launch_cap(H * W, 0.12), T - done)
             g = chunk(g, n)
             done += n
             meter.update(n)

@@ -61,3 +61,15 @@ def default_float(dtype=None):
     if dtype is None:
         return jax.dtypes.canonicalize_dtype(jnp.float64)
     return dtype
+
+
+def launch_cap(cells: int, per_cell_ns: float = 0.35) -> int:
+    """Per-launch fori_loop trip cap for TPU scene loops.
+
+    The axon relay hangs forever on single launches past ~2 s of device
+    time (CLAUDE.md), so chunks are bounded to ~1.4 s assuming a
+    conservative per-cell step cost: 0.35 ns/cell covers the slowest
+    fused two-phase kernel (csf, measured ~0.31 ns/cell at 1024x512);
+    pass ~0.06 for the single-phase families.  Capped at the historical
+    20000 so small-grid behaviour is unchanged."""
+    return min(20000, max(500, int(1.4e9 / (per_cell_ns * max(cells, 1)))))
