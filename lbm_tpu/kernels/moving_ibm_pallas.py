@@ -1,0 +1,241 @@
+"""Fused moving-marker IBM forcing as one Pallas launch.
+
+The static forcing kernel (kernels/ibm_pallas.py) precomputes its dense
+Peskin factors on the host because the reference's markers never move
+(/root/reference/src/ibm.cpp:15-191).  For a moving body the factors
+depend on the marker positions, which depend on the rigid-body state —
+so the jnp path (ops/moving_ibm.py + scenes.obstacles.falling_cylinder)
+rebuilds them inside jit each step.  That costs a serial chain of ~10
+small XLA fusions per step (dynamic slices, factor evaluation, the
+forcing loop, the rigid-body update), each paying an HBM round trip —
+measured 2-4x the grid kernel's own runtime on production grids.
+
+This kernel collapses the whole moving-body side into ONE launch per
+step by making the rigid-body state itself a kernel carry:
+
+* the state (1, 128) f32 row [cen_x, cen_y, ub_x, ub_y, Fh_x, Fh_y, 0..]
+  enters through SMEM, so the window origin is computed on the scalar
+  core and feeds a *dynamic-offset* window DMA (8-row / 128-lane aligned
+  via ``pl.multiple_of``, the Mosaic alignment contract);
+* marker geometry enters as constant centroid offsets (dx, dy) (1, M')
+  — rigid translation moves every marker by the same cen, so
+  ``x_j = cen_x + dx_j`` stays exact for ANY rigid outline, not just
+  circles; padding columns park at +1e9 where the Peskin kernel is
+  exactly zero, so they spread nothing and need no mask;
+* the dense separable factors X (rw, M') / Y (cw, M') are evaluated on
+  the VPU (ops.moving_ibm.window_factors algebra), and interpolation /
+  spreading are the same two MXU matmuls as the static kernel;
+* multi-direct forcing targets the body velocity U_b (Uhlmann direct
+  forcing; the reference's static case is U_b = 0, ibm.cpp:169-183);
+* the rigid-body closure (momentum exchange + buoyant gravity, see
+  scenes.obstacles.falling_cylinder) updates ub/cen IN-KERNEL and the
+  new state leaves as a (1, 128) VMEM row assembled by lane masks.
+
+The force grid F (2, R, C) is an aliased input->output carry like the
+static kernel's: only the window rows are rewritten each step.  Because
+the window origin moves with the body, the window carries an extra
+alignment quantum of margin per axis (+16 rows, +136 lanes before
+rounding) so that step t+1's window always covers step t's marker
+support: |cen_{t+1} - cen_t| <= 1 and the Peskin support is cen +/- (r+2),
+so the stale nonzero rows of the previous window are always overwritten
+(with exact zeros where the body has left — spread() is identically zero
+beyond 2 cells of every marker).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+# state-row lane layout (matches the jnp trajectory record
+# jnp.concatenate([cen, ub, F_h]) in scenes.obstacles.falling_cylinder)
+CEN_X, CEN_Y, UB_X, UB_Y, FH_X, FH_Y = range(6)
+STATE_LANES = 128
+FAR = 1.0e9  # padding-marker offset; Peskin weight is exactly 0 there
+
+
+def pack_state(center, velocity=(0.0, 0.0), dtype=jnp.float32):
+    """Initial (1, 128) state row for make_moving_forcing_step."""
+    row = np.zeros((1, STATE_LANES), np.float64)
+    row[0, CEN_X], row[0, CEN_Y] = float(center[0]), float(center[1])
+    row[0, UB_X], row[0, UB_Y] = float(velocity[0]), float(velocity[1])
+    return jnp.asarray(row, dtype)
+
+
+def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
+                             half: int, g_net: float, m_eff: float,
+                             m_max: int = 5, dtype=jnp.float32,
+                             interpret: bool = False):
+    """Build ``fn(f, state, F_carry) -> (F_full, state_new)``.
+
+    Args:
+      marker_dx/dy: (M,) rigid offsets of the markers from the body
+        centroid (for a cylinder: r cos/sin theta, ops.moving_ibm.circle_markers).
+      half: the scene's window half-extent, ceil(radius) + 5 (marker
+        ring + 2-cell Peskin support + slack); the aligned window adds
+        its own margins on top.
+      g_net, m_eff: net gravity force (rho_s - 1) A g and body inertia
+        rho_s A of the rigid closure (falling_cylinder docstring).
+      m_max: forcing iterations + 1, the reference's convention
+        (ibm.cpp:59-66).
+
+    Returns None when the margined window does not fit the grid (caller
+    falls back to the jnp path).
+    """
+    if H % 8 or W % 128:
+        return None
+    rwa = -(-(2 * half + 16) // 8) * 8
+    cwa = -(-(2 * half + 136) // 128) * 128
+    if rwa > H or cwa > W:
+        return None
+    dx = np.asarray(marker_dx, np.float64)
+    dy = np.asarray(marker_dy, np.float64)
+    M = dx.shape[0]
+    m_pad = -(-M // 128) * 128
+    dxp = np.full((1, m_pad), FAR)
+    dyp = np.full((1, m_pad), FAR)
+    dxp[0, :M] = dx
+    dyp[0, :M] = dy
+    dxv = jnp.asarray(dxp, dtype)
+    dyv = jnp.asarray(dyp, dtype)
+    n_iter = m_max - 1
+    dt = jnp.dtype(dtype).type
+    g_net = dt(g_net)
+    inv_m = dt(1.0 / m_eff)
+
+    def _peskin(r):
+        # Peskin 4-point kernel (ibm.cpp:39-45), vector form
+        r = jnp.abs(r)
+        inner = 0.125 * (3.0 - 2.0 * r
+                         + jnp.sqrt(jnp.maximum(
+                             1.0 + 4.0 * r - 4.0 * r * r, dt(0.0))))
+        outer = 0.125 * (5.0 - 2.0 * r
+                         - jnp.sqrt(jnp.maximum(
+                             -7.0 + 12.0 * r - 4.0 * r * r, dt(0.0))))
+        zero = jnp.zeros_like(r)
+        return jnp.where(r <= 1.0, inner, jnp.where(r <= 2.0, outer, zero))
+
+    def kernel(state_ref, f_hbm, dx_ref, dy_ref, Fin_hbm, Fout_hbm,
+               sout_ref):
+        del Fin_hbm  # aliased to Fout_hbm; rows outside the window persist
+        cenx = state_ref[0, CEN_X]
+        ceny = state_ref[0, CEN_Y]
+        ubx = state_ref[0, UB_X]
+        uby = state_ref[0, UB_Y]
+        # window origin: round(cen) - half, aligned down, clipped.
+        # cen > 0 always (body inside the grid), so int truncation of
+        # cen + 0.5 is floor = round-half-up.
+        ri = (cenx + 0.5).astype(jnp.int32) - half
+        ci = (ceny + 0.5).astype(jnp.int32) - half
+        r0 = jnp.clip((ri // 8) * 8, 0, H - rwa)
+        c0 = jnp.clip((ci // 128) * 128, 0, W - cwa)
+        r0 = pl.multiple_of(r0, 8)
+        c0 = pl.multiple_of(c0, 128)
+
+        def scoped(fwin, Fwin, sem_in, sem_out):
+            cp = pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(r0, rwa), pl.ds(c0, cwa)], fwin, sem_in)
+            cp.start()
+            cp.wait()
+            f = [fwin[k] for k in range(9)]
+            rho = f[0]
+            for k in range(1, 9):
+                rho = rho + f[k]
+            inv_rho = 1.0 / rho
+            ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
+            uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+
+            # dense separable Peskin factors at the current markers
+            xs = cenx + dx_ref[...]                       # (1, M')
+            ys = ceny + dy_ref[...]
+            rgrid = jax.lax.broadcasted_iota(
+                jnp.int32, (rwa, m_pad), 0).astype(dt) + r0.astype(dt)
+            cgrid = jax.lax.broadcasted_iota(
+                jnp.int32, (cwa, m_pad), 0).astype(dt) + c0.astype(dt)
+            Xm = _peskin(rgrid - xs)                      # (rw, M')
+            Ym = _peskin(cgrid - ys)                      # (cw, M')
+
+            def interp(g):
+                V = jax.lax.dot_general(g, Ym, (((1,), (0,)), ((), ())),
+                                        precision=HIGHEST)   # (rw, M')
+                return jnp.sum(V * Xm, axis=0, keepdims=True)  # (1, M')
+
+            def spread(s):
+                A = Xm * s                                    # (rw, M')
+                return jax.lax.dot_general(A, Ym, (((1,), (1,)), ((), ())),
+                                           precision=HIGHEST)  # (rw, cw)
+
+            rho_j = interp(rho)
+            half_inv = 0.5 * inv_rho
+            ux_w, uy_w = ux, uy
+            Fx = jnp.zeros_like(rho)
+            Fy = jnp.zeros_like(rho)
+            fsx = jnp.zeros((1, 1), dt)
+            fsy = jnp.zeros((1, 1), dt)
+            for _ in range(n_iter):
+                fx_j = 2.0 * rho_j * (ubx - interp(ux_w))
+                fy_j = 2.0 * rho_j * (uby - interp(uy_w))
+                Fx_n = spread(fx_j)
+                Fy_n = spread(fy_j)
+                ux_w = ux_w + Fx_n * half_inv
+                uy_w = uy_w + Fy_n * half_inv
+                Fx = Fx + Fx_n
+                Fy = Fy + Fy_n
+                fsx = fsx + jnp.sum(fx_j, axis=1, keepdims=True)
+                fsy = fsy + jnp.sum(fy_j, axis=1, keepdims=True)
+            Fwin[0] = Fx
+            Fwin[1] = Fy
+            cpo = pltpu.make_async_copy(
+                Fwin, Fout_hbm.at[:, pl.ds(r0, rwa), pl.ds(c0, cwa)],
+                sem_out)
+            cpo.start()
+
+            # rigid-body closure, in-kernel (falling_cylinder docstring):
+            # F_h = -f_sum;  ub += (F_h + g_net e_x) / m_eff;  cen += ub
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, STATE_LANES), 1)
+            Fhx = jnp.broadcast_to(-fsx, (1, STATE_LANES))
+            Fhy = jnp.broadcast_to(-fsy, (1, STATE_LANES))
+            ubx2 = ubx + (Fhx + g_net) * inv_m
+            uby2 = uby + Fhy * inv_m
+            out = jnp.zeros((1, STATE_LANES), dt)
+            for idx, val in ((CEN_X, cenx + ubx2), (CEN_Y, ceny + uby2),
+                             (UB_X, ubx2), (UB_Y, uby2),
+                             (FH_X, Fhx), (FH_Y, Fhy)):
+                out = jnp.where(lane == idx, val, out)
+            sout_ref[...] = out
+            cpo.wait()
+
+        pl.run_scoped(
+            scoped,
+            fwin=pltpu.VMEM((9, rwa, cwa), dt),
+            Fwin=pltpu.VMEM((2, rwa, cwa), dt),
+            sem_in=pltpu.SemaphoreType.DMA,
+            sem_out=pltpu.SemaphoreType.DMA,
+        )
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((2, H, W), dtype),
+                   jax.ShapeDtypeStruct((1, STATE_LANES), dtype)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, m_pad), lambda: (0, 0)),
+                  pl.BlockSpec((1, m_pad), lambda: (0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((1, STATE_LANES), lambda: (0, 0))],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def fn(f, state, F_carry):
+        return step(state, f, dxv, dyv, F_carry)
+
+    fn.window_shape = (rwa, cwa)
+    return fn

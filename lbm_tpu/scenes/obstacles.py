@@ -524,6 +524,7 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
                      n_markers: int | None = None, rho_s: float = 1.25,
                      gravity: float = 5e-5, omega: float = 1.0 / 0.6,
                      m_max: int = 5, record_every: int = 10,
+                     fused: bool | None = None, interpret: bool = False,
                      dtype=None) -> FallingCylinderResult:
     """Sedimenting rigid cylinder via moving-marker IBM — fluid-structure
     coupling beyond the reference's static markers (src/ibm.cpp:15-191
@@ -555,7 +556,16 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
     ``record_every`` returns an in-device (T//k, 6) trajectory series
     (center, velocity, hydrodynamic force).  ``center`` defaults to
     (H/4, W/2); the body must keep its markers (+2-cell support) inside
-    the closed box for the whole run."""
+    the closed box for the whole run.
+
+    ``fused`` (auto on TPU/f32 when the margined window fits) runs each
+    step as two back-to-back Pallas launches with nothing in between:
+    kernels.moving_ibm_pallas carries the rigid-body state through SMEM
+    (dynamic-offset window DMA, in-kernel factor rebuild + rigid-body
+    update) and kernels.cylinder_pallas.make_box_fused_step does the
+    grid-wide collide/Guo/stream/4-wall bounce-back.  Measured 12.2
+    us/step vs 55.4 jnp at 400x256 (4.5x); equal to the jnp path at
+    1e-12 in f64 (test_falling_cylinder_fused_matches_jnp)."""
     from ..ops.moving_ibm import circle_markers, forcing_window, \
         window_factors
 
@@ -576,6 +586,79 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
     area = np.pi * radius * radius
     m_eff = rho_s * area                  # full body inertia (stable)
     g_net = (rho_s - 1.0) * area * gravity
+
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    if fused:
+        from ..kernels.cylinder_pallas import make_box_fused_step
+        from ..kernels.moving_ibm_pallas import make_moving_forcing_step, \
+            pack_state
+
+        theta = np.linspace(0.0, 2.0 * np.pi, n_markers, endpoint=False)
+        kforce = make_moving_forcing_step(
+            H, W, radius * np.cos(theta), radius * np.sin(theta),
+            half=half, g_net=g_net, m_eff=m_eff, m_max=m_max,
+            dtype=dtype, interpret=interpret)
+        fused = kforce is not None  # margined window must fit the grid
+
+    if fused:
+        # two back-to-back Pallas launches per step, NOTHING in between:
+        # the rigid-body state itself is a kernel carry, so even the
+        # ub/cen update (4 tiny XLA fusions = serial HBM latency on the
+        # jnp path) happens in-kernel (kernels/moving_ibm_pallas.py)
+        kstep = make_box_fused_step(H, W, omega, dtype=dtype,
+                                    interpret=interpret)
+
+        def fused_step(carry):
+            f, F, st = carry
+            F2, st2 = kforce(f, st, F)
+            return kstep(f, F2), F2, st2
+
+        u0 = jnp.zeros((2, H, W), dtype)
+        f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
+        carry = (f, jnp.zeros((2, H, W), dtype), pack_state(center, dtype=dtype))
+
+        trajectory = None
+        if record_every:
+            if T % record_every:
+                raise ValueError("T must be a multiple of record_every")
+
+            def outer(c, _):
+                c2 = jax.lax.fori_loop(0, record_every,
+                                       lambda _, x: fused_step(x), c)
+                return c2, c2[2][0, :6]
+
+            scan = jax.jit(
+                lambda c, n: jax.lax.scan(outer, c, None, length=n),
+                static_argnums=1)
+            series = []
+            done = 0
+            while done < T:
+                n = min(launch_cap(H * W, 0.05) // record_every or 1,
+                        (T - done) // record_every)
+                carry, tr = scan(carry, n)
+                series.append(np.asarray(tr))
+                done += n * record_every
+                from ..utils import observe
+                observe.check_finite(carry[0], done)
+            trajectory = np.concatenate(series)
+        else:
+            chunk = jax.jit(
+                lambda c, n: jax.lax.fori_loop(
+                    0, n, lambda _, x: fused_step(x), c),
+                static_argnums=1)
+            done = 0
+            while done < T:
+                n = min(launch_cap(H * W, 0.05), T - done)
+                carry = chunk(carry, n)
+                done += n
+                from ..utils import observe
+                observe.check_finite(carry[0], done)
+        f, _F, st = carry
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        return FallingCylinderResult(f=f, rho=rho, u=u, center=st[0, :2],
+                                     velocity=st[0, 2:4], steps=T,
+                                     trajectory=trajectory)
 
     def step(carry):
         f, cen, ub, _Fh = carry

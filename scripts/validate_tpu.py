@@ -284,8 +284,31 @@ def variants():
         check(f"variant_{scene.__name__}_maxdu", d, 0.0, gate)
 
 
+def falling():
+    """Fused moving-IBM falling cylinder (Mosaic dynamic-window path) vs
+    the jnp scene, f32 both ways, plus physics sanity on the descent."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.scenes.obstacles import falling_cylinder
+
+    # W=256: the margined moving window is 256 lanes wide, so anything
+    # narrower would silently fall back to the jnp path and the fused-vs-
+    # jnp comparison would be vacuous
+    kw = dict(H=96, W=256, T=200, center=(24.0, 128.0), radius=8.0,
+              rho_s=1.5, gravity=1e-4, record_every=50)
+    rf = falling_cylinder(fused=True, **kw)
+    rj = falling_cylinder(fused=False, dtype=jnp.float32, **kw)
+    d = float(np.abs(rf.trajectory - rj.trajectory).max())
+    check("falling_fused_vs_jnp_maxdtraj", d, 1e-12, 5e-4)
+    cen = np.asarray(rf.center)
+    check("falling_descent_cells", cen[0] - 24.0, 0.01, 10.0)
+    check("falling_symmetry_dcol", abs(cen[1] - 128.0), 0.0, 0.2)
+    check("falling_reaction_sign", -float(rf.trajectory[-1, 4]) /
+          max(abs(float(rf.trajectory[-1, 4])), 1e-30), 0.999, 1.001)
+
+
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
-         "rt_growth", "cavity", "kbc", "sharded"]
+         "rt_growth", "cavity", "kbc", "sharded", "falling"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64"]
 
 

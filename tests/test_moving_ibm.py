@@ -119,3 +119,80 @@ def test_falling_cylinder_falls():
     assert (np.diff(tr[:, 0]) > 0).all()        # monotone descent
     # hydrodynamic reaction opposes the motion once falling
     assert tr[-1, 4] < 0.0
+
+
+def test_moving_forcing_kernel_matches_jnp():
+    """The fused moving-IBM kernel (dynamic-offset window DMA, in-kernel
+    factor rebuild + rigid-body update) equals the jnp path to round-off,
+    including the state-row rigid closure."""
+    from lbm_tpu.kernels.moving_ibm_pallas import (
+        make_moving_forcing_step, pack_state)
+
+    H, W = 96, 256
+    radius = 9.0
+    n_markers = int(np.ceil(2 * np.pi * radius))
+    half = int(np.ceil(radius)) + 5
+    rho_s, gravity, m_max = 1.25, 5e-5, 5
+    area = np.pi * radius * radius
+    m_eff = rho_s * area
+    g_net = (rho_s - 1.0) * area * gravity
+    center = (30.3, 130.7)
+    ub0 = (0.02, -0.01)
+
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.uniform(0.05, 0.3, (9, H, W)), jnp.float64)
+    theta = np.linspace(0, 2 * np.pi, n_markers, endpoint=False)
+    kf = make_moving_forcing_step(
+        H, W, radius * np.cos(theta), radius * np.sin(theta), half=half,
+        g_net=g_net, m_eff=m_eff, m_max=m_max, dtype=jnp.float64,
+        interpret=True)
+    assert kf is not None
+    F_full, st2 = kf(f, pack_state(center, ub0, dtype=jnp.float64),
+                     jnp.zeros((2, H, W), jnp.float64))
+
+    # jnp oracle: the falling_cylinder step's forcing + rigid closure
+    from lbm_tpu.ops import d2q9
+    cen = jnp.asarray(center, jnp.float64)
+    ub = jnp.asarray(ub0, jnp.float64)
+    rho = d2q9.calc_rho(f)
+    u = d2q9.calc_u(f, rho)
+    wr = wc = 2 * half
+    r0 = jnp.clip(jnp.round(cen[0]).astype(jnp.int32) - half, 0, H - wr)
+    c0 = jnp.clip(jnp.round(cen[1]).astype(jnp.int32) - half, 0, W - wc)
+    u_win = jax.lax.dynamic_slice(u, (jnp.int32(0), r0, c0), (2, wr, wc))
+    rho_win = jax.lax.dynamic_slice(rho, (r0, c0), (wr, wc))
+    xs, ys = circle_markers(cen, radius, n_markers, dtype=f.dtype)
+    X, Y = window_factors(xs, ys, r0.astype(f.dtype), c0.astype(f.dtype),
+                          wr, wc)
+    F_win, f_sum = forcing_window(u_win, rho_win, X, Y, ub, m_max)
+    F_ref = jax.lax.dynamic_update_slice(
+        jnp.zeros((2, H, W), jnp.float64), F_win, (jnp.int32(0), r0, c0))
+    np.testing.assert_allclose(np.asarray(F_full), np.asarray(F_ref),
+                               rtol=0, atol=1e-12)
+    F_h = -f_sum
+    ub2 = ub + (F_h + jnp.asarray([g_net, 0.0], f.dtype)) / m_eff
+    want = np.concatenate([np.asarray(cen + ub2), np.asarray(ub2),
+                           np.asarray(F_h)])
+    np.testing.assert_allclose(np.asarray(st2)[0, :6], want,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_falling_cylinder_fused_matches_jnp():
+    """End-to-end: the two-launch fused falling-cylinder path (moving
+    forcing kernel + box grid kernel) reproduces the jnp scene —
+    fields, trajectory, and final rigid-body state."""
+    from lbm_tpu.scenes.obstacles import falling_cylinder
+
+    kw = dict(H=64, W=256, T=12, center=(20.0, 128.0), radius=8.0,
+              rho_s=1.4, gravity=1e-4, record_every=4,
+              dtype=jnp.float64)
+    ref = falling_cylinder(fused=False, **kw)
+    got = falling_cylinder(fused=True, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got.trajectory, ref.trajectory,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.center),
+                               np.asarray(ref.center), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.velocity),
+                               np.asarray(ref.velocity), atol=1e-12)
