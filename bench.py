@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import numpy as np
 import sys
 import time
 
@@ -161,6 +162,36 @@ def build_step(args, H, W):
         f = (d2q9.incomp_equilibrium(u0, rho0),
              jnp.zeros((2, H, W), dtype))
         impl = "pallas"
+    elif args.model == "falling":
+        from lbm_tpu.kernels.cylinder_pallas import make_box_fused_step
+        from lbm_tpu.kernels.moving_ibm_pallas import (
+            make_moving_forcing_step, pack_state)
+
+        # the full moving-body chain: dynamic-window forcing (in-kernel
+        # rigid-body carry) + box grid kernel per step
+        radius = min(H, W) / 32.0
+        half = int(np.ceil(radius)) + 5
+        nm = int(np.ceil(2 * np.pi * radius))
+        theta = np.linspace(0.0, 2.0 * np.pi, nm, endpoint=False)
+        area = np.pi * radius * radius
+        kforce = make_moving_forcing_step(
+            H, W, radius * np.cos(theta), radius * np.sin(theta),
+            half=half, g_net=0.25 * area * 5e-5, m_eff=1.25 * area,
+            dtype=dtype)
+        if kforce is None:
+            raise SystemExit("falling bench: moving window does not fit "
+                             "this grid; pick rows/cols >= 256")
+        box = make_box_fused_step(H, W, 1.0 / 0.6, dtype=dtype)
+
+        def step(c):
+            g, F, st = c
+            F, st = kforce(g, st, F)
+            return box(g, F), F, st
+
+        f = (d2q9.incomp_equilibrium(u0, rho0),
+             jnp.zeros((2, H, W), dtype),
+             pack_state((H / 4.0, W / 2.0), dtype=dtype))
+        impl = "pallas"
     elif args.model == "sediment":
         from lbm_tpu.kernels.sediment_pallas import make_sediment_fused_step
 
@@ -297,7 +328,7 @@ def main():
     ap.add_argument("--model", default="bgk",
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
                              "csf", "csf_full", "rk",
-                             "cavity", "cylinder", "sediment"],
+                             "cavity", "cylinder", "falling", "sediment"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],

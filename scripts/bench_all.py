@@ -33,6 +33,8 @@ CONFIGS = {
                  "--steps", "1000"],
     "sediment": ["--model", "sediment", "--rows", "1024", "--cols", "512",
                  "--steps", "400"],
+    "falling": ["--model", "falling", "--rows", "1024", "--cols", "512",
+               "--steps", "1000"],
     "bgk_sharded": ["--model", "bgk", "--sharded", "--rows", "4096",
                     "--cols", "512", "--steps", "800"],
 }
