@@ -67,6 +67,33 @@ def pack_state(center, velocity=(0.0, 0.0), dtype=jnp.float32):
     return jnp.asarray(row, dtype)
 
 
+def pack_states(centers, velocities=None, dtype=jnp.float32):
+    """Initial (B, 128) state rows for make_moving_bodies_step (one
+    pack_state row per body)."""
+    centers = np.asarray(centers, np.float64)
+    B = centers.shape[0]
+    rows = np.zeros((B, STATE_LANES), np.float64)
+    rows[:, CEN_X:CEN_Y + 1] = centers
+    if velocities is not None:
+        rows[:, UB_X:UB_Y + 1] = np.asarray(velocities, np.float64)
+    return jnp.asarray(rows, dtype)
+
+
+def _make_peskin(dt):
+    """Peskin 4-point kernel (ibm.cpp:39-45), vector form."""
+    def peskin(r):
+        r = jnp.abs(r)
+        inner = 0.125 * (3.0 - 2.0 * r
+                         + jnp.sqrt(jnp.maximum(
+                             1.0 + 4.0 * r - 4.0 * r * r, dt(0.0))))
+        outer = 0.125 * (5.0 - 2.0 * r
+                         - jnp.sqrt(jnp.maximum(
+                             -7.0 + 12.0 * r - 4.0 * r * r, dt(0.0))))
+        zero = jnp.zeros_like(r)
+        return jnp.where(r <= 1.0, inner, jnp.where(r <= 2.0, outer, zero))
+    return peskin
+
+
 def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
                              half: int, g_net: float, m_eff: float,
                              m_max: int = 5, dtype=jnp.float32,
@@ -108,17 +135,7 @@ def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
     g_net = dt(g_net)
     inv_m = dt(1.0 / m_eff)
 
-    def _peskin(r):
-        # Peskin 4-point kernel (ibm.cpp:39-45), vector form
-        r = jnp.abs(r)
-        inner = 0.125 * (3.0 - 2.0 * r
-                         + jnp.sqrt(jnp.maximum(
-                             1.0 + 4.0 * r - 4.0 * r * r, dt(0.0))))
-        outer = 0.125 * (5.0 - 2.0 * r
-                         - jnp.sqrt(jnp.maximum(
-                             -7.0 + 12.0 * r - 4.0 * r * r, dt(0.0))))
-        zero = jnp.zeros_like(r)
-        return jnp.where(r <= 1.0, inner, jnp.where(r <= 2.0, outer, zero))
+    _peskin = _make_peskin(dt)
 
     def kernel(state_ref, f_hbm, dx_ref, dy_ref, Fin_hbm, Fout_hbm,
                sout_ref):
@@ -238,4 +255,221 @@ def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
         return step(state, f, dxv, dyv, F_carry)
 
     fn.window_shape = (rwa, cwa)
+    return fn
+
+
+def make_moving_bodies_step(H: int, W: int, marker_dx, marker_dy, *,
+                            n_bodies: int, rw: int, half: int,
+                            g_net: float, m_eff: float, radius: float = None,
+                            m_max: int = 5, zeta: float = 2.0,
+                            eps: float = 50.0, dtype=jnp.float32,
+                            interpret: bool = False):
+    """Multi-body variant of make_moving_forcing_step backing
+    scenes.obstacles.falling_cylinders (DKT).
+
+    ``fn(f, states, F_carry) -> (F_full, states_new)`` with ``states``
+    (B, 128) rows in the pack_state layout.  All bodies share one UNION
+    window: full channel width, ``rw`` rows (the scene's span budget)
+    plus alignment/motion margins, following min(cen_rows).  Markers of
+    all bodies are concatenated into one padded lane axis — the same
+    dense factors and MXU matmuls as the single-body kernel apply the
+    COMBINED multi-direct-forcing operator, and per-body momentum
+    exchange comes from static lane-range masks.  The rigid update adds
+    Glowinski barrier forces (pairwise + walls; ops.moving_ibm.
+    barrier_forces algebra) computed in-kernel from the state rows.
+
+    Returns None when the margined window or the marker lanes do not
+    fit (caller falls back to the jnp path).
+    """
+    if H % 8 or W % 128:
+        return None
+    B = int(n_bodies)
+    rwa = -(-(rw + 16) // 8) * 8
+    if rwa > H or W < 2 * half + 8:
+        return None
+    dx = np.asarray(marker_dx, np.float64)
+    dy = np.asarray(marker_dy, np.float64)
+    M = dx.shape[0]
+    if radius is None:
+        radius = float(np.hypot(dx, dy).max())
+    m_pad = -(-(B * M) // 128) * 128
+    # VMEM: f window (9) + F window (2) + X/Y factors
+    if (11 * rwa * W + (rwa + W) * m_pad) * jnp.dtype(dtype).itemsize \
+            > 12 * 2 ** 20:
+        return None
+    dxp = np.full((1, m_pad), FAR)
+    dyp = np.full((1, m_pad), FAR)
+    for b in range(B):
+        dxp[0, b * M:(b + 1) * M] = dx
+        dyp[0, b * M:(b + 1) * M] = dy
+    dxv = jnp.asarray(dxp, dtype)
+    dyv = jnp.asarray(dyp, dtype)
+    n_iter = m_max - 1
+    dt = jnp.dtype(dtype).type
+    g_net = dt(g_net)
+    inv_m = dt(1.0 / m_eff)
+    inv_eps = dt(1.0 / eps)
+    inv_eps_w = dt(2.0 / eps)          # barrier_forces: eps_wall = eps/2
+    reach = dt(2.0 * radius + zeta)    # pairwise activation distance
+    wall_reach = dt(radius + zeta)
+    _peskin = _make_peskin(dt)
+
+    def kernel(state_ref, f_hbm, dx_ref, dy_ref, Fin_hbm, Fout_hbm,
+               sout_ref):
+        del Fin_hbm
+        cenx = [state_ref[b, CEN_X] for b in range(B)]
+        ceny = [state_ref[b, CEN_Y] for b in range(B)]
+        ubx = [state_ref[b, UB_X] for b in range(B)]
+        uby = [state_ref[b, UB_Y] for b in range(B)]
+        cmin = cenx[0]
+        for b in range(1, B):
+            cmin = jnp.minimum(cmin, cenx[b])
+        ri = (cmin + 0.5).astype(jnp.int32) - half
+        r0 = jnp.clip((ri // 8) * 8, 0, H - rwa)
+        r0 = pl.multiple_of(r0, 8)
+
+        def scoped(fwin, Fwin, sem_in, sem_out):
+            cp = pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(r0, rwa)], fwin, sem_in)
+            cp.start()
+            cp.wait()
+            f = [fwin[k] for k in range(9)]
+            rho = f[0]
+            for k in range(1, 9):
+                rho = rho + f[k]
+            inv_rho = 1.0 / rho
+            ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
+            uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+
+            # per-marker body id via static lane ranges
+            lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+            masks = [(lane_m >= b * M) & (lane_m < (b + 1) * M)
+                     for b in range(B)]
+            zeros_m = jnp.zeros((1, m_pad), dt)
+            cen_x_m = zeros_m
+            cen_y_m = zeros_m
+            ub_x_m = zeros_m
+            ub_y_m = zeros_m
+            for b in range(B):
+                cen_x_m = jnp.where(masks[b], cenx[b], cen_x_m)
+                cen_y_m = jnp.where(masks[b], ceny[b], cen_y_m)
+                ub_x_m = jnp.where(masks[b], ubx[b], ub_x_m)
+                ub_y_m = jnp.where(masks[b], uby[b], ub_y_m)
+            xs = cen_x_m + dx_ref[...]     # FAR pads stay far: weight 0
+            ys = cen_y_m + dy_ref[...]
+            rgrid = jax.lax.broadcasted_iota(
+                jnp.int32, (rwa, m_pad), 0).astype(dt) + r0.astype(dt)
+            cgrid = jax.lax.broadcasted_iota(
+                jnp.int32, (W, m_pad), 0).astype(dt)
+            Xm = _peskin(rgrid - xs)
+            Ym = _peskin(cgrid - ys)
+
+            def interp(g):
+                V = jax.lax.dot_general(g, Ym, (((1,), (0,)), ((), ())),
+                                        precision=HIGHEST)
+                return jnp.sum(V * Xm, axis=0, keepdims=True)  # (1, M')
+
+            def spread(s):
+                A = Xm * s
+                return jax.lax.dot_general(A, Ym, (((1,), (1,)), ((), ())),
+                                           precision=HIGHEST)
+
+            rho_j = interp(rho)
+            half_inv = 0.5 * inv_rho
+            ux_w, uy_w = ux, uy
+            Fx = jnp.zeros_like(rho)
+            Fy = jnp.zeros_like(rho)
+            fxj_t = zeros_m
+            fyj_t = zeros_m
+            for _ in range(n_iter):
+                fx_j = 2.0 * rho_j * (ub_x_m - interp(ux_w))
+                fy_j = 2.0 * rho_j * (ub_y_m - interp(uy_w))
+                Fx_n = spread(fx_j)
+                Fy_n = spread(fy_j)
+                ux_w = ux_w + Fx_n * half_inv
+                uy_w = uy_w + Fy_n * half_inv
+                Fx = Fx + Fx_n
+                Fy = Fy + Fy_n
+                fxj_t = fxj_t + fx_j
+                fyj_t = fyj_t + fy_j
+            Fwin[0] = Fx
+            Fwin[1] = Fy
+            cpo = pltpu.make_async_copy(
+                Fwin, Fout_hbm.at[:, pl.ds(r0, rwa)], sem_out)
+            cpo.start()
+
+            # rigid closure per body: momentum exchange + gravity +
+            # Glowinski barriers (pairwise + 4 walls), as (1, 128) rows
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, STATE_LANES), 1)
+            ones = jnp.ones((1, STATE_LANES), dt)
+            rows = []
+            for b in range(B):
+                Fhx = -jnp.broadcast_to(
+                    jnp.sum(jnp.where(masks[b], fxj_t, zeros_m),
+                            axis=1, keepdims=True), (1, STATE_LANES))
+                Fhy = -jnp.broadcast_to(
+                    jnp.sum(jnp.where(masks[b], fyj_t, zeros_m),
+                            axis=1, keepdims=True), (1, STATE_LANES))
+                rep_x = jnp.zeros((1, STATE_LANES), dt)
+                rep_y = jnp.zeros((1, STATE_LANES), dt)
+                for o in range(B):
+                    if o == b:
+                        continue
+                    dxc = (cenx[b] - cenx[o]) * ones
+                    dyc = (ceny[b] - ceny[o]) * ones
+                    dist = jnp.sqrt(dxc * dxc + dyc * dyc)
+                    ov = jnp.maximum(reach - dist, 0.0)
+                    s = ov * ov * inv_eps / dist
+                    rep_x = rep_x + dxc * s
+                    rep_y = rep_y + dyc * s
+                # walls at -0.5 and N-0.5 (barrier_forces algebra)
+                lox = jnp.maximum(wall_reach - (cenx[b] + 0.5), 0.0) * ones
+                hix = jnp.maximum(cenx[b] - (H - 0.5 - wall_reach),
+                                  0.0) * ones
+                loy = jnp.maximum(wall_reach - (ceny[b] + 0.5), 0.0) * ones
+                hiy = jnp.maximum(ceny[b] - (W - 0.5 - wall_reach),
+                                  0.0) * ones
+                rep_x = rep_x + (lox * lox - hix * hix) * inv_eps_w
+                rep_y = rep_y + (loy * loy - hiy * hiy) * inv_eps_w
+                ubx2 = ubx[b] + (Fhx + g_net + rep_x) * inv_m
+                uby2 = uby[b] + (Fhy + rep_y) * inv_m
+                out = jnp.zeros((1, STATE_LANES), dt)
+                for idx, val in ((CEN_X, cenx[b] + ubx2),
+                                 (CEN_Y, ceny[b] + uby2),
+                                 (UB_X, ubx2), (UB_Y, uby2),
+                                 (FH_X, Fhx), (FH_Y, Fhy)):
+                    out = jnp.where(lane == idx, val, out)
+                rows.append(out)
+            sout_ref[...] = jnp.concatenate(rows, axis=0) if B > 1 \
+                else rows[0]
+            cpo.wait()
+
+        pl.run_scoped(
+            scoped,
+            fwin=pltpu.VMEM((9, rwa, W), dt),
+            Fwin=pltpu.VMEM((2, rwa, W), dt),
+            sem_in=pltpu.SemaphoreType.DMA,
+            sem_out=pltpu.SemaphoreType.DMA,
+        )
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((2, H, W), dtype),
+                   jax.ShapeDtypeStruct((B, STATE_LANES), dtype)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, m_pad), lambda: (0, 0)),
+                  pl.BlockSpec((1, m_pad), lambda: (0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((B, STATE_LANES), lambda: (0, 0))],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def fn(f, states, F_carry):
+        return step(states, f, dxv, dyv, F_carry)
+
+    fn.window_shape = (rwa, W)
     return fn

@@ -30,6 +30,14 @@ well: by the Peskin partition of unity it equals the total momentum the
 forcing adds to the fluid per step, so the hydrodynamic reaction on the
 body is its negation — the momentum-exchange closure the rigid-body
 update in scenes.obstacles.falling_cylinder integrates.
+
+Multi-body (scenes.obstacles.falling_cylinders): several bodies'
+markers concatenate into ONE Lagrangian set with per-marker velocity
+targets — forcing_window_markers then applies the combined
+interpolation/spreading operator, coupling the bodies' force fields
+within the multi-direct iterations, and returns per-marker force sums
+for per-body momentum exchange.  barrier_forces adds the short-range
+Glowinski collision model (pairwise + walls) to the rigid update.
 """
 
 from __future__ import annotations
@@ -91,6 +99,19 @@ def forcing_window(u_win, rho_win, X, Y, ub, m_max: int = 5):
     the summed Lagrangian force (2,) — the momentum the forcing adds to
     the fluid; the body feels -f_sum.  Same iteration structure as
     ops.ibm.force_density_roi / ibm.cpp:158-190 with the U_b target."""
+    F, fj = forcing_window_markers(u_win, rho_win, X, Y, ub, m_max)
+    return F, fj.sum(axis=1)
+
+
+def forcing_window_markers(u_win, rho_win, X, Y, ub, m_max: int = 5):
+    """forcing_window, but returning the PER-MARKER Lagrangian force sum
+    (2, M') over all forcing iterations instead of its total — the
+    multi-body scenes mask-sum it per body (each body feels minus the
+    sum over ITS markers).  X/Y may hold several bodies' markers
+    concatenated; the multi-direct iterations then apply the combined
+    interpolation/spreading operator, i.e. the bodies' force fields
+    interact within the iteration (the physically-coupled extension of
+    ibm.cpp:158-190's single-body loop)."""
     dtype = u_win.dtype
     X = X.astype(dtype)
     Y = Y.astype(dtype)
@@ -109,17 +130,53 @@ def forcing_window(u_win, rho_win, X, Y, ub, m_max: int = 5):
     inv_rho = 1.0 / rho_win
 
     def body(_, carry):
-        u_work, F_total, f_sum = carry
+        u_work, F_total, fj = carry
         fx_j = 2.0 * rho_j * (ub[0] - interp(u_work[0]))
         fy_j = 2.0 * rho_j * (ub[1] - interp(u_work[1]))
         F_n = jnp.stack([spread(fx_j), spread(fy_j)])
         u_work = u_work + 0.5 * F_n * inv_rho[None]
-        f_sum = f_sum + jnp.stack([fx_j.sum(), fy_j.sum()])
-        return u_work, F_total + F_n, f_sum
+        return u_work, F_total + F_n, fj + jnp.stack([fx_j, fy_j])
 
-    init = (u_win, jnp.zeros_like(u_win), jnp.zeros((2,), dtype))
-    _, F, f_sum = jax.lax.fori_loop(0, m_max - 1, body, init)
-    return F, f_sum
+    init = (u_win, jnp.zeros_like(u_win),
+            jnp.zeros((2,) + X.shape[1:], dtype))
+    _, F, fj = jax.lax.fori_loop(0, m_max - 1, body, init)
+    return F, fj
+
+
+def barrier_forces(cen, radii, H: int, W: int, zeta: float = 2.0,
+                   eps: float = 50.0, eps_wall: float = None):
+    """Short-range repulsive barrier forces between rigid circles and
+    against the box walls — the Glowinski-style collision model standard
+    for particulate DKT benchmarks (the reference has no moving bodies
+    at all; this backs scenes.obstacles.falling_cylinders).
+
+    For a pair at distance d: F = (c_ij/d) * max(0, R_i+R_j+zeta-d)^2/eps
+    pushing the bodies apart once their gap is below the activation range
+    ``zeta`` (cells); walls use the mirror-image form with ``eps_wall``
+    (default eps/2, i.e. a stiffer wall).  Returns (B, 2).
+    """
+    cen = jnp.asarray(cen)
+    dtype = cen.dtype
+    radii = jnp.broadcast_to(jnp.asarray(radii, dtype), cen.shape[:1])
+    if eps_wall is None:
+        eps_wall = 0.5 * eps
+    d_vec = cen[:, None, :] - cen[None, :, :]              # (B, B, 2)
+    d2 = jnp.sum(d_vec * d_vec, axis=-1)
+    B = cen.shape[0]
+    d2 = d2 + jnp.eye(B, dtype=dtype)                      # keep diag finite
+    d = jnp.sqrt(d2)
+    overlap = jnp.maximum(radii[:, None] + radii[None, :] + zeta - d, 0.0)
+    overlap = overlap * (1.0 - jnp.eye(B, dtype=dtype))
+    F_pair = jnp.sum(d_vec / d[..., None] * (overlap * overlap)[..., None]
+                     / eps, axis=1)
+    # walls: halfway bounce-back walls sit at -0.5 and N-0.5
+    lo = cen - (radii[:, None] + zeta)                     # gap to -0.5
+    hi = jnp.asarray([H - 0.5, W - 0.5], dtype) - cen \
+        - (radii[:, None] + zeta)
+    bounds = jnp.asarray([-0.5, -0.5], dtype)
+    F_wall = (jnp.maximum(bounds - lo, 0.0) ** 2
+              - jnp.maximum(-hi, 0.0) ** 2) / eps_wall
+    return F_pair + F_wall
 
 
 def circle_markers(center, radius: float, n_markers: int, dtype=None):

@@ -47,6 +47,7 @@ def _register_all():
         "cylinder_flow": obstacles.cylinder_flow,
         "rectangle_sedimentation": obstacles.rectangle_sedimentation,
         "falling_cylinder": obstacles.falling_cylinder,
+        "falling_cylinders": obstacles.falling_cylinders,
         "ring_cavity": cavity.ring_cavity,
     })
 

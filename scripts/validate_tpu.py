@@ -307,9 +307,26 @@ def falling():
           max(abs(float(rf.trajectory[-1, 4])), 1e-30), 0.999, 1.001)
 
 
+def dkt():
+    """Drafting-kissing-tumbling pair (fused multi-body moving IBM):
+    by t=30k the trailing cylinder must have drafted into near-contact
+    and the tumble must be underway (lateral separation growing)."""
+    from lbm_tpu.scenes.obstacles import falling_cylinders
+
+    res = falling_cylinders(T=30000, record_every=500, row_slack=160,
+                            fused=True)
+    tr = res.trajectory                       # (60, 2, 6)
+    gap = np.hypot(tr[:, 0, 0] - tr[:, 1, 0],
+                   tr[:, 0, 1] - tr[:, 1, 1]) - 24.0
+    lat = np.abs(tr[:, 0, 1] - tr[:, 1, 1])
+    check("dkt_draft_min_gap", float(gap.min()), 0.0, 3.0)
+    check("dkt_tumble_lateral", float(lat[-1]), 5.0, 64.0)
+    check("dkt_finite", float(np.isfinite(tr).all()), 1.0, 1.0)
+
+
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling"]
-LONG = ["csf_growth", "variants", "strouhal", "laplace_df64"]
+LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt"]
 
 
 def main(argv):

@@ -196,3 +196,80 @@ def test_falling_cylinder_fused_matches_jnp():
                                np.asarray(ref.center), atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.velocity),
                                np.asarray(ref.velocity), atol=1e-12)
+
+
+def test_barrier_forces():
+    """Glowinski barrier: Newton's third law on a close pair, correct
+    push-apart and wall signs, exact zero beyond the activation range."""
+    from lbm_tpu.ops.moving_ibm import barrier_forces
+
+    H = W = 200
+    # pair closer than 2r + zeta: equal/opposite, pointing apart
+    cen = jnp.asarray([[100.0, 90.0], [100.0, 115.0]], jnp.float64)
+    F = np.asarray(barrier_forces(cen, 12.0, H, W, zeta=2.0, eps=50.0))
+    np.testing.assert_allclose(F[0] + F[1], 0.0, atol=1e-14)
+    assert F[0, 1] < 0.0 and F[1, 1] > 0.0
+    # beyond range: exactly zero
+    cen = jnp.asarray([[100.0, 60.0], [100.0, 140.0]], jnp.float64)
+    F = np.asarray(barrier_forces(cen, 12.0, H, W, zeta=2.0, eps=50.0))
+    np.testing.assert_array_equal(F, 0.0)
+    # wall: a body 1 cell off the low-row wall gets pushed to +rows
+    cen = jnp.asarray([[13.0, 100.0]], jnp.float64)
+    F = np.asarray(barrier_forces(cen, 12.0, H, W, zeta=2.0, eps=50.0))
+    assert F[0, 0] > 0.0 and F[0, 1] == 0.0
+    # and the mirror body off the high-row wall is pushed back equally
+    cen2 = jnp.asarray([[H - 1 - 13.0, 100.0]], jnp.float64)
+    F2 = np.asarray(barrier_forces(cen2, 12.0, H, W, zeta=2.0, eps=50.0))
+    np.testing.assert_allclose(F2[0, 0], -F[0, 0], rtol=1e-12)
+
+
+def test_falling_cylinders_single_matches_falling_cylinder():
+    """The union-window multi-body scene with B=1 reproduces the
+    established single-body falling_cylinder trajectory (the extra
+    union-window rows only add exact zeros to the forcing sums)."""
+    from lbm_tpu.scenes.obstacles import falling_cylinder, falling_cylinders
+
+    kw = dict(H=96, W=64, T=60, radius=6.0, rho_s=1.5, gravity=1e-4,
+              record_every=20, dtype=jnp.float64)
+    a = falling_cylinder(center=(30.0, 32.0), **kw)
+    b = falling_cylinders(centers=((30.0, 32.0),), fused=False, **kw)
+    np.testing.assert_allclose(b.trajectory[:, 0, :], a.trajectory,
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b.f), np.asarray(a.f),
+                               rtol=0, atol=1e-12)
+
+
+def test_falling_cylinders_fused_matches_jnp():
+    """End-to-end DKT pair: the multi-body fused path (union-window
+    kernel with in-kernel barriers and per-body momentum exchange)
+    equals the jnp scene."""
+    from lbm_tpu.scenes.obstacles import falling_cylinders
+
+    kw = dict(H=96, W=256, T=9, centers=((24.0, 120.0), (45.0, 128.0)),
+              radius=8.0, rho_s=1.4, gravity=1e-4, record_every=3,
+              dtype=jnp.float64)
+    ref = falling_cylinders(fused=False, **kw)
+    got = falling_cylinders(fused=True, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got.trajectory, ref.trajectory,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.centers),
+                               np.asarray(ref.centers), atol=1e-12)
+
+
+def test_falling_cylinders_barrier_prevents_overlap():
+    """Two bodies dropped nearly touching stay non-overlapping: the
+    barrier keeps the gap >= 0 for the whole (short) run."""
+    from lbm_tpu.scenes.obstacles import falling_cylinders
+
+    r = 6.0
+    res = falling_cylinders(H=128, W=64, T=120,
+                            centers=((40.0, 28.0), (40.0, 28.0 + 2 * r + 1.0)),
+                            radius=r, rho_s=1.5, gravity=1e-4,
+                            record_every=10, dtype=jnp.float64)
+    tr = res.trajectory                     # (12, 2, 6)
+    gap = np.hypot(tr[:, 0, 0] - tr[:, 1, 0],
+                   tr[:, 0, 1] - tr[:, 1, 1]) - 2 * r
+    assert np.isfinite(np.asarray(res.f)).all()
+    assert gap.min() > 0.0
