@@ -53,8 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 HIGHEST = jax.lax.Precision.HIGHEST
 
 # state-row lane layout (matches the jnp trajectory record
-# jnp.concatenate([cen, ub, F_h]) in scenes.obstacles.falling_cylinder)
-CEN_X, CEN_Y, UB_X, UB_Y, FH_X, FH_Y = range(6)
+# jnp.concatenate([cen, ub, F_h]) in scenes.obstacles.falling_cylinder;
+# the rotating variant appends orientation (cos, sin), angular velocity
+# and torque, matching falling_ellipse's record order)
+CEN_X, CEN_Y, UB_X, UB_Y, FH_X, FH_Y, ORI_C, ORI_S, ANG_W, TRQ = range(10)
 STATE_LANES = 128
 FAR = 1.0e9  # padding-marker offset; Peskin weight is exactly 0 there
 
@@ -77,6 +79,18 @@ def pack_states(centers, velocities=None, dtype=jnp.float32):
     if velocities is not None:
         rows[:, UB_X:UB_Y + 1] = np.asarray(velocities, np.float64)
     return jnp.asarray(rows, dtype)
+
+
+def pack_state_rot(center, orientation=(1.0, 0.0), velocity=(0.0, 0.0),
+                   omega_body=0.0, dtype=jnp.float32):
+    """Initial (1, 128) state row for make_moving_rot_step."""
+    row = np.zeros((1, STATE_LANES), np.float64)
+    row[0, CEN_X], row[0, CEN_Y] = float(center[0]), float(center[1])
+    row[0, UB_X], row[0, UB_Y] = float(velocity[0]), float(velocity[1])
+    row[0, ORI_C], row[0, ORI_S] = float(orientation[0]), \
+        float(orientation[1])
+    row[0, ANG_W] = float(omega_body)
+    return jnp.asarray(row, dtype)
 
 
 def _make_peskin(dt):
@@ -223,6 +237,185 @@ def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
             for idx, val in ((CEN_X, cenx + ubx2), (CEN_Y, ceny + uby2),
                              (UB_X, ubx2), (UB_Y, uby2),
                              (FH_X, Fhx), (FH_Y, Fhy)):
+                out = jnp.where(lane == idx, val, out)
+            sout_ref[...] = out
+            cpo.wait()
+
+        pl.run_scoped(
+            scoped,
+            fwin=pltpu.VMEM((9, rwa, cwa), dt),
+            Fwin=pltpu.VMEM((2, rwa, cwa), dt),
+            sem_in=pltpu.SemaphoreType.DMA,
+            sem_out=pltpu.SemaphoreType.DMA,
+        )
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((2, H, W), dtype),
+                   jax.ShapeDtypeStruct((1, STATE_LANES), dtype)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, m_pad), lambda: (0, 0)),
+                  pl.BlockSpec((1, m_pad), lambda: (0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((1, STATE_LANES), lambda: (0, 0))],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def fn(f, state, F_carry):
+        return step(state, f, dxv, dyv, F_carry)
+
+    fn.window_shape = (rwa, cwa)
+    return fn
+
+
+def make_moving_rot_step(H: int, W: int, marker_dx, marker_dy, *,
+                         half: int, g_net: float, m_eff: float,
+                         i_eff: float, m_max: int = 5, dtype=jnp.float32,
+                         interpret: bool = False):
+    """Rotating-body variant of make_moving_forcing_step backing
+    scenes.obstacles.falling_ellipse: ``fn(f, state, F_carry) ->
+    (F_full, state_new)`` with the pack_state_rot lane layout.
+
+    The orientation (cos, sin) rides the SMEM state row: world marker
+    offsets r_j = R(theta) d_j are two fused multiply-adds on the
+    constant body-frame offsets, marker velocity targets carry the
+    rigid U_b + w x r_j term, the per-marker force sums close BOTH
+    momentum and angular momentum (T_h = -sum r_j x f_j), and the
+    orientation advances by the same Cayley map as the jnp path
+    (ops.moving_ibm.cayley_rotate — identical algebra, no in-kernel
+    trig).  Padding markers park at dx=+1e9, dy=0: |R(theta)(1e9, 0)|
+    = 1e9 for every theta, so at least one Peskin axis factor is
+    exactly zero and pads spread nothing."""
+    if H % 8 or W % 128:
+        return None
+    rwa = -(-(2 * half + 16) // 8) * 8
+    cwa = -(-(2 * half + 136) // 128) * 128
+    if rwa > H or cwa > W:
+        return None
+    dx = np.asarray(marker_dx, np.float64)
+    dy = np.asarray(marker_dy, np.float64)
+    M = dx.shape[0]
+    m_pad = -(-M // 128) * 128
+    dxp = np.full((1, m_pad), FAR)
+    dyp = np.zeros((1, m_pad))
+    dxp[0, :M] = dx
+    dyp[0, :M] = dy
+    dxv = jnp.asarray(dxp, dtype)
+    dyv = jnp.asarray(dyp, dtype)
+    n_iter = m_max - 1
+    dt = jnp.dtype(dtype).type
+    g_net = dt(g_net)
+    inv_m = dt(1.0 / m_eff)
+    inv_i = dt(1.0 / i_eff)
+    _peskin = _make_peskin(dt)
+
+    def kernel(state_ref, f_hbm, dx_ref, dy_ref, Fin_hbm, Fout_hbm,
+               sout_ref):
+        del Fin_hbm
+        cenx = state_ref[0, CEN_X]
+        ceny = state_ref[0, CEN_Y]
+        ubx = state_ref[0, UB_X]
+        uby = state_ref[0, UB_Y]
+        oc = state_ref[0, ORI_C]
+        os_ = state_ref[0, ORI_S]
+        wb = state_ref[0, ANG_W]
+        ri = (cenx + 0.5).astype(jnp.int32) - half
+        ci = (ceny + 0.5).astype(jnp.int32) - half
+        r0 = jnp.clip((ri // 8) * 8, 0, H - rwa)
+        c0 = jnp.clip((ci // 128) * 128, 0, W - cwa)
+        r0 = pl.multiple_of(r0, 8)
+        c0 = pl.multiple_of(c0, 128)
+
+        def scoped(fwin, Fwin, sem_in, sem_out):
+            cp = pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(r0, rwa), pl.ds(c0, cwa)], fwin, sem_in)
+            cp.start()
+            cp.wait()
+            f = [fwin[k] for k in range(9)]
+            rho = f[0]
+            for k in range(1, 9):
+                rho = rho + f[k]
+            inv_rho = 1.0 / rho
+            ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
+            uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+
+            rx = oc * dx_ref[...] - os_ * dy_ref[...]    # (1, M') world
+            ry = os_ * dx_ref[...] + oc * dy_ref[...]
+            xs = cenx + rx
+            ys = ceny + ry
+            rgrid = jax.lax.broadcasted_iota(
+                jnp.int32, (rwa, m_pad), 0).astype(dt) + r0.astype(dt)
+            cgrid = jax.lax.broadcasted_iota(
+                jnp.int32, (cwa, m_pad), 0).astype(dt) + c0.astype(dt)
+            Xm = _peskin(rgrid - xs)
+            Ym = _peskin(cgrid - ys)
+
+            def interp(g):
+                V = jax.lax.dot_general(g, Ym, (((1,), (0,)), ((), ())),
+                                        precision=HIGHEST)
+                return jnp.sum(V * Xm, axis=0, keepdims=True)  # (1, M')
+
+            def spread(s):
+                A = Xm * s
+                return jax.lax.dot_general(A, Ym, (((1,), (1,)), ((), ())),
+                                           precision=HIGHEST)
+
+            ub_x_m = ubx - wb * ry                       # rigid targets
+            ub_y_m = uby + wb * rx
+            rho_j = interp(rho)
+            half_inv = 0.5 * inv_rho
+            ux_w, uy_w = ux, uy
+            Fx = jnp.zeros_like(rho)
+            Fy = jnp.zeros_like(rho)
+            fxj_t = jnp.zeros((1, m_pad), dt)
+            fyj_t = jnp.zeros((1, m_pad), dt)
+            for _ in range(n_iter):
+                fx_j = 2.0 * rho_j * (ub_x_m - interp(ux_w))
+                fy_j = 2.0 * rho_j * (ub_y_m - interp(uy_w))
+                Fx_n = spread(fx_j)
+                Fy_n = spread(fy_j)
+                ux_w = ux_w + Fx_n * half_inv
+                uy_w = uy_w + Fy_n * half_inv
+                Fx = Fx + Fx_n
+                Fy = Fy + Fy_n
+                fxj_t = fxj_t + fx_j
+                fyj_t = fyj_t + fy_j
+            Fwin[0] = Fx
+            Fwin[1] = Fy
+            cpo = pltpu.make_async_copy(
+                Fwin, Fout_hbm.at[:, pl.ds(r0, rwa), pl.ds(c0, cwa)],
+                sem_out)
+            cpo.start()
+
+            # rigid closure with angular momentum (falling_ellipse):
+            # F_h = -sum f_j;  T_h = -sum (r x f);  Cayley orientation
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, STATE_LANES), 1)
+            Fhx = jnp.broadcast_to(
+                -jnp.sum(fxj_t, axis=1, keepdims=True), (1, STATE_LANES))
+            Fhy = jnp.broadcast_to(
+                -jnp.sum(fyj_t, axis=1, keepdims=True), (1, STATE_LANES))
+            Th = jnp.broadcast_to(
+                -jnp.sum(rx * fyj_t - ry * fxj_t, axis=1, keepdims=True),
+                (1, STATE_LANES))
+            ubx2 = ubx + (Fhx + g_net) * inv_m
+            uby2 = uby + Fhy * inv_m
+            wb2 = wb + Th * inv_i
+            # cayley_rotate(oc, os_, wb2), vector form
+            t = 0.5 * wb2
+            t2 = t * t
+            den = 1.0 / (1.0 + t2)
+            oc2 = (oc * (1.0 - t2) - os_ * (2.0 * t)) * den
+            os2 = (os_ * (1.0 - t2) + oc * (2.0 * t)) * den
+            out = jnp.zeros((1, STATE_LANES), dt)
+            for idx, val in ((CEN_X, cenx + ubx2), (CEN_Y, ceny + uby2),
+                             (UB_X, ubx2), (UB_Y, uby2),
+                             (FH_X, Fhx), (FH_Y, Fhy),
+                             (ORI_C, oc2), (ORI_S, os2),
+                             (ANG_W, wb2), (TRQ, Th)):
                 out = jnp.where(lane == idx, val, out)
             sout_ref[...] = out
             cpo.wait()

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -177,6 +178,40 @@ def barrier_forces(cen, radii, H: int, W: int, zeta: float = 2.0,
     F_wall = (jnp.maximum(bounds - lo, 0.0) ** 2
               - jnp.maximum(-hi, 0.0) ** 2) / eps_wall
     return F_pair + F_wall
+
+
+def ellipse_markers(a: float, b: float, n_markers: int | None = None):
+    """Host-side (numpy) marker OFFSETS on an ellipse with semi-axes
+    (a, b) along (rows, cols), spaced uniformly in ARC LENGTH (uniform
+    parameter spacing would cluster markers at the flat ends and break
+    the ~1-cell Lagrangian resolution direct forcing needs).  Default
+    n_markers = ceil(perimeter).  Returns (dx, dy) centroid offsets for
+    the rotating-body scenes (orientation is applied by the rigid
+    state, not baked in here)."""
+    t = np.linspace(0.0, 2.0 * np.pi, 4096, endpoint=False)
+    px = a * np.cos(t)
+    py = b * np.sin(t)
+    seg = np.hypot(np.diff(px, append=px[:1]), np.diff(py, append=py[:1]))
+    s = np.concatenate([[0.0], np.cumsum(seg)])      # s[k] = arc to node k
+    P = s[-1]
+    if n_markers is None:
+        n_markers = int(np.ceil(P))
+    ti = np.interp(np.arange(n_markers) * P / n_markers, s,
+                   np.concatenate([t, [2.0 * np.pi]]))
+    return a * np.cos(ti), b * np.sin(ti)
+
+
+def cayley_rotate(c, s, w):
+    """Advance the orientation unit vector (c, s) by one step of angular
+    velocity ``w`` using the Cayley map with t = w/2: exactly orthogonal
+    for any w, angle = 2 atan(w/2) = w + O(w^3) — the shared discrete
+    rotation update of the jnp scene AND the Mosaic kernel (no trig, so
+    both paths evaluate bit-identical algebra)."""
+    t = 0.5 * w
+    t2 = t * t
+    den = 1.0 / (1.0 + t2)
+    return ((c * (1.0 - t2) - s * (2.0 * t)) * den,
+            (s * (1.0 - t2) + c * (2.0 * t)) * den)
 
 
 def circle_markers(center, radius: float, n_markers: int, dtype=None):

@@ -48,6 +48,7 @@ def _register_all():
         "rectangle_sedimentation": obstacles.rectangle_sedimentation,
         "falling_cylinder": obstacles.falling_cylinder,
         "falling_cylinders": obstacles.falling_cylinders,
+        "falling_ellipse": obstacles.falling_ellipse,
         "ring_cavity": cavity.ring_cavity,
     })
 

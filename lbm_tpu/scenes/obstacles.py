@@ -755,6 +755,238 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
 
 
 @dataclass
+class FallingEllipseResult:
+    f: jnp.ndarray
+    rho: jnp.ndarray
+    u: jnp.ndarray
+    center: jnp.ndarray      # (2,) final body center
+    velocity: jnp.ndarray    # (2,) final body velocity
+    orientation: jnp.ndarray  # (2,) final (cos, sin) of the body angle
+    omega_body: jnp.ndarray  # () final angular velocity
+    steps: int
+    trajectory: object = None  # (T//k, 10): cen, ub, F_h, cos, sin, w, T_h
+
+
+def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
+                    center=None, a: float = 16.0, b: float = 8.0,
+                    theta0: float = 0.3,
+                    n_markers: int | None = None, rho_s: float = 1.25,
+                    gravity: float = 2e-4, omega: float = 1.0 / 0.6,
+                    m_max: int = 5, record_every: int = 10,
+                    fused: bool | None = None, interpret: bool = False,
+                    dtype=None) -> FallingEllipseResult:
+    """Sedimenting rigid ELLIPSE with full translation + ROTATION
+    coupling — torque exchange beyond falling_cylinder's symmetric
+    (torque-free) fall, and far beyond the reference's static markers
+    (src/ibm.cpp:15-191).  The canonical falling-plate/ellipse problem:
+    an initially tilted body (angle ``theta0`` of the semi-major axis
+    ``a`` from the rows/fall axis) feels a hydrodynamic torque, rotates
+    broadside-on and drifts laterally while tilted.
+
+    Rigid closure: markers carry the full rigid velocity
+    U_j = U_b + w x r_j with r_j = R(theta) d_j (arc-uniform offsets,
+    ops.moving_ibm.ellipse_markers); the forcing returns per-marker
+    forces whose sums close momentum AND angular momentum:
+
+        F_h = -sum f_j,      T_h = -sum (r_j x f_j)
+
+    with the same stable full-inertia update as falling_cylinder
+    (m_eff = rho_s pi a b, I_eff = rho_s pi a b (a^2+b^2)/4) and the
+    orientation advanced by the exactly-orthogonal Cayley map
+    (ops.moving_ibm.cayley_rotate — identical algebra on the jnp and
+    Mosaic paths).
+
+    ``record_every`` returns a (T//k, 10) series: center, velocity,
+    F_h, (cos, sin), angular velocity, torque.  ``fused`` (auto on
+    TPU/f32 when the window fits) = two Pallas launches per step via
+    kernels.moving_ibm_pallas.make_moving_rot_step."""
+    from ..ops.moving_ibm import cayley_rotate, ellipse_markers, \
+        forcing_window_markers, window_factors
+
+    dtype = default_float(dtype)
+    if b > a:
+        raise ValueError("require a >= b (semi-major along the body x)")
+    if center is None:
+        center = (0.25 * H, 0.5 * W)
+    if not (a + 3 <= center[0] <= H - a - 3
+            and a + 3 <= center[1] <= W - a - 3):
+        raise ValueError(f"center {center} puts markers (+2-cell support) "
+                         f"outside the {H}x{W} grid")
+    dx, dy = ellipse_markers(a, b, n_markers)
+    M = dx.shape[0]
+    half = int(np.ceil(a)) + 5
+    wr = wc = 2 * half
+    if wr > H or wc > W:
+        raise ValueError("window exceeds grid; enlarge H/W")
+    area = np.pi * a * b
+    m_eff = rho_s * area
+    i_eff = rho_s * area * (a * a + b * b) / 4.0
+    g_net = (rho_s - 1.0) * area * gravity
+    cs0 = (float(np.cos(theta0)), float(np.sin(theta0)))
+
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    if fused:
+        from ..kernels.moving_ibm_pallas import make_moving_rot_step, \
+            pack_state_rot
+
+        kforce = make_moving_rot_step(
+            H, W, dx, dy, half=half, g_net=g_net, m_eff=m_eff,
+            i_eff=i_eff, m_max=m_max, dtype=dtype, interpret=interpret)
+        fused = kforce is not None
+
+    if fused:
+        from ..kernels.cylinder_pallas import make_box_fused_step
+
+        kstep = make_box_fused_step(H, W, omega, dtype=dtype,
+                                    interpret=interpret)
+
+        def fused_step(carry):
+            f, F, st = carry
+            F2, st2 = kforce(f, st, F)
+            return kstep(f, F2), F2, st2
+
+        u0 = jnp.zeros((2, H, W), dtype)
+        f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
+        carry = (f, jnp.zeros((2, H, W), dtype),
+                 pack_state_rot(center, cs0, dtype=dtype))
+        trajectory = None
+        if record_every:
+            if T % record_every:
+                raise ValueError("T must be a multiple of record_every")
+
+            def outer(c, _):
+                c2 = jax.lax.fori_loop(0, record_every,
+                                       lambda _, x: fused_step(x), c)
+                return c2, c2[2][0, :10]
+
+            scan = jax.jit(
+                lambda c, n: jax.lax.scan(outer, c, None, length=n),
+                static_argnums=1)
+            series = []
+            done = 0
+            while done < T:
+                n = min(launch_cap(H * W, 0.05) // record_every or 1,
+                        (T - done) // record_every)
+                carry, tr = scan(carry, n)
+                series.append(np.asarray(tr))
+                done += n * record_every
+                from ..utils import observe
+                observe.check_finite(carry[0], done)
+            trajectory = np.concatenate(series)
+        else:
+            chunk = jax.jit(
+                lambda c, n: jax.lax.fori_loop(
+                    0, n, lambda _, x: fused_step(x), c),
+                static_argnums=1)
+            done = 0
+            while done < T:
+                n = min(launch_cap(H * W, 0.05), T - done)
+                carry = chunk(carry, n)
+                done += n
+                from ..utils import observe
+                observe.check_finite(carry[0], done)
+        f, _F, st = carry
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        return FallingEllipseResult(
+            f=f, rho=rho, u=u, center=st[0, :2], velocity=st[0, 2:4],
+            orientation=st[0, 6:8], omega_body=st[0, 8], steps=T,
+            trajectory=trajectory)
+
+    dxj = jnp.asarray(dx, dtype)
+    dyj = jnp.asarray(dy, dtype)
+    g_vec = jnp.asarray([g_net, 0.0], dtype)
+
+    def step(carry):
+        f, cen, ub, cs, w, _Fh, _Th = carry
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        f_equi = d2q9.equilibrium(u, rho)
+        f_coll = d2q9.bgk_collision(f, f_equi, omega)
+
+        rx = cs[0] * dxj - cs[1] * dyj        # world offsets (M,)
+        ry = cs[1] * dxj + cs[0] * dyj
+        r0 = jnp.clip(jnp.round(cen[0]).astype(jnp.int32) - half,
+                      0, H - wr)
+        c0 = jnp.clip(jnp.round(cen[1]).astype(jnp.int32) - half,
+                      0, W - wc)
+        zero = jnp.int32(0)
+        u_win = jax.lax.dynamic_slice(u, (zero, r0, c0), (2, wr, wc))
+        rho_win = jax.lax.dynamic_slice(rho, (r0, c0), (wr, wc))
+        X, Y = window_factors(cen[0] + rx, cen[1] + ry,
+                              r0.astype(f.dtype), c0.astype(f.dtype),
+                              wr, wc)
+        ub_m = jnp.stack([ub[0] - w * ry, ub[1] + w * rx])   # (2, M)
+        F_win, fj = forcing_window_markers(u_win, rho_win, X, Y, ub_m,
+                                           m_max)
+
+        S = d2q9.guo_source(u_win, F_win, omega)
+        patch = jax.lax.dynamic_slice(f_coll, (zero, r0, c0),
+                                      (9, wr, wc)) + S
+        f_coll = jax.lax.dynamic_update_slice(f_coll, patch,
+                                              (zero, r0, c0))
+        f_new = d2q9.stream(f_coll)
+        for side in ("row0", "rowN", "col0", "colN"):
+            f_new = bc.bounce_back(f_new, f_coll, side)
+
+        F_h = -fj.sum(axis=1)
+        T_h = -jnp.sum(rx * fj[1] - ry * fj[0])
+        ub = ub + (F_h + g_vec) / m_eff
+        w = w + T_h / i_eff
+        cen = cen + ub
+        cs = jnp.stack(cayley_rotate(cs[0], cs[1], w))
+        return f_new, cen, ub, cs, w, F_h, T_h
+
+    u0 = jnp.zeros((2, H, W), dtype)
+    f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
+    carry = (f, jnp.asarray(center, dtype), jnp.zeros((2,), dtype),
+             jnp.asarray(cs0, dtype), jnp.zeros((), dtype),
+             jnp.zeros((2,), dtype), jnp.zeros((), dtype))
+
+    trajectory = None
+    if record_every:
+        if T % record_every:
+            raise ValueError("T must be a multiple of record_every")
+
+        def outer(c, _):
+            c2 = jax.lax.fori_loop(0, record_every,
+                                   lambda _, x: step(x), c)
+            _, cen, ub, cs, w, F_h, T_h = c2
+            return c2, jnp.concatenate([cen, ub, F_h, cs, w[None],
+                                        T_h[None]])
+
+        scan = jax.jit(
+            lambda c, n: jax.lax.scan(outer, c, None, length=n),
+            static_argnums=1)
+        series = []
+        done = 0
+        while done < T:
+            n = min(launch_cap(H * W, 0.12) // record_every or 1,
+                    (T - done) // record_every)
+            carry, tr = scan(carry, n)
+            series.append(np.asarray(tr))
+            done += n * record_every
+            from ..utils import observe
+            observe.check_finite(carry[0], done)
+        trajectory = np.concatenate(series)
+    else:
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(2000, T - done)
+            carry = chunk(carry, n)
+            done += n
+    f, cen, ub, cs, w, _, _ = carry
+    rho = d2q9.calc_rho(f)
+    u = d2q9.calc_u(f, rho)
+    return FallingEllipseResult(f=f, rho=rho, u=u, center=cen,
+                                velocity=ub, orientation=cs, omega_body=w,
+                                steps=T, trajectory=trajectory)
+
+
+@dataclass
 class FallingCylinderResult:
     f: jnp.ndarray
     rho: jnp.ndarray

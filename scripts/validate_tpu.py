@@ -324,9 +324,28 @@ def dkt():
     check("dkt_finite", float(np.isfinite(tr).all()), 1.0, 1.0)
 
 
+def ellipse():
+    """Falling tilted ellipse (fused rotating-body moving IBM): must
+    glide laterally and rotate to the stable broadside orientation
+    (theta -> 90 deg) with the oscillation damped by t=60k."""
+    from lbm_tpu.scenes.obstacles import falling_ellipse
+
+    res = falling_ellipse(H=800, W=256, T=60000, center=(100.0, 127.5),
+                          a=16.0, b=8.0, theta0=0.3, rho_s=1.25,
+                          gravity=2e-4, record_every=500, fused=True)
+    tr = res.trajectory
+    th = np.degrees(np.arctan2(tr[:, 7], tr[:, 6]))
+    check("ellipse_final_theta_deg", float(th[-1]), 80.0, 100.0)
+    check("ellipse_overshoot_deg", float(th.max()), 91.0, 120.0)
+    check("ellipse_glide_cells", float(np.abs(tr[:, 1] - 127.5).max()),
+          10.0, 128.0)
+    check("ellipse_finite", float(np.isfinite(tr).all()), 1.0, 1.0)
+
+
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling"]
-LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt"]
+LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
+        "ellipse"]
 
 
 def main(argv):

@@ -273,3 +273,73 @@ def test_falling_cylinders_barrier_prevents_overlap():
                    tr[:, 0, 1] - tr[:, 1, 1]) - 2 * r
     assert np.isfinite(np.asarray(res.f)).all()
     assert gap.min() > 0.0
+
+
+def test_ellipse_markers_arc_uniform():
+    """ellipse_markers spaces markers uniformly in arc length: nearest-
+    neighbour spacing spread stays within a few percent (uniform
+    PARAMETER spacing on a 2:1 ellipse varies ~2x)."""
+    from lbm_tpu.ops.moving_ibm import ellipse_markers
+
+    dx, dy = ellipse_markers(16.0, 8.0)
+    on = (dx / 16.0) ** 2 + (dy / 8.0) ** 2
+    np.testing.assert_allclose(on, 1.0, rtol=1e-6)
+    seg = np.hypot(np.diff(dx, append=dx[:1]), np.diff(dy, append=dy[:1]))
+    assert seg.max() / seg.min() < 1.05
+    assert abs(seg.mean() - 1.0) < 0.15          # ~1-cell resolution
+
+
+def test_cayley_rotate_orthogonal():
+    from lbm_tpu.ops.moving_ibm import cayley_rotate
+
+    c, s = jnp.float64(np.cos(0.3)), jnp.float64(np.sin(0.3))
+    for w in (0.0, 1e-3, -0.2, 2.5):
+        c2, s2 = cayley_rotate(c, s, jnp.float64(w))
+        assert abs(float(c2 * c2 + s2 * s2) - 1.0) < 1e-14
+        got = float(jnp.arctan2(s2, c2)) - 0.3
+        assert abs(got - 2 * np.arctan(w / 2)) < 1e-12
+
+
+def test_falling_ellipse_spin_down_and_symmetry():
+    """Angular-momentum exchange sanity (f64 jnp): a broadside ellipse
+    (theta0=0) falls without rotating (symmetry), while a tilted one
+    picks up torque and lateral drift."""
+    from lbm_tpu.scenes.obstacles import falling_ellipse
+
+    # center col 47.5 = the box's true mirror axis (W even: walls at
+    # -0.5 and 95.5); an integer column would be 0.5 cells off-axis and
+    # physically pick up a small torque
+    kw = dict(H=128, W=96, T=400, center=(40.0, 47.5), a=10.0, b=5.0,
+              rho_s=1.5, gravity=2e-4, record_every=100,
+              dtype=jnp.float64)
+    sym = falling_ellipse(theta0=0.0, **kw)
+    assert np.isfinite(np.asarray(sym.f)).all()
+    assert abs(float(sym.omega_body)) < 1e-12          # no symmetry break
+    assert abs(float(sym.velocity[1])) < 1e-12
+    assert float(sym.velocity[0]) > 0.0                # falls
+    tilt = falling_ellipse(theta0=0.4, **kw)
+    tr = tilt.trajectory                               # (4, 10)
+    assert abs(tr[-1, 9]) > 0.0                        # torque exchanged
+    assert abs(float(tilt.omega_body)) > 1e-8          # body rotates
+    assert abs(float(tilt.velocity[1])) > 1e-8         # glides laterally
+
+
+def test_falling_ellipse_fused_matches_jnp():
+    """The rotating-body fused kernel (orientation through SMEM, world
+    offsets + torque closure + Cayley update in-kernel) equals the jnp
+    scene end-to-end."""
+    from lbm_tpu.scenes.obstacles import falling_ellipse
+
+    kw = dict(H=64, W=256, T=9, center=(24.0, 128.0), a=9.0, b=4.5,
+              theta0=0.5, rho_s=1.4, gravity=2e-4, record_every=3,
+              dtype=jnp.float64)
+    ref = falling_ellipse(fused=False, **kw)
+    got = falling_ellipse(fused=True, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got.trajectory, ref.trajectory,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.orientation),
+                               np.asarray(ref.orientation), atol=1e-12)
+    np.testing.assert_allclose(float(got.omega_body),
+                               float(ref.omega_body), atol=1e-13)
