@@ -108,6 +108,58 @@ def _make_peskin(dt):
     return peskin
 
 
+def _window_macroscopics(fwin):
+    """rho, 1/rho, ux, uy from a (9, rw, cw) VMEM population window."""
+    f = [fwin[k] for k in range(9)]
+    rho = f[0]
+    for k in range(1, 9):
+        rho = rho + f[k]
+    inv_rho = 1.0 / rho
+    ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
+    uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+    return rho, inv_rho, ux, uy
+
+
+def _forcing_iterations(rho, inv_rho, ux, uy, Xm, Ym, ub_x_m, ub_y_m,
+                        n_iter: int):
+    """The shared multi-direct-forcing loop of every moving-IBM kernel:
+    dense factors Xm (rw, M') / Ym (cw, M'), marker velocity targets
+    ub_x/y_m ((1, M') or scalar), n_iter direct-forcing iterations
+    (ibm.cpp:166-187 with the U_b target).  Returns the window force
+    density (Fx, Fy) and the per-marker Lagrangian force sums
+    (fxj_t, fyj_t) (1, M') — matching ops.moving_ibm.
+    forcing_window_markers' accumulation order."""
+    def interp(g):
+        V = jax.lax.dot_general(g, Ym, (((1,), (0,)), ((), ())),
+                                precision=HIGHEST)       # (rw, M')
+        return jnp.sum(V * Xm, axis=0, keepdims=True)    # (1, M')
+
+    def spread(s):
+        A = Xm * s                                       # (rw, M')
+        return jax.lax.dot_general(A, Ym, (((1,), (1,)), ((), ())),
+                                   precision=HIGHEST)    # (rw, cw)
+
+    rho_j = interp(rho)
+    half_inv = 0.5 * inv_rho
+    ux_w, uy_w = ux, uy
+    Fx = jnp.zeros_like(rho)
+    Fy = jnp.zeros_like(rho)
+    fxj_t = jnp.zeros_like(rho_j)
+    fyj_t = jnp.zeros_like(rho_j)
+    for _ in range(n_iter):
+        fx_j = 2.0 * rho_j * (ub_x_m - interp(ux_w))
+        fy_j = 2.0 * rho_j * (ub_y_m - interp(uy_w))
+        Fx_n = spread(fx_j)
+        Fy_n = spread(fy_j)
+        ux_w = ux_w + Fx_n * half_inv
+        uy_w = uy_w + Fy_n * half_inv
+        Fx = Fx + Fx_n
+        Fy = Fy + Fy_n
+        fxj_t = fxj_t + fx_j
+        fyj_t = fyj_t + fy_j
+    return Fx, Fy, fxj_t, fyj_t
+
+
 def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
                              half: int, g_net: float, m_eff: float,
                              m_max: int = 5, dtype=jnp.float32,
@@ -173,13 +225,7 @@ def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
                 f_hbm.at[:, pl.ds(r0, rwa), pl.ds(c0, cwa)], fwin, sem_in)
             cp.start()
             cp.wait()
-            f = [fwin[k] for k in range(9)]
-            rho = f[0]
-            for k in range(1, 9):
-                rho = rho + f[k]
-            inv_rho = 1.0 / rho
-            ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
-            uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+            rho, inv_rho, ux, uy = _window_macroscopics(fwin)
 
             # dense separable Peskin factors at the current markers
             xs = cenx + dx_ref[...]                       # (1, M')
@@ -191,34 +237,8 @@ def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
             Xm = _peskin(rgrid - xs)                      # (rw, M')
             Ym = _peskin(cgrid - ys)                      # (cw, M')
 
-            def interp(g):
-                V = jax.lax.dot_general(g, Ym, (((1,), (0,)), ((), ())),
-                                        precision=HIGHEST)   # (rw, M')
-                return jnp.sum(V * Xm, axis=0, keepdims=True)  # (1, M')
-
-            def spread(s):
-                A = Xm * s                                    # (rw, M')
-                return jax.lax.dot_general(A, Ym, (((1,), (1,)), ((), ())),
-                                           precision=HIGHEST)  # (rw, cw)
-
-            rho_j = interp(rho)
-            half_inv = 0.5 * inv_rho
-            ux_w, uy_w = ux, uy
-            Fx = jnp.zeros_like(rho)
-            Fy = jnp.zeros_like(rho)
-            fsx = jnp.zeros((1, 1), dt)
-            fsy = jnp.zeros((1, 1), dt)
-            for _ in range(n_iter):
-                fx_j = 2.0 * rho_j * (ubx - interp(ux_w))
-                fy_j = 2.0 * rho_j * (uby - interp(uy_w))
-                Fx_n = spread(fx_j)
-                Fy_n = spread(fy_j)
-                ux_w = ux_w + Fx_n * half_inv
-                uy_w = uy_w + Fy_n * half_inv
-                Fx = Fx + Fx_n
-                Fy = Fy + Fy_n
-                fsx = fsx + jnp.sum(fx_j, axis=1, keepdims=True)
-                fsy = fsy + jnp.sum(fy_j, axis=1, keepdims=True)
+            Fx, Fy, fxj_t, fyj_t = _forcing_iterations(
+                rho, inv_rho, ux, uy, Xm, Ym, ubx, uby, n_iter)
             Fwin[0] = Fx
             Fwin[1] = Fy
             cpo = pltpu.make_async_copy(
@@ -229,8 +249,10 @@ def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
             # rigid-body closure, in-kernel (falling_cylinder docstring):
             # F_h = -f_sum;  ub += (F_h + g_net e_x) / m_eff;  cen += ub
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, STATE_LANES), 1)
-            Fhx = jnp.broadcast_to(-fsx, (1, STATE_LANES))
-            Fhy = jnp.broadcast_to(-fsy, (1, STATE_LANES))
+            Fhx = jnp.broadcast_to(
+                -jnp.sum(fxj_t, axis=1, keepdims=True), (1, STATE_LANES))
+            Fhy = jnp.broadcast_to(
+                -jnp.sum(fyj_t, axis=1, keepdims=True), (1, STATE_LANES))
             ubx2 = ubx + (Fhx + g_net) * inv_m
             uby2 = uby + Fhy * inv_m
             out = jnp.zeros((1, STATE_LANES), dt)
@@ -335,13 +357,7 @@ def make_moving_rot_step(H: int, W: int, marker_dx, marker_dy, *,
                 f_hbm.at[:, pl.ds(r0, rwa), pl.ds(c0, cwa)], fwin, sem_in)
             cp.start()
             cp.wait()
-            f = [fwin[k] for k in range(9)]
-            rho = f[0]
-            for k in range(1, 9):
-                rho = rho + f[k]
-            inv_rho = 1.0 / rho
-            ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
-            uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+            rho, inv_rho, ux, uy = _window_macroscopics(fwin)
 
             rx = oc * dx_ref[...] - os_ * dy_ref[...]    # (1, M') world
             ry = os_ * dx_ref[...] + oc * dy_ref[...]
@@ -354,36 +370,10 @@ def make_moving_rot_step(H: int, W: int, marker_dx, marker_dy, *,
             Xm = _peskin(rgrid - xs)
             Ym = _peskin(cgrid - ys)
 
-            def interp(g):
-                V = jax.lax.dot_general(g, Ym, (((1,), (0,)), ((), ())),
-                                        precision=HIGHEST)
-                return jnp.sum(V * Xm, axis=0, keepdims=True)  # (1, M')
-
-            def spread(s):
-                A = Xm * s
-                return jax.lax.dot_general(A, Ym, (((1,), (1,)), ((), ())),
-                                           precision=HIGHEST)
-
-            ub_x_m = ubx - wb * ry                       # rigid targets
-            ub_y_m = uby + wb * rx
-            rho_j = interp(rho)
-            half_inv = 0.5 * inv_rho
-            ux_w, uy_w = ux, uy
-            Fx = jnp.zeros_like(rho)
-            Fy = jnp.zeros_like(rho)
-            fxj_t = jnp.zeros((1, m_pad), dt)
-            fyj_t = jnp.zeros((1, m_pad), dt)
-            for _ in range(n_iter):
-                fx_j = 2.0 * rho_j * (ub_x_m - interp(ux_w))
-                fy_j = 2.0 * rho_j * (ub_y_m - interp(uy_w))
-                Fx_n = spread(fx_j)
-                Fy_n = spread(fy_j)
-                ux_w = ux_w + Fx_n * half_inv
-                uy_w = uy_w + Fy_n * half_inv
-                Fx = Fx + Fx_n
-                Fy = Fy + Fy_n
-                fxj_t = fxj_t + fx_j
-                fyj_t = fyj_t + fy_j
+            # rigid targets U_b + w x r per marker
+            Fx, Fy, fxj_t, fyj_t = _forcing_iterations(
+                rho, inv_rho, ux, uy, Xm, Ym,
+                ubx - wb * ry, uby + wb * rx, n_iter)
             Fwin[0] = Fx
             Fwin[1] = Fy
             cpo = pltpu.make_async_copy(
@@ -526,13 +516,7 @@ def make_moving_bodies_step(H: int, W: int, marker_dx, marker_dy, *,
                 f_hbm.at[:, pl.ds(r0, rwa)], fwin, sem_in)
             cp.start()
             cp.wait()
-            f = [fwin[k] for k in range(9)]
-            rho = f[0]
-            for k in range(1, 9):
-                rho = rho + f[k]
-            inv_rho = 1.0 / rho
-            ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) * inv_rho
-            uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) * inv_rho
+            rho, inv_rho, ux, uy = _window_macroscopics(fwin)
 
             # per-marker body id via static lane ranges
             lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
@@ -557,34 +541,8 @@ def make_moving_bodies_step(H: int, W: int, marker_dx, marker_dy, *,
             Xm = _peskin(rgrid - xs)
             Ym = _peskin(cgrid - ys)
 
-            def interp(g):
-                V = jax.lax.dot_general(g, Ym, (((1,), (0,)), ((), ())),
-                                        precision=HIGHEST)
-                return jnp.sum(V * Xm, axis=0, keepdims=True)  # (1, M')
-
-            def spread(s):
-                A = Xm * s
-                return jax.lax.dot_general(A, Ym, (((1,), (1,)), ((), ())),
-                                           precision=HIGHEST)
-
-            rho_j = interp(rho)
-            half_inv = 0.5 * inv_rho
-            ux_w, uy_w = ux, uy
-            Fx = jnp.zeros_like(rho)
-            Fy = jnp.zeros_like(rho)
-            fxj_t = zeros_m
-            fyj_t = zeros_m
-            for _ in range(n_iter):
-                fx_j = 2.0 * rho_j * (ub_x_m - interp(ux_w))
-                fy_j = 2.0 * rho_j * (ub_y_m - interp(uy_w))
-                Fx_n = spread(fx_j)
-                Fy_n = spread(fy_j)
-                ux_w = ux_w + Fx_n * half_inv
-                uy_w = uy_w + Fy_n * half_inv
-                Fx = Fx + Fx_n
-                Fy = Fy + Fy_n
-                fxj_t = fxj_t + fx_j
-                fyj_t = fyj_t + fy_j
+            Fx, Fy, fxj_t, fyj_t = _forcing_iterations(
+                rho, inv_rho, ux, uy, Xm, Ym, ub_x_m, ub_y_m, n_iter)
             Fwin[0] = Fx
             Fwin[1] = Fy
             cpo = pltpu.make_async_copy(
