@@ -27,6 +27,14 @@ Example — calibrate the body force to hit a target centerline speed::
         f = rollout(model.step, f0, 400)
         return (centerline(f) - target) ** 2
     g = jax.grad(loss)(fg0)
+
+Even the moving-IBM fluid-STRUCTURE coupling differentiates: the rigid
+state (position, velocity, orientation, spin) is part of the rollout
+carry and the momentum/torque exchange and Cayley rotation are smooth
+jnp, so d(glide distance)/d(release angle) of a falling ellipse is one
+jax.grad away (scenes.obstacles.ellipse_fsi_step;
+tests/test_diff.py::test_fsi_rollout_differentiable_vs_fd checks the
+adjoint against finite differences).
 """
 
 from __future__ import annotations

@@ -51,14 +51,20 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 def peskin4j(r):
     """Peskin 4-point kernel, jnp (traceable) version of ops.ibm.peskin4.
-    cites /root/reference/src/ibm.cpp:39-45"""
+    cites /root/reference/src/ibm.cpp:39-45
+
+    The sqrt arguments are clamped with the double-where pattern (not
+    jnp.maximum): each argument is strictly positive wherever its branch
+    is SELECTED, but reverse-mode AD propagates d sqrt(0) = inf from
+    unselected branches through jnp.where as NaN (the diff-FSI rollouts
+    in tests/test_diff.py differentiate through this kernel)."""
     r = jnp.abs(r)
-    inner = 0.125 * (3.0 - 2.0 * r
-                     + jnp.sqrt(jnp.maximum(1.0 + 4.0 * r - 4.0 * r * r,
-                                            0.0)))
-    outer = 0.125 * (5.0 - 2.0 * r
-                     - jnp.sqrt(jnp.maximum(-7.0 + 12.0 * r - 4.0 * r * r,
-                                            0.0)))
+    in1 = 1.0 + 4.0 * r - 4.0 * r * r
+    in2 = -7.0 + 12.0 * r - 4.0 * r * r
+    s1 = jnp.sqrt(jnp.where(in1 > 0.0, in1, 1.0))
+    s2 = jnp.sqrt(jnp.where(in2 > 0.0, in2, 1.0))
+    inner = 0.125 * (3.0 - 2.0 * r + jnp.where(in1 > 0.0, s1, 0.0))
+    outer = 0.125 * (5.0 - 2.0 * r - jnp.where(in2 > 0.0, s2, 0.0))
     zero = jnp.zeros_like(r)
     return jnp.where(r <= 1.0, inner, jnp.where(r <= 2.0, outer, zero))
 

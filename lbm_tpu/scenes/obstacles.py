@@ -754,6 +754,66 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
     return _finish(f, cen, ub, trajectory)
 
 
+def ellipse_fsi_step(H: int, W: int, *, dx, dy, half: int, omega: float,
+                     m_eff: float, i_eff: float, g_net: float,
+                     m_max: int = 5, dtype=jnp.float32):
+    """Pure jnp step of the rotating-ellipse fluid-structure problem —
+    the body of scenes.obstacles.falling_ellipse's jnp path, exposed as
+    a module-level builder so lbm_tpu.diff.rollout can differentiate
+    THROUGH the coupled dynamics (e.g. d(glide)/d(release angle); see
+    tests/test_diff.py).  Carry: (f (9,H,W), cen (2,), ub (2,),
+    cs (2,) orientation, w (), F_h (2,), T_h ())."""
+    from ..ops.moving_ibm import cayley_rotate, forcing_window_markers, \
+        window_factors
+
+    dxj = jnp.asarray(dx, dtype)
+    dyj = jnp.asarray(dy, dtype)
+    g_vec = jnp.asarray([g_net, 0.0], dtype)
+    wr = wc = 2 * half
+
+    def step(carry):
+        f, cen, ub, cs, w, _Fh, _Th = carry
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho)
+        f_equi = d2q9.equilibrium(u, rho)
+        f_coll = d2q9.bgk_collision(f, f_equi, omega)
+
+        rx = cs[0] * dxj - cs[1] * dyj        # world offsets (M,)
+        ry = cs[1] * dxj + cs[0] * dyj
+        r0 = jnp.clip(jnp.round(cen[0]).astype(jnp.int32) - half,
+                      0, H - wr)
+        c0 = jnp.clip(jnp.round(cen[1]).astype(jnp.int32) - half,
+                      0, W - wc)
+        zero = jnp.int32(0)
+        u_win = jax.lax.dynamic_slice(u, (zero, r0, c0), (2, wr, wc))
+        rho_win = jax.lax.dynamic_slice(rho, (r0, c0), (wr, wc))
+        X, Y = window_factors(cen[0] + rx, cen[1] + ry,
+                              r0.astype(f.dtype), c0.astype(f.dtype),
+                              wr, wc)
+        ub_m = jnp.stack([ub[0] - w * ry, ub[1] + w * rx])   # (2, M)
+        F_win, fj = forcing_window_markers(u_win, rho_win, X, Y, ub_m,
+                                           m_max)
+
+        S = d2q9.guo_source(u_win, F_win, omega)
+        patch = jax.lax.dynamic_slice(f_coll, (zero, r0, c0),
+                                      (9, wr, wc)) + S
+        f_coll = jax.lax.dynamic_update_slice(f_coll, patch,
+                                              (zero, r0, c0))
+        f_new = d2q9.stream(f_coll)
+        for side in ("row0", "rowN", "col0", "colN"):
+            f_new = bc.bounce_back(f_new, f_coll, side)
+
+        F_h = -fj.sum(axis=1)
+        T_h = -jnp.sum(rx * fj[1] - ry * fj[0])
+        ub = ub + (F_h + g_vec) / m_eff
+        w = w + T_h / i_eff
+        cen = cen + ub
+        cs = jnp.stack(cayley_rotate(cs[0], cs[1], w))
+        return f_new, cen, ub, cs, w, F_h, T_h
+
+    return step
+
+
 @dataclass
 class FallingEllipseResult:
     f: jnp.ndarray
@@ -800,8 +860,7 @@ def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
     F_h, (cos, sin), angular velocity, torque.  ``fused`` (auto on
     TPU/f32 when the window fits) = two Pallas launches per step via
     kernels.moving_ibm_pallas.make_moving_rot_step."""
-    from ..ops.moving_ibm import cayley_rotate, ellipse_markers, \
-        forcing_window_markers, window_factors
+    from ..ops.moving_ibm import ellipse_markers
 
     dtype = default_float(dtype)
     if b > a:
@@ -893,49 +952,9 @@ def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
             orientation=st[0, 6:8], omega_body=st[0, 8], steps=T,
             trajectory=trajectory)
 
-    dxj = jnp.asarray(dx, dtype)
-    dyj = jnp.asarray(dy, dtype)
-    g_vec = jnp.asarray([g_net, 0.0], dtype)
-
-    def step(carry):
-        f, cen, ub, cs, w, _Fh, _Th = carry
-        rho = d2q9.calc_rho(f)
-        u = d2q9.calc_u(f, rho)
-        f_equi = d2q9.equilibrium(u, rho)
-        f_coll = d2q9.bgk_collision(f, f_equi, omega)
-
-        rx = cs[0] * dxj - cs[1] * dyj        # world offsets (M,)
-        ry = cs[1] * dxj + cs[0] * dyj
-        r0 = jnp.clip(jnp.round(cen[0]).astype(jnp.int32) - half,
-                      0, H - wr)
-        c0 = jnp.clip(jnp.round(cen[1]).astype(jnp.int32) - half,
-                      0, W - wc)
-        zero = jnp.int32(0)
-        u_win = jax.lax.dynamic_slice(u, (zero, r0, c0), (2, wr, wc))
-        rho_win = jax.lax.dynamic_slice(rho, (r0, c0), (wr, wc))
-        X, Y = window_factors(cen[0] + rx, cen[1] + ry,
-                              r0.astype(f.dtype), c0.astype(f.dtype),
-                              wr, wc)
-        ub_m = jnp.stack([ub[0] - w * ry, ub[1] + w * rx])   # (2, M)
-        F_win, fj = forcing_window_markers(u_win, rho_win, X, Y, ub_m,
-                                           m_max)
-
-        S = d2q9.guo_source(u_win, F_win, omega)
-        patch = jax.lax.dynamic_slice(f_coll, (zero, r0, c0),
-                                      (9, wr, wc)) + S
-        f_coll = jax.lax.dynamic_update_slice(f_coll, patch,
-                                              (zero, r0, c0))
-        f_new = d2q9.stream(f_coll)
-        for side in ("row0", "rowN", "col0", "colN"):
-            f_new = bc.bounce_back(f_new, f_coll, side)
-
-        F_h = -fj.sum(axis=1)
-        T_h = -jnp.sum(rx * fj[1] - ry * fj[0])
-        ub = ub + (F_h + g_vec) / m_eff
-        w = w + T_h / i_eff
-        cen = cen + ub
-        cs = jnp.stack(cayley_rotate(cs[0], cs[1], w))
-        return f_new, cen, ub, cs, w, F_h, T_h
+    step = ellipse_fsi_step(H, W, dx=dx, dy=dy, half=half, omega=omega,
+                            m_eff=m_eff, i_eff=i_eff, g_net=g_net,
+                            m_max=m_max, dtype=dtype)
 
     u0 = jnp.zeros((2, H, W), dtype)
     f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))

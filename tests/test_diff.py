@@ -141,3 +141,45 @@ def test_multiphase_rollout_differentiable():
     g = jax.grad(dp)(1e-3)
     assert np.isfinite(float(g))
     assert float(g) > 0.0
+
+
+def test_fsi_rollout_differentiable_vs_fd():
+    """Exact adjoints THROUGH the coupled fluid-structure dynamics:
+    grad of the ellipse's lateral glide w.r.t. its release angle over a
+    40-step rigid-coupled rollout matches central finite differences.
+    Nothing in the reference is differentiable at all; here even the
+    moving-IBM momentum/torque exchange and the Cayley orientation
+    update carry gradients."""
+    from lbm_tpu.ops.moving_ibm import ellipse_markers
+    from lbm_tpu.scenes.obstacles import ellipse_fsi_step
+
+    H = W = 64
+    a, b, rho_s, gravity = 6.0, 3.0, 1.5, 2e-4
+    dx, dy = ellipse_markers(a, b)
+    half = int(np.ceil(a)) + 5
+    area = np.pi * a * b
+    step = ellipse_fsi_step(
+        H, W, dx=dx, dy=dy, half=half, omega=1.0 / 0.6,
+        m_eff=rho_s * area, i_eff=rho_s * area * (a * a + b * b) / 4.0,
+        g_net=(rho_s - 1.0) * area * gravity, dtype=jnp.float64)
+    f0 = d2q9.incomp_equilibrium(jnp.zeros((2, H, W), jnp.float64),
+                                 jnp.ones((H, W), jnp.float64))
+
+    def glide(theta0):
+        cs0 = jnp.stack([jnp.cos(theta0), jnp.sin(theta0)])
+        carry = (f0, jnp.asarray([24.0, 32.0], jnp.float64),
+                 jnp.zeros((2,), jnp.float64), cs0,
+                 jnp.zeros((), jnp.float64), jnp.zeros((2,), jnp.float64),
+                 jnp.zeros((), jnp.float64))
+        out = diff.rollout(step, carry, 40, policy="sqrt")
+        return out[1][1]                      # final lateral position
+
+    g = jax.jit(jax.grad(glide))(jnp.float64(0.3))
+    h = 1e-4
+    fd = (glide(jnp.float64(0.3 + h)) - glide(jnp.float64(0.3 - h))) \
+        / (2.0 * h)
+    assert np.isfinite(float(g))
+    # the Peskin kernel is only C^1 (branch kinks), so central FD at
+    # h=1e-4 carries O(h) error near crossings; 4e-4 relative agreement
+    # is the expected FD floor, not adjoint error
+    np.testing.assert_allclose(float(g), float(fd), rtol=2e-3)
