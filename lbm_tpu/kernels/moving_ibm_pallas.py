@@ -190,6 +190,10 @@ def make_moving_forcing_step(H: int, W: int, marker_dx, marker_dy, *,
     dy = np.asarray(marker_dy, np.float64)
     M = dx.shape[0]
     m_pad = -(-M // 128) * 128
+    # VMEM: f window (9) + F window (2) + X/Y factor strips
+    if (11 * rwa * cwa + (rwa + cwa) * m_pad) * jnp.dtype(dtype).itemsize \
+            > 12 * 2 ** 20:
+        return None
     dxp = np.full((1, m_pad), FAR)
     dyp = np.full((1, m_pad), FAR)
     dxp[0, :M] = dx
@@ -322,6 +326,10 @@ def make_moving_rot_step(H: int, W: int, marker_dx, marker_dy, *,
     dy = np.asarray(marker_dy, np.float64)
     M = dx.shape[0]
     m_pad = -(-M // 128) * 128
+    # VMEM: f window (9) + F window (2) + X/Y factor strips
+    if (11 * rwa * cwa + (rwa + cwa) * m_pad) * jnp.dtype(dtype).itemsize \
+            > 12 * 2 ** 20:
+        return None
     dxp = np.full((1, m_pad), FAR)
     dyp = np.zeros((1, m_pad))
     dxp[0, :M] = dx

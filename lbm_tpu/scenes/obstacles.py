@@ -508,6 +508,58 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
                                else None)
 
 
+def _drive_rigid(step, carry, T: int, record_every: int, n_cells: int,
+                 per_cell_ns: float, record_fn):
+    """Chunked host loop shared by the falling-body scenes.
+
+    Bounds every launch below the axon relay's ~2 s single-launch hang
+    ceiling (utils.xmath.launch_cap with the chain's measured per-cell
+    cost) and runs the NaN watchdog on every chunk boundary, in BOTH
+    the recording and non-recording modes.  ``record_fn(carry)`` maps
+    the carry to the row recorded every ``record_every`` steps; carry[0]
+    must be the population array (watchdog target).  Returns
+    ``(carry, trajectory | None)``.
+    """
+    from ..utils import observe
+    if not record_every:
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(launch_cap(n_cells, per_cell_ns), T - done)
+            carry = chunk(carry, n)
+            done += n
+            observe.check_finite(carry[0], done)
+        return carry, None
+    if T % record_every:
+        raise ValueError("T must be a multiple of record_every")
+
+    def outer(c, _):
+        c2 = jax.lax.fori_loop(0, record_every, lambda _, x: step(x), c)
+        return c2, record_fn(c2)
+
+    scan = jax.jit(lambda c, n: jax.lax.scan(outer, c, None, length=n),
+                   static_argnums=1)
+    series = []
+    done = 0
+    while done < T:
+        n = min(launch_cap(n_cells, per_cell_ns) // record_every or 1,
+                (T - done) // record_every)
+        carry, tr = scan(carry, n)
+        series.append(np.asarray(tr))
+        done += n * record_every
+        observe.check_finite(carry[0], done)
+    return carry, np.concatenate(series)
+
+
+# measured per-cell step costs for launch_cap budgeting
+# (docs/BENCHMARKS.md: fused moving chain 15.6 GLUPS = 0.064 ns/cell;
+# the jnp moving-IBM chain is ~0.54 ns/cell at 400x256)
+_FUSED_NS = 0.07
+_JNP_NS = 0.55
+
+
 @dataclass
 class FallingCylindersResult:
     f: jnp.ndarray
@@ -607,12 +659,17 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
         if trajectory is not None and trajectory.size:
-            span = trajectory[:, :, 0].max(1) - trajectory[:, :, 0].min(1)
-            if span.max() + 2 * half > rw:
-                import warnings
-                warnings.warn(
-                    f"bodies spread to {span.max():.1f} rows — beyond the "
-                    f"{rw}-row forcing window budget; raise row_slack")
+            span = (trajectory[:, :, 0].max(1)
+                    - trajectory[:, :, 0].min(1)).max()
+        else:  # no trajectory: still catch the final spread post-hoc
+            rows = np.asarray(cen)[:, 0]
+            span = rows.max() - rows.min()
+        if span + 2 * half > rw:
+            import warnings
+            warnings.warn(
+                f"bodies spread to {span:.1f} rows — beyond the "
+                f"{rw}-row forcing window budget; bodies outside the "
+                f"window lose hydrodynamic forcing; raise row_slack")
         return FallingCylindersResult(f=f, rho=rho, u=u, centers=cen,
                                       velocities=ub, steps=T,
                                       trajectory=trajectory)
@@ -632,42 +689,9 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
         f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
         carry = (f, jnp.zeros((2, H, W), dtype),
                  pack_states(cen0, dtype=dtype))
-        trajectory = None
-        if record_every:
-            if T % record_every:
-                raise ValueError("T must be a multiple of record_every")
-
-            def outer(c, _):
-                c2 = jax.lax.fori_loop(0, record_every,
-                                       lambda _, x: fused_step(x), c)
-                return c2, c2[2][:B, :6]
-
-            scan = jax.jit(
-                lambda c, n: jax.lax.scan(outer, c, None, length=n),
-                static_argnums=1)
-            series = []
-            done = 0
-            while done < T:
-                n = min(launch_cap(H * W, 0.05) // record_every or 1,
-                        (T - done) // record_every)
-                carry, tr = scan(carry, n)
-                series.append(np.asarray(tr))
-                done += n * record_every
-                from ..utils import observe
-                observe.check_finite(carry[0], done)
-            trajectory = np.concatenate(series)
-        else:
-            chunk = jax.jit(
-                lambda c, n: jax.lax.fori_loop(
-                    0, n, lambda _, x: fused_step(x), c),
-                static_argnums=1)
-            done = 0
-            while done < T:
-                n = min(launch_cap(H * W, 0.05), T - done)
-                carry = chunk(carry, n)
-                done += n
-                from ..utils import observe
-                observe.check_finite(carry[0], done)
+        carry, trajectory = _drive_rigid(
+            fused_step, carry, T, record_every, H * W, _FUSED_NS,
+            lambda c: c[2][:B, :6])
         f, _F, st = carry
         return _finish(f, st[:B, :2], st[:B, 2:4], trajectory)
 
@@ -715,41 +739,9 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
     f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
     carry = (f, jnp.asarray(cen0, dtype), jnp.zeros((B, 2), dtype),
              jnp.zeros((B, 2), dtype))
-
-    trajectory = None
-    if record_every:
-        if T % record_every:
-            raise ValueError("T must be a multiple of record_every")
-
-        def outer(c, _):
-            c2 = jax.lax.fori_loop(0, record_every,
-                                   lambda _, x: step(x), c)
-            _, cen, ub, F_h = c2
-            return c2, jnp.concatenate([cen, ub, F_h], axis=1)
-
-        scan = jax.jit(
-            lambda c, n: jax.lax.scan(outer, c, None, length=n),
-            static_argnums=1)
-        series = []
-        done = 0
-        while done < T:
-            n = min(launch_cap(H * W, 0.12) // record_every or 1,
-                    (T - done) // record_every)
-            carry, tr = scan(carry, n)
-            series.append(np.asarray(tr))
-            done += n * record_every
-            from ..utils import observe
-            observe.check_finite(carry[0], done)
-        trajectory = np.concatenate(series)
-    else:
-        chunk = jax.jit(
-            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
-            static_argnums=1)
-        done = 0
-        while done < T:
-            n = min(2000, T - done)
-            carry = chunk(carry, n)
-            done += n
+    carry, trajectory = _drive_rigid(
+        step, carry, T, record_every, H * W, _JNP_NS,
+        lambda c: jnp.concatenate([c[1], c[2], c[3]], axis=1))
     f, cen, ub, _ = carry
     return _finish(f, cen, ub, trajectory)
 
@@ -908,42 +900,9 @@ def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
         f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
         carry = (f, jnp.zeros((2, H, W), dtype),
                  pack_state_rot(center, cs0, dtype=dtype))
-        trajectory = None
-        if record_every:
-            if T % record_every:
-                raise ValueError("T must be a multiple of record_every")
-
-            def outer(c, _):
-                c2 = jax.lax.fori_loop(0, record_every,
-                                       lambda _, x: fused_step(x), c)
-                return c2, c2[2][0, :10]
-
-            scan = jax.jit(
-                lambda c, n: jax.lax.scan(outer, c, None, length=n),
-                static_argnums=1)
-            series = []
-            done = 0
-            while done < T:
-                n = min(launch_cap(H * W, 0.05) // record_every or 1,
-                        (T - done) // record_every)
-                carry, tr = scan(carry, n)
-                series.append(np.asarray(tr))
-                done += n * record_every
-                from ..utils import observe
-                observe.check_finite(carry[0], done)
-            trajectory = np.concatenate(series)
-        else:
-            chunk = jax.jit(
-                lambda c, n: jax.lax.fori_loop(
-                    0, n, lambda _, x: fused_step(x), c),
-                static_argnums=1)
-            done = 0
-            while done < T:
-                n = min(launch_cap(H * W, 0.05), T - done)
-                carry = chunk(carry, n)
-                done += n
-                from ..utils import observe
-                observe.check_finite(carry[0], done)
+        carry, trajectory = _drive_rigid(
+            fused_step, carry, T, record_every, H * W, _FUSED_NS,
+            lambda c: c[2][0, :10])
         f, _F, st = carry
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
@@ -961,42 +920,10 @@ def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
     carry = (f, jnp.asarray(center, dtype), jnp.zeros((2,), dtype),
              jnp.asarray(cs0, dtype), jnp.zeros((), dtype),
              jnp.zeros((2,), dtype), jnp.zeros((), dtype))
-
-    trajectory = None
-    if record_every:
-        if T % record_every:
-            raise ValueError("T must be a multiple of record_every")
-
-        def outer(c, _):
-            c2 = jax.lax.fori_loop(0, record_every,
-                                   lambda _, x: step(x), c)
-            _, cen, ub, cs, w, F_h, T_h = c2
-            return c2, jnp.concatenate([cen, ub, F_h, cs, w[None],
-                                        T_h[None]])
-
-        scan = jax.jit(
-            lambda c, n: jax.lax.scan(outer, c, None, length=n),
-            static_argnums=1)
-        series = []
-        done = 0
-        while done < T:
-            n = min(launch_cap(H * W, 0.12) // record_every or 1,
-                    (T - done) // record_every)
-            carry, tr = scan(carry, n)
-            series.append(np.asarray(tr))
-            done += n * record_every
-            from ..utils import observe
-            observe.check_finite(carry[0], done)
-        trajectory = np.concatenate(series)
-    else:
-        chunk = jax.jit(
-            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
-            static_argnums=1)
-        done = 0
-        while done < T:
-            n = min(2000, T - done)
-            carry = chunk(carry, n)
-            done += n
+    carry, trajectory = _drive_rigid(
+        step, carry, T, record_every, H * W, _JNP_NS,
+        lambda c: jnp.concatenate([c[1], c[2], c[5], c[3], c[4][None],
+                                   c[6][None]]))
     f, cen, ub, cs, w, _, _ = carry
     rho = d2q9.calc_rho(f)
     u = d2q9.calc_u(f, rho)
@@ -1113,43 +1040,9 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
         u0 = jnp.zeros((2, H, W), dtype)
         f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
         carry = (f, jnp.zeros((2, H, W), dtype), pack_state(center, dtype=dtype))
-
-        trajectory = None
-        if record_every:
-            if T % record_every:
-                raise ValueError("T must be a multiple of record_every")
-
-            def outer(c, _):
-                c2 = jax.lax.fori_loop(0, record_every,
-                                       lambda _, x: fused_step(x), c)
-                return c2, c2[2][0, :6]
-
-            scan = jax.jit(
-                lambda c, n: jax.lax.scan(outer, c, None, length=n),
-                static_argnums=1)
-            series = []
-            done = 0
-            while done < T:
-                n = min(launch_cap(H * W, 0.05) // record_every or 1,
-                        (T - done) // record_every)
-                carry, tr = scan(carry, n)
-                series.append(np.asarray(tr))
-                done += n * record_every
-                from ..utils import observe
-                observe.check_finite(carry[0], done)
-            trajectory = np.concatenate(series)
-        else:
-            chunk = jax.jit(
-                lambda c, n: jax.lax.fori_loop(
-                    0, n, lambda _, x: fused_step(x), c),
-                static_argnums=1)
-            done = 0
-            while done < T:
-                n = min(launch_cap(H * W, 0.05), T - done)
-                carry = chunk(carry, n)
-                done += n
-                from ..utils import observe
-                observe.check_finite(carry[0], done)
+        carry, trajectory = _drive_rigid(
+            fused_step, carry, T, record_every, H * W, _FUSED_NS,
+            lambda c: c[2][0, :6])
         f, _F, st = carry
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
@@ -1194,41 +1087,9 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
     f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
     carry = (f, jnp.asarray(center, dtype), jnp.zeros((2,), dtype),
              jnp.zeros((2,), dtype))
-
-    trajectory = None
-    if record_every:
-        if T % record_every:
-            raise ValueError("T must be a multiple of record_every")
-
-        def outer(c, _):
-            c2 = jax.lax.fori_loop(0, record_every,
-                                   lambda _, x: step(x), c)
-            _, cen, ub, F_h = c2
-            return c2, jnp.concatenate([cen, ub, F_h])
-
-        scan = jax.jit(
-            lambda c, n: jax.lax.scan(outer, c, None, length=n),
-            static_argnums=1)
-        series = []
-        done = 0
-        while done < T:
-            n = min(launch_cap(H * W, 0.12) // record_every or 1,
-                    (T - done) // record_every)
-            carry, tr = scan(carry, n)
-            series.append(np.asarray(tr))
-            done += n * record_every
-            from ..utils import observe
-            observe.check_finite(carry[0], done)
-        trajectory = np.concatenate(series)
-    else:
-        chunk = jax.jit(
-            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
-            static_argnums=1)
-        done = 0
-        while done < T:
-            n = min(2000, T - done)
-            carry = chunk(carry, n)
-            done += n
+    carry, trajectory = _drive_rigid(
+        step, carry, T, record_every, H * W, _JNP_NS,
+        lambda c: jnp.concatenate([c[1], c[2], c[3]]))
     f, cen, ub, _ = carry
     rho = d2q9.calc_rho(f)
     u = d2q9.calc_u(f, rho)

@@ -258,6 +258,58 @@ def test_falling_cylinders_fused_matches_jnp():
                                np.asarray(ref.centers), atol=1e-12)
 
 
+def test_moving_kernel_factories_reject_oversized_windows():
+    """Windows whose VMEM footprint exceeds the ~12 MB budget return
+    None (documented jnp-fallback contract) instead of producing a
+    Mosaic compile failure downstream."""
+    from lbm_tpu.kernels.moving_ibm_pallas import (
+        make_moving_forcing_step, make_moving_rot_step)
+
+    th = np.linspace(0.0, 2.0 * np.pi, 1885, endpoint=False)
+    r = 300.0
+    kw = dict(half=305, g_net=-1.0, m_eff=1.0, dtype=jnp.float32)
+    assert make_moving_forcing_step(2048, 1024, r * np.cos(th),
+                                    r * np.sin(th), **kw) is None
+    assert make_moving_rot_step(2048, 1024, r * np.cos(th),
+                                r * np.sin(th), i_eff=1.0, **kw) is None
+    # and a normal-size body still builds
+    assert make_moving_forcing_step(
+        400, 256, 12 * np.cos(th[:80]), 12 * np.sin(th[:80]),
+        half=17, g_net=-1.0, m_eff=1.0, dtype=jnp.float32) is not None
+
+
+def test_falling_cylinders_fused_matches_jnp_barriers_active():
+    """Fused-vs-jnp parity with the Glowinski barrier terms ACTIVE: the
+    pair sits inside the 2r+zeta activation range and one body inside
+    the wall activation band, so the in-kernel rep_x/rep_y algebra
+    (pairwise + wall branches) contributes nonzero forces every step —
+    unlike the DKT-geometry test above, where every barrier term is
+    exactly zero."""
+    from lbm_tpu.ops.moving_ibm import barrier_forces
+    from lbm_tpu.scenes.obstacles import falling_cylinders
+
+    H, W, r, zeta = 64, 256, 8.0, 12.0
+    centers = ((30.0, 120.0), (46.0, 140.0))
+    # guard the premise: pairwise AND wall barriers nonzero at t=0
+    F0 = np.asarray(barrier_forces(jnp.asarray(centers, jnp.float64),
+                                   r, H, W, zeta=zeta, eps=50.0))
+    assert abs(F0[0, 1]) > 0.0          # pairwise (column component)
+    w_only = np.asarray(barrier_forces(jnp.asarray(centers[1:],
+                                                   jnp.float64),
+                                       r, H, W, zeta=zeta, eps=50.0))
+    assert w_only[0, 0] < 0.0           # high-row wall pushes body 2 back
+
+    kw = dict(H=H, W=W, T=9, centers=centers, radius=r, rho_s=1.4,
+              gravity=1e-4, zeta=zeta, record_every=3,
+              dtype=jnp.float64)
+    ref = falling_cylinders(fused=False, **kw)
+    got = falling_cylinders(fused=True, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got.trajectory, ref.trajectory,
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_falling_cylinders_barrier_prevents_overlap():
     """Two bodies dropped nearly touching stay non-overlapping: the
     barrier keeps the gap >= 0 for the whole (short) run."""
