@@ -205,6 +205,22 @@ def build_step(args, H, W):
         g0 = d2q9.equilibrium(us, jnp.zeros((H, W), dtype))
         f = jnp.concatenate([f0, g0], axis=0)
         impl = "pallas"
+    elif args.model == "thermal":
+        from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
+        from lbm_tpu.scenes.thermal import CS2, conduction_profile
+
+        tau_g = 0.8
+        kappa = CS2 * (tau_g - 0.5)
+        nu = 0.71 * kappa
+        step = make_thermal_fused_step(
+            H, W, omega_f=1.0 / (nu / CS2 + 0.5), omega_g=1.0 / tau_g,
+            g_beta=1e4 * nu * kappa / float(H) ** 3, dtype=dtype)
+        th0 = jnp.asarray(conduction_profile(H), dtype)[:, None] \
+            * jnp.ones((1, W), dtype)
+        u0 = jnp.zeros((2, H, W), dtype)
+        f = jnp.concatenate([d2q9.equilibrium(u0, rho0),
+                             d2q9.equilibrium(u0, th0)], axis=0)
+        impl = "pallas"
     elif impl in ("auto", "pallas"):
         try:
             from lbm_tpu.kernels.bgk_pallas import make_fused_step
@@ -328,7 +344,8 @@ def main():
     ap.add_argument("--model", default="bgk",
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
                              "csf", "csf_full", "rk",
-                             "cavity", "cylinder", "falling", "sediment"],
+                             "cavity", "cylinder", "falling", "sediment",
+                             "thermal"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],

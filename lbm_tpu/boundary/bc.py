@@ -137,13 +137,21 @@ def ade_dirichlet(
     side: str,
     g_eq_wall: jnp.ndarray,
     lane: slice = slice(None),
+    incoming_only: bool = False,
 ) -> jnp.ndarray:
     """ADE Dirichlet (concentration) inlet via anti-bounce-back with twice the
     wall equilibrium: g_adve[opp(k)] = -g_coll[k] + 2 g_eq_wall[k].
 
     ``g_eq_wall`` is (9, N) along the lane.
-    cites /root/reference/test/rectangle_sedimentation_test.cpp:204-218"""
-    for k in _MOVING:
+    cites /root/reference/test/rectangle_sedimentation_test.cpp:204-218
+
+    The default overwrites all 8 moving directions, faithful to the
+    reference driver — which pins the concentration AT the boundary
+    node.  ``incoming_only=True`` repairs only the 3 populations
+    entering through the wall (the halfway anti-bounce-back scheme):
+    the Dirichlet value then sits on the halfway wall at -1/2 / N-1/2,
+    consistent with bounce_back's no-slip plane (scenes.thermal)."""
+    for k in (SIDE_OUT[side] if incoming_only else _MOVING):
         f_adve = _set_line(
             f_adve,
             int(lat.OPP[k]),

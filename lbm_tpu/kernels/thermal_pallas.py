@@ -1,0 +1,139 @@
+"""Fused Rayleigh-Benard step (BGK fluid + temperature ADE + Boussinesq
+buoyancy) as one Pallas launch — scenes.thermal at fused-kernel speed.
+
+BEYOND THE REFERENCE (no thermal model exists there); the kernel reuses
+the machinery of the reference-parity kernels: the 18-plane coupled
+state and block pipeline of kernels.sediment_pallas, the paired-
+direction equilibria of kernels.collide_stream, and the Guo source of
+the gravity/multiphase kernels (mrtcg_rayleigh_taylor.cpp:460-477 form
+with standard ics2=3/ics4=9 coefficients).
+
+State packing: (18, R, C) = fluid f (9) + temperature g (9).  One
+launch computes the macroscopics with the half-force velocity shift,
+both collisions (+ Guo buoyancy source on f), periodic streaming, the
+halfway bounce-back fluid walls on rows 0 / R-1, and the halfway
+ADE-Dirichlet temperature walls (incoming-only anti-bounce-back with
+2 w_k theta_w, theta_w = +-1/2) — the exact algebra of
+scenes.thermal.make_rb_step, pinned by
+tests/test_thermal.py::test_fused_matches_jnp.
+
+The slab body is shared between the single-chip block pipeline and the
+row-sharded halo-input kernel (kernels.sharded_pallas.
+make_sharded_thermal_step), like the multiphase bodies.  Wall-BC
+kernel: abs_iota stays UNwrapped (the row walls overwrite every
+population the periodic wrap corrupts; CLAUDE.md convention).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lattice as lat
+from .collide_stream import HALO
+from .pipeline import make_block_pipeline, resolve_block_rows
+from .sediment_pallas import _bgk9, _stream9
+
+CX = tuple(int(v) for v in lat.C[0])
+CY = tuple(int(v) for v in lat.C[1])
+WQ = tuple(float(v) for v in lat.W)
+OPP = tuple(int(v) for v in lat.OPP)
+
+
+def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
+                      g_beta: float):
+    """The per-slab coupled step body: ``run(block (18, rows, C),
+    abs_iota, row_edges) -> (18, rows - 2*HALO, C)`` with GLOBAL row
+    indices in abs_iota (position-based wall masks work on any shard).
+    ``row_edges=False`` skips the row-wall masks (interior shards)."""
+
+    def run(block, abs_iota, row_edges):
+        rows = block.shape[1]
+        f = [block[k] for k in range(9)]
+        g = [block[9 + k] for k in range(9)]
+
+        rho = f[0]
+        theta = g[0]
+        for k in range(1, 9):
+            rho = rho + f[k]
+            theta = theta + g[k]
+        inv_rho = 1.0 / rho
+        Fx = g_beta * theta
+        mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+        my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+        ux = (mx + 0.5 * Fx) * inv_rho
+        uy = my * inv_rho
+
+        f_coll = _bgk9(f, ux, uy, rho, omega_f)
+        g_coll = _bgk9(g, ux, uy, theta, omega_g)
+
+        # Guo buoyancy source on f (F = (Fx, 0)):
+        # S_k = (1 - w/2) ((3 + 9 cu) cF - 3 uF) W_k, cF = cx_k Fx
+        pref = 1.0 - 0.5 * omega_f
+        uF3 = 3.0 * ux * Fx
+        for k in range(9):
+            if CX[k] == 0:
+                f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
+            else:
+                cu = CX[k] * ux + CY[k] * uy
+                cF = CX[k] * Fx
+                f_coll[k] = f_coll[k] + pref * WQ[k] * (
+                    (3.0 + 9.0 * cu) * cF - uF3)
+
+        f_new = _stream9(f_coll, rows, C)
+        g_new = _stream9(g_coll, rows, C)
+
+        if row_edges:
+            # fluid halfway bounce-back walls (rows 0 / R-1)
+            for k in (3, 6, 7):
+                f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
+                                          f_new[OPP[k]])
+            for k in (1, 5, 8):
+                f_new[OPP[k]] = jnp.where(abs_iota == R - 1, f_coll[k],
+                                          f_new[OPP[k]])
+            # temperature halfway ADE-Dirichlet walls: incoming-only
+            # ABB, g_new[opp(k)] = -g_coll[k] + 2 w_k theta_w (w_opp =
+            # w_k)
+            for k in (3, 6, 7):                   # hot bottom, +1/2
+                g_new[OPP[k]] = jnp.where(abs_iota == 0,
+                                          -g_coll[k] + WQ[k],
+                                          g_new[OPP[k]])
+            for k in (1, 5, 8):                   # cold top, -1/2
+                g_new[OPP[k]] = jnp.where(abs_iota == R - 1,
+                                          -g_coll[k] - WQ[k],
+                                          g_new[OPP[k]])
+
+        out = f_new + g_new
+        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+
+    return run
+
+
+def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
+                            omega_g: float, g_beta: float,
+                            dtype=jnp.float32,
+                            block_rows: int | None = None,
+                            interpret: bool = False):
+    """Fused coupled step: S (18, R, C) = [f(9), g(9)] -> (18, R, C)."""
+    block_rows = resolve_block_rows((18,), 18, R, C, dtype,
+                                    6 * 2 ** 20, block_rows, False)
+    n_blocks = R // block_rows
+    run = make_thermal_body(R, C, omega_f=omega_f, omega_g=omega_g,
+                            g_beta=g_beta)
+
+    def body(block, abs_iota, i):
+        # only the first/last blocks can see the wall rows (B >= 8 and
+        # the kept interior reads 1 row into the halo); interior blocks
+        # take the mask-free fast path (same trick as mrtcg_pallas)
+        if n_blocks <= 2:
+            return run(block, abs_iota, True)
+        edge = (i == 0) | (i == n_blocks - 1)
+        return jax.lax.cond(
+            edge,
+            lambda b, a: run(b, a, True),
+            lambda b, a: run(b, a, False),
+            block, abs_iota)
+
+    return make_block_pipeline(18, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               flops_per_cell=230, interpret=interpret)

@@ -26,7 +26,8 @@ SCENES = {}
 
 
 def _register_all():
-    from .scenes import cavity, channel, multiphase, obstacles, ulbm
+    from .scenes import cavity, channel, multiphase, obstacles, thermal, \
+        ulbm
 
     SCENES.update({
         "horizontal_poiseuille": channel.horizontal_poiseuille,
@@ -50,6 +51,7 @@ def _register_all():
         "falling_cylinders": obstacles.falling_cylinders,
         "falling_ellipse": obstacles.falling_ellipse,
         "ring_cavity": cavity.ring_cavity,
+        "rayleigh_benard": thermal.rayleigh_benard,
     })
 
 

@@ -19,6 +19,7 @@ from ..boundary import bc
 from ..core import lattice as lat
 from ..ops import d2q9
 from ..ops.ibm import IBM
+from ..utils.observe import drive_chunked as _drive_rigid
 from ..utils.xmath import default_float, launch_cap, resolve_fused
 
 _WEAK_GUO = (1.0 / 3.0, 1.0 / 9.0)  # cylinder_test.cpp:66-67
@@ -506,51 +507,6 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
     return SedimentationResult(f=f, g=g, rho=rho, u=u, C=C, steps=T,
                                snapshots=recorder.result() if recorder
                                else None)
-
-
-def _drive_rigid(step, carry, T: int, record_every: int, n_cells: int,
-                 per_cell_ns: float, record_fn):
-    """Chunked host loop shared by the falling-body scenes.
-
-    Bounds every launch below the axon relay's ~2 s single-launch hang
-    ceiling (utils.xmath.launch_cap with the chain's measured per-cell
-    cost) and runs the NaN watchdog on every chunk boundary, in BOTH
-    the recording and non-recording modes.  ``record_fn(carry)`` maps
-    the carry to the row recorded every ``record_every`` steps; carry[0]
-    must be the population array (watchdog target).  Returns
-    ``(carry, trajectory | None)``.
-    """
-    from ..utils import observe
-    if not record_every:
-        chunk = jax.jit(
-            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
-            static_argnums=1)
-        done = 0
-        while done < T:
-            n = min(launch_cap(n_cells, per_cell_ns), T - done)
-            carry = chunk(carry, n)
-            done += n
-            observe.check_finite(carry[0], done)
-        return carry, None
-    if T % record_every:
-        raise ValueError("T must be a multiple of record_every")
-
-    def outer(c, _):
-        c2 = jax.lax.fori_loop(0, record_every, lambda _, x: step(x), c)
-        return c2, record_fn(c2)
-
-    scan = jax.jit(lambda c, n: jax.lax.scan(outer, c, None, length=n),
-                   static_argnums=1)
-    series = []
-    done = 0
-    while done < T:
-        n = min(launch_cap(n_cells, per_cell_ns) // record_every or 1,
-                (T - done) // record_every)
-        carry, tr = scan(carry, n)
-        series.append(np.asarray(tr))
-        done += n * record_every
-        observe.check_finite(carry[0], done)
-    return carry, np.concatenate(series)
 
 
 # measured per-cell step costs for launch_cap budgeting

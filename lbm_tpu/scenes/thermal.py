@@ -1,0 +1,190 @@
+"""Thermal convection: Rayleigh-Benard in a periodic slot.
+
+BEYOND THE REFERENCE: cristian-jfv/lattice-boltzmann-method has no
+thermal model at all.  This scene composes capabilities the framework
+already ships for reference workloads — the coupled two-distribution
+step of rectangle_sedimentation (test/rectangle_sedimentation_test.cpp:
+57-60,123-145: fluid f + ADE scalar g), the ADE Dirichlet wall
+(:204-218), the Guo body-force source with the ``u += F/(2 rho)``
+velocity shift (mrtcg_rayleigh_taylor.cpp:460-477), and halfway
+bounce-back walls (horizontal_poiseuille_test.cpp:146-152) — into the
+standard double-distribution Boussinesq scheme:
+
+  fluid  f: D2Q9 BGK, buoyancy force F = (g_beta * theta, 0) along rows
+  scalar g: D2Q9 ADE for the temperature deviation theta, advected at
+            the fluid velocity (Sc -> Pr coupling, two-way)
+
+Geometry: rows = vertical (row 0 = hot bottom wall theta=+1/2, row H-1
+= cold top wall theta=-1/2, both no-slip), columns periodic.  Control
+parameters are the Rayleigh and Prandtl numbers,
+
+  Ra = g_beta * dT * H^3 / (nu * kappa),   Pr = nu / kappa,
+
+with kappa = cs2 (tau_g - 1/2) set by ``tau_g`` and nu = Pr * kappa.
+Linear-stability onset for rigid-rigid walls is Ra_c = 1707.76 at
+wavenumber k_c = 3.117/H (Chandrasekhar), i.e. critical wavelength
+2.016 H — a periodic box of W = 2 H quantises the first admissible
+mode to k = pi/H = 3.1416/H, within 1% of k_c, which makes the onset
+sharp and testable (tests/test_thermal.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary import bc
+from ..core import lattice as lat
+from ..ops import d2q9
+from ..utils.observe import drive_chunked
+from ..utils.xmath import default_float, resolve_fused
+
+CS2 = 1.0 / 3.0
+
+
+@dataclass
+class ThermalResult:
+    f: jnp.ndarray           # (9, H, W) fluid populations
+    g: jnp.ndarray           # (9, H, W) temperature populations
+    rho: jnp.ndarray
+    u: jnp.ndarray           # (2, H, W) incl. the half-force shift
+    theta: jnp.ndarray       # (H, W) temperature deviation
+    nusselt: float           # volume-averaged Nusselt number
+    steps: int
+    series: object = None    # (T//record_every, 3): Nu, u_rms, theta_max
+
+
+def conduction_profile(H: int, dtype=np.float64):
+    """Steady pure-conduction profile through the cell centres: the
+    halfway walls sit at rows -1/2 and H-1/2, so theta(i) linearly
+    interpolates the wall values +-1/2 at i + 1/2."""
+    x = (np.arange(H, dtype=np.float64) + 0.5) / H
+    return np.asarray(0.5 - x, dtype)
+
+
+def nusselt_number(u_rows, theta, kappa: float, H: int):
+    """Nu = 1 + <u_x theta> / (kappa dT / H), volume-averaged: the ratio
+    of total (advective + conductive) to conductive heat transport for
+    the unit temperature drop dT = 1 across height H."""
+    return 1.0 + jnp.mean(u_rows * theta) * H / kappa
+
+
+def make_rb_step(H: int, W: int, *, omega_f: float, omega_g: float,
+                 g_beta: float, dtype=jnp.float32):
+    """Pure-jnp Rayleigh-Benard step: carry (f, g) -> (f, g).
+
+    Order per step (the reference's collide -> stream -> wall-overwrite
+    sequence, SURVEY.md section 0): macroscopics with the Guo half-force
+    shift, both collisions (+ Guo source on f), periodic streaming, then
+    the row walls — fluid halfway bounce-back, temperature ADE-Dirichlet
+    anti-bounce-back with 2 g_eq at the resting wall values +-1/2.
+    """
+    # resting-wall ADE equilibria w_k * theta_w (bc.ade_dirichlet applies
+    # the doubling: g_new = -g_coll + 2 g_eq_wall)
+    w9 = jnp.asarray(lat.W, dtype)[:, None]
+    g_eq_hot = 0.5 * w9 * jnp.ones((1, W), dtype)
+    g_eq_cold = -g_eq_hot
+
+    def step(carry):
+        f, g = carry
+        rho = d2q9.calc_rho(f)
+        theta = d2q9.calc_rho(g)
+        u = d2q9.calc_u(f, rho)
+        force = jnp.stack([g_beta * theta, jnp.zeros_like(theta)])
+        u = u + 0.5 * force / rho
+        f_eq = d2q9.equilibrium(u, rho)
+        g_eq = d2q9.equilibrium(u, theta)
+        f_coll = d2q9.bgk_collision(f, f_eq, omega_f) \
+            + d2q9.guo_source(u, force, omega_f)
+        g_coll = d2q9.bgk_collision(g, g_eq, omega_g)
+
+        f_new = d2q9.stream(f_coll)
+        g_new = d2q9.stream(g_coll)
+        f_new = bc.bounce_back(f_new, f_coll, "row0")
+        f_new = bc.bounce_back(f_new, f_coll, "rowN")
+        g_new = bc.ade_dirichlet(g_new, g_coll, "row0", g_eq_hot,
+                                 incoming_only=True)
+        g_new = bc.ade_dirichlet(g_new, g_coll, "rowN", g_eq_cold,
+                                 incoming_only=True)
+        return f_new, g_new
+
+    return step
+
+
+def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
+                    Ra: float = 1e4, Pr: float = 0.71,
+                    tau_g: float = 0.8, amp: float = 1e-3,
+                    record_every: int = 0,
+                    fused: bool | None = None, interpret: bool = False,
+                    dtype=None) -> ThermalResult:
+    """Rayleigh-Benard convection between a hot bottom and cold top wall.
+
+    Initial state: the pure-conduction profile plus a single-roll
+    perturbation ``amp * cos(2 pi y / W) * sin(pi (x + 1/2) / H)`` on
+    theta.  Below Ra_c = 1708 the perturbation decays diffusively;
+    above, convection rolls grow and saturate, and ``nusselt`` exceeds 1
+    (Clever & Busse 1974: Nu ~ 2.66 at Ra = 1e4, Pr = 0.71 for the
+    critical roll).
+
+    ``record_every`` > 0 records (Nu, u_rms, theta_max) every k steps.
+    ``fused=True`` (f32, W % 128 == 0) runs the coupled step as one
+    Pallas launch (kernels.thermal_pallas).
+    """
+    dtype = default_float(dtype)
+    kappa = CS2 * (tau_g - 0.5)
+    nu = Pr * kappa
+    tau_f = nu / CS2 + 0.5
+    omega_f = 1.0 / tau_f
+    omega_g = 1.0 / tau_g
+    g_beta = Ra * nu * kappa / float(H) ** 3
+
+    x = (np.arange(H) + 0.5) / H
+    y = np.arange(W) / W
+    theta0 = (conduction_profile(H)[:, None]
+              + amp * np.sin(np.pi * x)[:, None]
+              * np.cos(2.0 * np.pi * y)[None, :])
+    theta0 = jnp.asarray(theta0, dtype)
+    u0 = jnp.zeros((2, H, W), dtype)
+    f = d2q9.equilibrium(u0, jnp.ones((H, W), dtype))
+    g = d2q9.equilibrium(u0, theta0)
+
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    if fused:
+        from ..kernels.thermal_pallas import make_thermal_fused_step
+
+        kstep = make_thermal_fused_step(
+            H, W, omega_f=omega_f, omega_g=omega_g, g_beta=g_beta,
+            dtype=dtype, interpret=interpret)
+        step = lambda S: kstep(S)                       # noqa: E731
+        carry = jnp.concatenate([f, g], axis=0)
+        unpack = lambda S: (S[:9], S[9:])               # noqa: E731
+    else:
+        step = make_rb_step(H, W, omega_f=omega_f, omega_g=omega_g,
+                            g_beta=g_beta, dtype=dtype)
+        carry = (f, g)
+        unpack = lambda c: c                            # noqa: E731
+
+    def record(c):
+        fc, gc = unpack(c)
+        rho = d2q9.calc_rho(fc)
+        th = d2q9.calc_rho(gc)
+        u = d2q9.calc_u(fc, rho)
+        u = u + 0.5 * jnp.stack([g_beta * th, jnp.zeros_like(th)]) / rho
+        return jnp.stack([nusselt_number(u[0], th, kappa, H),
+                          jnp.sqrt(jnp.mean(u * u)),
+                          jnp.abs(th).max()])
+
+    per_cell = 0.15 if fused else 0.6
+    carry, series = drive_chunked(step, carry, T, record_every, H * W,
+                                  per_cell, record)
+    f, g = unpack(carry)
+    rho = d2q9.calc_rho(f)
+    theta = d2q9.calc_rho(g)
+    u = d2q9.calc_u(f, rho)
+    u = u + 0.5 * jnp.stack([g_beta * theta,
+                             jnp.zeros_like(theta)]) / rho
+    nu_now = float(nusselt_number(u[0], theta, kappa, H))
+    return ThermalResult(f=f, g=g, rho=rho, u=u, theta=theta,
+                         nusselt=nu_now, steps=T, series=series)

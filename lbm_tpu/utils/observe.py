@@ -118,3 +118,53 @@ def check_finite(state, step_count: int) -> None:
             "lattice stability envelope (see the scene docstring). Resume "
             "from the last checkpoint with a smaller force/velocity or "
             "switch to f64 (--x64).")
+
+
+def drive_chunked(step, carry, T: int, record_every: int, n_cells: int,
+                  per_cell_ns: float, record_fn):
+    """Chunked host loop for scene time-stepping (falling-body and
+    thermal scenes).
+
+    Bounds every launch below the axon relay's ~2 s single-launch hang
+    ceiling (utils.xmath.launch_cap with the chain's measured per-cell
+    cost) and runs the NaN watchdog on every chunk boundary, in BOTH
+    the recording and non-recording modes.  ``record_fn(carry)`` maps
+    the carry to the row recorded every ``record_every`` steps; carry[0]
+    must be the population array (watchdog target).  Returns
+    ``(carry, series | None)`` with ``series`` stacked along axis 0.
+    """
+    import jax
+    import numpy as np
+
+    from .xmath import launch_cap
+
+    if not record_every:
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        done = 0
+        while done < T:
+            n = min(launch_cap(n_cells, per_cell_ns), T - done)
+            carry = chunk(carry, n)
+            done += n
+            check_finite(carry[0], done)
+        return carry, None
+    if T % record_every:
+        raise ValueError("T must be a multiple of record_every")
+
+    def outer(c, _):
+        c2 = jax.lax.fori_loop(0, record_every, lambda _, x: step(x), c)
+        return c2, record_fn(c2)
+
+    scan = jax.jit(lambda c, n: jax.lax.scan(outer, c, None, length=n),
+                   static_argnums=1)
+    series = []
+    done = 0
+    while done < T:
+        n = min(launch_cap(n_cells, per_cell_ns) // record_every or 1,
+                (T - done) // record_every)
+        carry, tr = scan(carry, n)
+        series.append(np.asarray(tr))
+        done += n * record_every
+        check_finite(carry[0], done)
+    return carry, np.concatenate(series)

@@ -35,6 +35,8 @@ CONFIGS = {
                  "--steps", "400"],
     "falling": ["--model", "falling", "--rows", "1024", "--cols", "512",
                "--steps", "1000"],
+    "thermal": ["--model", "thermal", "--rows", "1024", "--cols", "512",
+                "--steps", "400"],
     "bgk_sharded": ["--model", "bgk", "--sharded", "--rows", "4096",
                     "--cols", "512", "--steps", "800"],
 }

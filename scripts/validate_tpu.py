@@ -342,8 +342,21 @@ def ellipse():
     check("ellipse_finite", float(np.isfinite(tr).all()), 1.0, 1.0)
 
 
+def thermal():
+    """Rayleigh-Benard heat transport on the fused 18-plane kernel:
+    saturated Nu at Ra = 1e4, Pr = 0.71 vs Clever & Busse's 2.661
+    (f32 CPU reference at this 64x128 resolution: 2.654)."""
+    from lbm_tpu.scenes.thermal import rayleigh_benard
+
+    res = rayleigh_benard(H=64, W=128, T=30000, Ra=1e4, Pr=0.71,
+                          amp=1e-2, record_every=10000, fused=True)
+    check("thermal_nusselt_ra1e4", res.nusselt, 2.60, 2.72)
+    check("thermal_saturated",
+          float(abs(res.series[-1, 0] - res.series[-2, 0])), 0.0, 5e-3)
+
+
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
-         "rt_growth", "cavity", "kbc", "sharded", "falling"]
+         "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
         "ellipse"]
 

@@ -235,3 +235,42 @@ def test_sharded_mrtcg_temporal_blocking():
         want = single(want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
                                atol=1e-13)
+
+
+@needs_8
+def test_sharded_thermal_matches_single_chip():
+    """The Rayleigh-Benard coupled kernel (18-plane fluid+temperature
+    state) sharded over 8 ranks equals the single-chip fused kernel
+    (1e-13 in f64) over 3 steps."""
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_thermal_step
+    from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
+    from lbm_tpu.scenes.thermal import CS2, conduction_profile
+
+    R, C = 192, 128
+    tau_g = 0.8
+    kappa = CS2 * (tau_g - 0.5)
+    nu = 0.71 * kappa
+    kw = dict(omega_f=1.0 / (nu / CS2 + 0.5), omega_g=1.0 / tau_g,
+              g_beta=4e3 * nu * kappa / float(R) ** 3,
+              dtype=jnp.float64, interpret=True)
+    single = make_thermal_fused_step(R, C, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded = make_sharded_thermal_step(m, R, C, **kw)
+
+    x = (np.arange(R) + 0.5) / R
+    y = np.arange(C) / C
+    th0 = jnp.asarray(conduction_profile(R)[:, None]
+                      + 1e-3 * np.sin(np.pi * x)[:, None]
+                      * np.cos(2.0 * np.pi * y)[None, :], jnp.float64)
+    u0 = jnp.zeros((2, R, C), jnp.float64)
+    S = jnp.concatenate([d2q9.equilibrium(u0, jnp.ones((R, C))),
+                         d2q9.equilibrium(u0, th0)], axis=0)
+    Ss = jax.device_put(
+        S, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", None)))
+    a, b = S, Ss
+    for _ in range(3):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)

@@ -1,0 +1,84 @@
+"""Rayleigh-Benard thermal convection gates (scenes.thermal — beyond
+the reference, which has no thermal model).
+
+Quantitative anchors:
+- pure conduction reaches the exact halfway-wall linear profile,
+- the convective instability onsets within a few % of Chandrasekhar's
+  rigid-rigid critical Rayleigh number Ra_c = 1707.76,
+- the saturated Nusselt number at Ra = 1e4, Pr = 0.71 matches
+  Clever & Busse (1974): Nu = 2.661,
+- the fused Pallas kernel equals the jnp oracle at machine precision.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.scenes import thermal
+
+
+def _mode_amp(res):
+    """RMS of the column-varying part of theta — the convection-roll
+    amplitude, insensitive to the y-independent hydrostatic residual."""
+    th = np.asarray(res.theta)
+    dev = th - th.mean(axis=1, keepdims=True)
+    return float(np.sqrt((dev ** 2).mean()))
+
+
+def test_conduction_profile_exact():
+    """With no perturbation the scheme settles on the exact linear
+    profile through the +-1/2 halfway walls, with zero velocity."""
+    r = thermal.rayleigh_benard(H=16, W=32, T=5000, Ra=0.0, amp=0.0,
+                                fused=False, dtype=jnp.float64)
+    prof = np.asarray(r.theta).mean(axis=1)
+    exact = thermal.conduction_profile(16)
+    assert np.sqrt(((prof - exact) ** 2).mean()) < 1e-12
+    assert float(np.abs(np.asarray(r.u)).max()) == 0.0
+    assert abs(r.nusselt - 1.0) < 1e-12
+
+
+def test_onset_brackets_critical_rayleigh():
+    """The roll-mode amplitude decays at Ra = 1300 and grows at
+    Ra = 2300 (measured onset on this 16x32 grid: 1700 < Ra_c < 1750,
+    within ~2% of the theoretical 1707.76)."""
+    kw = dict(H=16, W=32, amp=1e-4, fused=False, dtype=jnp.float64)
+    early = {Ra: _mode_amp(thermal.rayleigh_benard(T=500, Ra=Ra, **kw))
+             for Ra in (1300.0, 2300.0)}
+    late = {Ra: _mode_amp(thermal.rayleigh_benard(T=4000, Ra=Ra, **kw))
+            for Ra in (1300.0, 2300.0)}
+    assert late[1300.0] / early[1300.0] < 0.1      # subcritical: decays
+    assert late[2300.0] / early[2300.0] > 10.0     # supercritical: grows
+
+
+def test_nusselt_matches_clever_busse():
+    """Saturated heat transport at Ra = 1e4, Pr = 0.71 on a 32x64 box:
+    Nu = 2.661 (Clever & Busse 1974) within 1%."""
+    r = thermal.rayleigh_benard(H=32, W=64, T=20000, Ra=1e4, Pr=0.71,
+                                amp=1e-2, record_every=5000,
+                                fused=False, dtype=jnp.float64)
+    assert abs(r.nusselt - 2.661) < 0.027
+    # saturation: the last two recorded Nu values agree to 1e-3
+    assert abs(r.series[-1, 0] - r.series[-2, 0]) < 1e-3
+
+
+def test_fused_matches_jnp():
+    """The one-launch Pallas kernel reproduces the jnp oracle at
+    machine precision in f64 (interpret mode on CPU)."""
+    kw = dict(H=32, W=128, T=60, Ra=3000.0, amp=1e-3,
+              dtype=jnp.float64)
+    ref = thermal.rayleigh_benard(fused=False, **kw)
+    got = thermal.rayleigh_benard(fused=True, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=1e-13)
+
+
+def test_record_series_shape():
+    r = thermal.rayleigh_benard(H=16, W=32, T=600, Ra=2300.0, amp=1e-3,
+                                record_every=200, fused=False,
+                                dtype=jnp.float64)
+    assert r.series.shape == (3, 3)
+    assert np.isfinite(r.series).all()
+    # series rows are (Nu, u_rms, theta_max)
+    assert abs(float(r.series[0, 0]) - 1.0) < 0.1
+    assert float(r.series[-1, 2]) <= 0.52
