@@ -137,3 +137,105 @@ def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
     return make_block_pipeline(18, R, C, body, dtype=dtype,
                                block_rows=block_rows,
                                flops_per_cell=230, interpret=interpret)
+
+
+def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
+                                  omega_g: float, g_beta: float,
+                                  dtype=jnp.float32,
+                                  block_rows: int | None = None,
+                                  interpret: bool = False):
+    """Fused differentially-heated-cavity step (scenes.thermal.
+    heated_cavity): S (18, R, C) -> (18, R, C).  Same collision/
+    buoyancy algebra as the Rayleigh-Benard body; the walls move to the
+    de Vahl Davis geometry — no-slip on all four sides, ADE-Dirichlet
+    hot/cold on columns 0 / C-1, adiabatic (scalar bounce-back) rows.
+    Write order matches the jnp oracle exactly (columns after rows for
+    f, rows after columns for g, so the same writes win the corners).
+    """
+    from jax.lax import broadcasted_iota
+
+    block_rows = resolve_block_rows((18,), 18, R, C, dtype,
+                                    6 * 2 ** 20, block_rows, False)
+    n_blocks = R // block_rows
+
+    def run(block, abs_iota, row_edges):
+        rows = block.shape[1]
+        ci = broadcasted_iota(jnp.int32, (rows, C), 1)
+        f = [block[k] for k in range(9)]
+        g = [block[9 + k] for k in range(9)]
+
+        rho = f[0]
+        theta = g[0]
+        for k in range(1, 9):
+            rho = rho + f[k]
+            theta = theta + g[k]
+        inv_rho = 1.0 / rho
+        Fx = g_beta * theta
+        mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+        my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+        ux = (mx + 0.5 * Fx) * inv_rho
+        uy = my * inv_rho
+
+        f_coll = _bgk9(f, ux, uy, rho, omega_f)
+        g_coll = _bgk9(g, ux, uy, theta, omega_g)
+        pref = 1.0 - 0.5 * omega_f
+        uF3 = 3.0 * ux * Fx
+        for k in range(9):
+            if CX[k] == 0:
+                f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
+            else:
+                cu = CX[k] * ux + CY[k] * uy
+                cF = CX[k] * Fx
+                f_coll[k] = f_coll[k] + pref * WQ[k] * (
+                    (3.0 + 9.0 * cu) * cF - uF3)
+
+        f_new = _stream9(f_coll, rows, C)
+        g_new = _stream9(g_coll, rows, C)
+
+        # fluid: no-slip everywhere (rows first, then columns — the
+        # column writes win the corners, as in the jnp oracle)
+        if row_edges:
+            for k in (3, 6, 7):
+                f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
+                                          f_new[OPP[k]])
+            for k in (1, 5, 8):
+                f_new[OPP[k]] = jnp.where(abs_iota == R - 1, f_coll[k],
+                                          f_new[OPP[k]])
+        for k in (4, 7, 8):
+            f_new[OPP[k]] = jnp.where(ci == 0, f_coll[k], f_new[OPP[k]])
+        for k in (2, 5, 6):
+            f_new[OPP[k]] = jnp.where(ci == C - 1, f_coll[k],
+                                      f_new[OPP[k]])
+        # temperature: halfway ADE-Dirichlet columns (hot +1/2 left,
+        # cold -1/2 right), then adiabatic bounce-back rows (rows win
+        # the corners, as in the jnp oracle)
+        for k in (4, 7, 8):
+            g_new[OPP[k]] = jnp.where(ci == 0, -g_coll[k] + WQ[k],
+                                      g_new[OPP[k]])
+        for k in (2, 5, 6):
+            g_new[OPP[k]] = jnp.where(ci == C - 1, -g_coll[k] - WQ[k],
+                                      g_new[OPP[k]])
+        if row_edges:
+            for k in (3, 6, 7):
+                g_new[OPP[k]] = jnp.where(abs_iota == 0, g_coll[k],
+                                          g_new[OPP[k]])
+            for k in (1, 5, 8):
+                g_new[OPP[k]] = jnp.where(abs_iota == R - 1, g_coll[k],
+                                          g_new[OPP[k]])
+
+        out = f_new + g_new
+        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+
+    def body(block, abs_iota, i):
+        if n_blocks <= 2:
+            return run(block, abs_iota, True)
+        edge = (i == 0) | (i == n_blocks - 1)
+        return jax.lax.cond(
+            edge,
+            lambda b, a: run(b, a, True),
+            lambda b, a: run(b, a, False),
+            block, abs_iota)
+
+    return make_block_pipeline(18, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               flops_per_cell=240, interpret=interpret)

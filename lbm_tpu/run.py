@@ -52,6 +52,7 @@ def _register_all():
         "falling_ellipse": obstacles.falling_ellipse,
         "ring_cavity": cavity.ring_cavity,
         "rayleigh_benard": thermal.rayleigh_benard,
+        "heated_cavity": thermal.heated_cavity,
     })
 
 

@@ -188,3 +188,113 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
     nu_now = float(nusselt_number(u[0], theta, kappa, H))
     return ThermalResult(f=f, g=g, rho=rho, u=u, theta=theta,
                          nusselt=nu_now, steps=T, series=series)
+
+
+def make_cavity_step(H: int, W: int, *, omega_f: float, omega_g: float,
+                     g_beta: float, dtype=jnp.float32):
+    """Differentially heated cavity step: carry (f, g) -> (f, g).
+
+    Geometry: hot left wall (col 0, theta=+1/2), cold right wall
+    (col W-1, theta=-1/2), adiabatic top/bottom rows; gravity along
+    rows, so buoyancy drives a single circulation cell.  All four walls
+    no-slip halfway bounce-back for the fluid; the temperature walls
+    are halfway ADE-Dirichlet on the columns and plain bounce-back
+    (zero normal flux = adiabatic) on the rows.
+    """
+    w9 = jnp.asarray(lat.W, dtype)[:, None]
+    g_eq_hot = 0.5 * w9 * jnp.ones((1, H), dtype)
+    g_eq_cold = -g_eq_hot
+
+    def step(carry):
+        f, g = carry
+        rho = d2q9.calc_rho(f)
+        theta = d2q9.calc_rho(g)
+        u = d2q9.calc_u(f, rho)
+        force = jnp.stack([g_beta * theta, jnp.zeros_like(theta)])
+        u = u + 0.5 * force / rho
+        f_eq = d2q9.equilibrium(u, rho)
+        g_eq = d2q9.equilibrium(u, theta)
+        f_coll = d2q9.bgk_collision(f, f_eq, omega_f) \
+            + d2q9.guo_source(u, force, omega_f)
+        g_coll = d2q9.bgk_collision(g, g_eq, omega_g)
+
+        f_new = d2q9.stream(f_coll)
+        g_new = d2q9.stream(g_coll)
+        for side in ("row0", "rowN", "col0", "colN"):
+            f_new = bc.bounce_back(f_new, f_coll, side)
+        g_new = bc.ade_dirichlet(g_new, g_coll, "col0", g_eq_hot,
+                                 incoming_only=True)
+        g_new = bc.ade_dirichlet(g_new, g_coll, "colN", g_eq_cold,
+                                 incoming_only=True)
+        g_new = bc.bounce_back(g_new, g_coll, "row0")
+        g_new = bc.bounce_back(g_new, g_coll, "rowN")
+        return f_new, g_new
+
+    return step
+
+
+def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
+                  Ra: float = 1e4, Pr: float = 0.71,
+                  tau_g: float = 0.8, record_every: int = 0,
+                  fused: bool | None = None, interpret: bool = False,
+                  dtype=None) -> ThermalResult:
+    """Differentially heated square cavity — the de Vahl Davis (1983)
+    natural-convection benchmark.  Hot left / cold right walls, a
+    single buoyancy-driven circulation cell, and a mean Nusselt number
+    with classic reference values (Pr = 0.71): Nu = 1.118 at Ra = 1e3,
+    2.243 at 1e4, 4.519 at 1e5.
+
+    ``nusselt`` here is the steady volume-averaged transport across the
+    cavity, 1 + <u_y theta> W / (kappa dT) — at steady state the flux
+    through every vertical plane is equal, so this equals the wall
+    Nusselt number up to discretisation.  Ra is defined on the cavity
+    width W (the temperature-drop direction).
+    """
+    dtype = default_float(dtype)
+    kappa = CS2 * (tau_g - 0.5)
+    nu = Pr * kappa
+    omega_f = 1.0 / (nu / CS2 + 0.5)
+    omega_g = 1.0 / tau_g
+    g_beta = Ra * nu * kappa / float(W) ** 3
+
+    y = (np.arange(W) + 0.5) / W
+    theta0 = jnp.asarray(np.broadcast_to(0.5 - y, (H, W)), dtype)
+    u0 = jnp.zeros((2, H, W), dtype)
+    f = d2q9.equilibrium(u0, jnp.ones((H, W), dtype))
+    g = d2q9.equilibrium(u0, theta0)
+
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    if fused:
+        from ..kernels.thermal_pallas import make_heated_cavity_fused_step
+
+        kstep = make_heated_cavity_fused_step(
+            H, W, omega_f=omega_f, omega_g=omega_g, g_beta=g_beta,
+            dtype=dtype, interpret=interpret)
+        step = lambda S: kstep(S)                       # noqa: E731
+        carry = jnp.concatenate([f, g], axis=0)
+        unpack = lambda S: (S[:9], S[9:])               # noqa: E731
+    else:
+        step = make_cavity_step(H, W, omega_f=omega_f, omega_g=omega_g,
+                                g_beta=g_beta, dtype=dtype)
+        carry = (f, g)
+        unpack = lambda c: c                            # noqa: E731
+
+    def nus(fc, gc):
+        rho = d2q9.calc_rho(fc)
+        th = d2q9.calc_rho(gc)
+        u = d2q9.calc_u(fc, rho)
+        u = u + 0.5 * jnp.stack([g_beta * th, jnp.zeros_like(th)]) / rho
+        return 1.0 + jnp.mean(u[1] * th) * W / kappa, u, rho, th
+
+    def record(c):
+        fc, gc = unpack(c)
+        n, u, _, th = nus(fc, gc)
+        return jnp.stack([n, jnp.sqrt(jnp.mean(u * u)), jnp.abs(th).max()])
+
+    per_cell = 0.15 if fused else 0.6
+    carry, series = drive_chunked(step, carry, T, record_every, H * W,
+                                  per_cell, record)
+    f, g = unpack(carry)
+    nu_now, u, rho, theta = nus(f, g)
+    return ThermalResult(f=f, g=g, rho=rho, u=u, theta=theta,
+                         nusselt=float(nu_now), steps=T, series=series)

@@ -354,6 +354,14 @@ def thermal():
     check("thermal_saturated",
           float(abs(res.series[-1, 0] - res.series[-2, 0])), 0.0, 5e-3)
 
+    # de Vahl Davis cavity: Nu = 2.243 at Ra = 1e4 (f32 CPU reference
+    # at 128x128: 2.2423)
+    from lbm_tpu.scenes.thermal import heated_cavity
+
+    cav = heated_cavity(H=128, W=128, T=40000, Ra=1e4, Pr=0.71,
+                        record_every=10000, fused=True)
+    check("cavity_nusselt_ra1e4", cav.nusselt, 2.20, 2.29)
+
 
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal"]

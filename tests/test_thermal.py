@@ -82,3 +82,23 @@ def test_record_series_shape():
     # series rows are (Nu, u_rms, theta_max)
     assert abs(float(r.series[0, 0]) - 1.0) < 0.1
     assert float(r.series[-1, 2]) <= 0.52
+
+
+def test_heated_cavity_de_vahl_davis():
+    """Differentially heated square cavity at Ra = 1e4, Pr = 0.71:
+    mean Nu = 2.243 (de Vahl Davis 1983) within 1% on a 64x64 grid."""
+    r = thermal.heated_cavity(H=64, W=64, T=40000, Ra=1e4, Pr=0.71,
+                              record_every=10000, fused=False,
+                              dtype=jnp.float64)
+    assert abs(r.nusselt - 2.243) < 0.023
+    assert abs(r.series[-1, 0] - r.series[-2, 0]) < 1e-3  # saturated
+
+
+def test_heated_cavity_fused_matches_jnp():
+    kw = dict(H=64, W=128, T=60, Ra=1e4, dtype=jnp.float64)
+    ref = thermal.heated_cavity(fused=False, **kw)
+    got = thermal.heated_cavity(fused=True, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=1e-13)
