@@ -495,3 +495,29 @@ def _sharded2d_wrap(mesh: Mesh, planes: int, R_loc: int, C_loc: int,
         local_step, mesh=mesh,
         in_specs=P(None, "x", "y"), out_specs=P(None, "x", "y"),
         check_vma=False)
+
+
+def make_sharded2d_thermal_step(mesh: Mesh, R: int, C: int, *,
+                                omega_f: float, omega_g: float,
+                                g_beta: float, dtype=jnp.float32,
+                                block_rows: int | None = None,
+                                interpret: bool = False):
+    """The Rayleigh-Benard coupled step sharded over BOTH mesh axes
+    (rows over 'x', cols over 'y'): S (18, R, C) -> (18, R, C); same
+    body as kernels.thermal_pallas (row walls = global-position masks;
+    the column axis is fully periodic, served by the 128-lane halo
+    strips with no masks), same guards as the other 2-D factories."""
+    from .thermal_pallas import make_thermal_body
+
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    if R % nx or C % ny:
+        raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")
+    R_loc, C_loc = R // nx, C // ny
+    if ny < 2 or C - C_loc < 2 * CHALO:
+        raise ValueError(
+            f"need ny >= 2 and C - C/ny >= {2 * CHALO} (C={C}, ny={ny}); "
+            "use sharded_pallas.make_sharded_thermal_step for 1-D meshes")
+    run = make_thermal_body(R, C, omega_f=omega_f, omega_g=omega_g,
+                            g_beta=g_beta)
+    return _sharded2d_wrap(mesh, 18, R_loc, C_loc, C, run, dtype,
+                           block_rows, interpret)

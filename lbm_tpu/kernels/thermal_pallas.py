@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lattice as lat
-from .collide_stream import HALO
+from .collide_stream import CHALO, HALO
 from .pipeline import make_block_pipeline, resolve_block_rows
 from .sediment_pallas import _bgk9, _stream9
 
@@ -42,12 +42,16 @@ OPP = tuple(int(v) for v in lat.OPP)
 
 def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
                       g_beta: float):
-    """The per-slab coupled step body: ``run(block (18, rows, C),
-    abs_iota, row_edges) -> (18, rows - 2*HALO, C)`` with GLOBAL row
-    indices in abs_iota (position-based wall masks work on any shard).
-    ``row_edges=False`` skips the row-wall masks (interior shards)."""
+    """The per-slab coupled step body: ``run(block (18, rows, width),
+    abs_iota, row_edges) -> (18, rows - 2*HALO, width')`` with GLOBAL
+    row indices in abs_iota (position-based wall masks work on any
+    shard).  ``row_edges=False`` skips the row-wall masks (interior
+    shards).  ``col_iota`` is not None in the 2-D-sharded mode: rolls
+    then act on the padded local width (the column halo strips supply
+    the periodic neighbours — no column masks are needed, the axis is
+    fully periodic) and the output trims the CHALO column pad."""
 
-    def run(block, abs_iota, row_edges):
+    def run(block, abs_iota, row_edges, col_iota=None):
         rows = block.shape[1]
         f = [block[k] for k in range(9)]
         g = [block[9 + k] for k in range(9)]
@@ -80,8 +84,9 @@ def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
                 f_coll[k] = f_coll[k] + pref * WQ[k] * (
                     (3.0 + 9.0 * cu) * cF - uF3)
 
-        f_new = _stream9(f_coll, rows, C)
-        g_new = _stream9(g_coll, rows, C)
+        width = block.shape[2]
+        f_new = _stream9(f_coll, rows, width)
+        g_new = _stream9(g_coll, rows, width)
 
         if row_edges:
             # fluid halfway bounce-back walls (rows 0 / R-1)
@@ -104,7 +109,11 @@ def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
                                           g_new[OPP[k]])
 
         out = f_new + g_new
-        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+        if col_iota is None:
+            return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+        return jnp.stack(
+            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in out],
+            axis=0)
 
     return run
 

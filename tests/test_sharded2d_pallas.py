@@ -237,3 +237,43 @@ def test_sharded2d_csf_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+def test_sharded2d_thermal_matches_single_chip():
+    """The Rayleigh-Benard coupled kernel 2-D sharded over a 4x2 mesh
+    equals the single-chip fused kernel (1e-13, f64) over 3 steps."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lbm_tpu.kernels.sharded2d_pallas import make_sharded2d_thermal_step
+    from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
+    from lbm_tpu.ops import d2q9
+    from lbm_tpu.parallel import mesh as meshmod
+    from lbm_tpu.scenes.thermal import CS2, conduction_profile
+
+    R, C = 96, 512
+    m = meshmod.make_mesh(shape=(4, 2))
+    kap = CS2 * 0.3
+    kw = dict(omega_f=1.0 / (0.71 * kap / CS2 + 0.5), omega_g=1.25,
+              g_beta=4e3 * 0.71 * kap * kap / float(R) ** 3,
+              dtype=jnp.float64, interpret=True)
+    single = make_thermal_fused_step(R, C, **kw)
+    sharded = make_sharded2d_thermal_step(m, R, C, **kw)
+    x = (np.arange(R) + 0.5) / R
+    y = np.arange(C) / C
+    th0 = jnp.asarray(conduction_profile(R)[:, None]
+                      + 1e-3 * np.sin(np.pi * x)[:, None]
+                      * np.cos(2.0 * np.pi * y)[None, :])
+    u0 = jnp.zeros((2, R, C), jnp.float64)
+    S = jnp.concatenate([d2q9.equilibrium(u0, jnp.ones((R, C))),
+                         d2q9.equilibrium(u0, th0)], axis=0)
+    Ss = jax.device_put(
+        S, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", "y")))
+    a, b = S, Ss
+    for _ in range(3):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)
