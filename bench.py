@@ -214,7 +214,8 @@ def build_step(args, H, W):
         nu = 0.71 * kappa
         step = make_thermal_fused_step(
             H, W, omega_f=1.0 / (nu / CS2 + 0.5), omega_g=1.0 / tau_g,
-            g_beta=1e4 * nu * kappa / float(H) ** 3, dtype=dtype)
+            g_beta=1e4 * nu * kappa / float(H) ** 3,
+            substeps=args.substeps, dtype=dtype)
         th0 = jnp.asarray(conduction_profile(H), dtype)[:, None] \
             * jnp.ones((1, W), dtype)
         u0 = jnp.zeros((2, H, W), dtype)
@@ -253,7 +254,8 @@ def build_step(args, H, W):
         log(f"sharded over mesh {m.devices.shape} ({n_dev} devices, {impl})")
 
     substeps = args.substeps if (impl == "pallas"
-                                 and args.model in ("bgk", "kbc")) else 1
+                                 and args.model in ("bgk", "kbc",
+                                                    "thermal")) else 1
     return step, f, impl, substeps, H, W
 
 

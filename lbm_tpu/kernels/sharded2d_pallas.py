@@ -499,7 +499,8 @@ def _sharded2d_wrap(mesh: Mesh, planes: int, R_loc: int, C_loc: int,
 
 def make_sharded2d_thermal_step(mesh: Mesh, R: int, C: int, *,
                                 omega_f: float, omega_g: float,
-                                g_beta: float, dtype=jnp.float32,
+                                g_beta: float, substeps: int = 1,
+                                dtype=jnp.float32,
                                 block_rows: int | None = None,
                                 interpret: bool = False):
     """The Rayleigh-Benard coupled step sharded over BOTH mesh axes
@@ -518,6 +519,6 @@ def make_sharded2d_thermal_step(mesh: Mesh, R: int, C: int, *,
             f"need ny >= 2 and C - C/ny >= {2 * CHALO} (C={C}, ny={ny}); "
             "use sharded_pallas.make_sharded_thermal_step for 1-D meshes")
     run = make_thermal_body(R, C, omega_f=omega_f, omega_g=omega_g,
-                            g_beta=g_beta)
+                            g_beta=g_beta, substeps=substeps)
     return _sharded2d_wrap(mesh, 18, R_loc, C_loc, C, run, dtype,
                            block_rows, interpret)

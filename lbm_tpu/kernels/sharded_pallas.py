@@ -298,18 +298,22 @@ def make_sharded_rk_step(mesh: Mesh, R: int, C: int, *, r_alpha, b_alpha,
 
 def make_sharded_thermal_step(mesh: Mesh, R: int, C: int, *,
                               omega_f: float, omega_g: float,
-                              g_beta: float, dtype=jnp.float32,
+                              g_beta: float, substeps: int = 1,
+                              dtype=jnp.float32,
                               block_rows: int | None = None,
                               interpret: bool = False):
     """The Rayleigh-Benard coupled step (BGK fluid + temperature ADE +
     Boussinesq buoyancy, scenes.thermal) row-sharded over mesh axis
     'x': S (18, R, C) = [f(9), g(9)] -> (18, R, C), same body as
     kernels.thermal_pallas (global-position wall masks), one ICI halo
-    exchange per step."""
+    exchange per ``substeps`` steps (the stencil-free body consumes only
+    1 of the 8 halo rows per sweep, so up to 8 steps amortise one
+    exchange — deeper communication avoidance than the stencil
+    families)."""
     from .thermal_pallas import make_thermal_body
 
     run = make_thermal_body(R, C, omega_f=omega_f, omega_g=omega_g,
-                            g_beta=g_beta)
+                            g_beta=g_beta, substeps=substeps)
     return make_sharded_body_step(mesh, 18, R, C, run, dtype=dtype,
                                   block_rows=block_rows,
                                   interpret=interpret)

@@ -41,7 +41,7 @@ OPP = tuple(int(v) for v in lat.OPP)
 
 
 def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
-                      g_beta: float):
+                      g_beta: float, substeps: int = 1):
     """The per-slab coupled step body: ``run(block (18, rows, width),
     abs_iota, row_edges) -> (18, rows - 2*HALO, width')`` with GLOBAL
     row indices in abs_iota (position-based wall masks work on any
@@ -49,66 +49,79 @@ def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
     shards).  ``col_iota`` is not None in the 2-D-sharded mode: rolls
     then act on the padded local width (the column halo strips supply
     the periodic neighbours — no column masks are needed, the axis is
-    fully periodic) and the output trims the CHALO column pad."""
+    fully periodic) and the output trims the CHALO column pad.
+
+    ``substeps`` applies that many full collide-stream-BC sweeps per
+    slab pass — temporal blocking.  Each sweep consumes 1 of the 8 halo
+    rows (the body has no gradient stencils), so up to 8 sweeps amortise
+    one slab's HBM round-trip / one ICI exchange; the kept interior
+    never reads a wall-stale halo row because the wall masks cut the
+    cross-wall dependency on every sweep.  Callers gating masks per
+    block (the cond fast path) must treat a block as an edge block when
+    ``substeps >= block_rows`` — see make_thermal_fused_step."""
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
 
     def run(block, abs_iota, row_edges, col_iota=None):
         rows = block.shape[1]
+        width = block.shape[2]
         f = [block[k] for k in range(9)]
         g = [block[9 + k] for k in range(9)]
 
-        rho = f[0]
-        theta = g[0]
-        for k in range(1, 9):
-            rho = rho + f[k]
-            theta = theta + g[k]
-        inv_rho = 1.0 / rho
-        Fx = g_beta * theta
-        mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
-        my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
-        ux = (mx + 0.5 * Fx) * inv_rho
-        uy = my * inv_rho
+        for _ in range(substeps):
+            rho = f[0]
+            theta = g[0]
+            for k in range(1, 9):
+                rho = rho + f[k]
+                theta = theta + g[k]
+            inv_rho = 1.0 / rho
+            Fx = g_beta * theta
+            mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+            my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+            ux = (mx + 0.5 * Fx) * inv_rho
+            uy = my * inv_rho
 
-        f_coll = _bgk9(f, ux, uy, rho, omega_f)
-        g_coll = _bgk9(g, ux, uy, theta, omega_g)
+            f_coll = _bgk9(f, ux, uy, rho, omega_f)
+            g_coll = _bgk9(g, ux, uy, theta, omega_g)
 
-        # Guo buoyancy source on f (F = (Fx, 0)):
-        # S_k = (1 - w/2) ((3 + 9 cu) cF - 3 uF) W_k, cF = cx_k Fx
-        pref = 1.0 - 0.5 * omega_f
-        uF3 = 3.0 * ux * Fx
-        for k in range(9):
-            if CX[k] == 0:
-                f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
-            else:
-                cu = CX[k] * ux + CY[k] * uy
-                cF = CX[k] * Fx
-                f_coll[k] = f_coll[k] + pref * WQ[k] * (
-                    (3.0 + 9.0 * cu) * cF - uF3)
+            # Guo buoyancy source on f (F = (Fx, 0)):
+            # S_k = (1 - w/2) ((3 + 9 cu) cF - 3 uF) W_k, cF = cx_k Fx
+            pref = 1.0 - 0.5 * omega_f
+            uF3 = 3.0 * ux * Fx
+            for k in range(9):
+                if CX[k] == 0:
+                    f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
+                else:
+                    cu = CX[k] * ux + CY[k] * uy
+                    cF = CX[k] * Fx
+                    f_coll[k] = f_coll[k] + pref * WQ[k] * (
+                        (3.0 + 9.0 * cu) * cF - uF3)
 
-        width = block.shape[2]
-        f_new = _stream9(f_coll, rows, width)
-        g_new = _stream9(g_coll, rows, width)
+            f_new = _stream9(f_coll, rows, width)
+            g_new = _stream9(g_coll, rows, width)
 
-        if row_edges:
-            # fluid halfway bounce-back walls (rows 0 / R-1)
-            for k in (3, 6, 7):
-                f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
-                                          f_new[OPP[k]])
-            for k in (1, 5, 8):
-                f_new[OPP[k]] = jnp.where(abs_iota == R - 1, f_coll[k],
-                                          f_new[OPP[k]])
-            # temperature halfway ADE-Dirichlet walls: incoming-only
-            # ABB, g_new[opp(k)] = -g_coll[k] + 2 w_k theta_w (w_opp =
-            # w_k)
-            for k in (3, 6, 7):                   # hot bottom, +1/2
-                g_new[OPP[k]] = jnp.where(abs_iota == 0,
-                                          -g_coll[k] + WQ[k],
-                                          g_new[OPP[k]])
-            for k in (1, 5, 8):                   # cold top, -1/2
-                g_new[OPP[k]] = jnp.where(abs_iota == R - 1,
-                                          -g_coll[k] - WQ[k],
-                                          g_new[OPP[k]])
+            if row_edges:
+                # fluid halfway bounce-back walls (rows 0 / R-1)
+                for k in (3, 6, 7):
+                    f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
+                                              f_new[OPP[k]])
+                for k in (1, 5, 8):
+                    f_new[OPP[k]] = jnp.where(abs_iota == R - 1,
+                                              f_coll[k], f_new[OPP[k]])
+                # temperature halfway ADE-Dirichlet walls: incoming-only
+                # ABB, g_new[opp(k)] = -g_coll[k] + 2 w_k theta_w
+                # (w_opp = w_k)
+                for k in (3, 6, 7):               # hot bottom, +1/2
+                    g_new[OPP[k]] = jnp.where(abs_iota == 0,
+                                              -g_coll[k] + WQ[k],
+                                              g_new[OPP[k]])
+                for k in (1, 5, 8):               # cold top, -1/2
+                    g_new[OPP[k]] = jnp.where(abs_iota == R - 1,
+                                              -g_coll[k] - WQ[k],
+                                              g_new[OPP[k]])
+            f, g = f_new, g_new
 
-        out = f_new + g_new
+        out = f + g
         if col_iota is None:
             return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
         return jnp.stack(
@@ -120,21 +133,26 @@ def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
 
 def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
                             omega_g: float, g_beta: float,
-                            dtype=jnp.float32,
+                            substeps: int = 1, dtype=jnp.float32,
                             block_rows: int | None = None,
                             interpret: bool = False):
-    """Fused coupled step: S (18, R, C) = [f(9), g(9)] -> (18, R, C)."""
+    """Fused coupled step: S (18, R, C) = [f(9), g(9)] -> (18, R, C),
+    advancing ``substeps`` steps per launch (temporal blocking — the
+    18-plane kernel is HBM-bound, so k sweeps per slab pass cut the
+    per-step HBM traffic by ~k)."""
     block_rows = resolve_block_rows((18,), 18, R, C, dtype,
                                     6 * 2 ** 20, block_rows, False)
     n_blocks = R // block_rows
     run = make_thermal_body(R, C, omega_f=omega_f, omega_g=omega_g,
-                            g_beta=g_beta)
+                            g_beta=g_beta, substeps=substeps)
 
     def body(block, abs_iota, i):
-        # only the first/last blocks can see the wall rows (B >= 8 and
-        # the kept interior reads 1 row into the halo); interior blocks
-        # take the mask-free fast path (same trick as mrtcg_pallas)
-        if n_blocks <= 2:
+        # only the first/last blocks can see the wall rows: the kept
+        # interior's dependency region grows by 1 row per sweep, so the
+        # fast path needs substeps < block_rows (else block 1 / n-2
+        # reach the walls unmasked); interior blocks then take the
+        # mask-free path (same trick as mrtcg_pallas)
+        if n_blocks <= 2 or substeps >= block_rows:
             return run(block, abs_iota, True)
         edge = (i == 0) | (i == n_blocks - 1)
         return jax.lax.cond(
@@ -145,24 +163,29 @@ def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
 
     return make_block_pipeline(18, R, C, body, dtype=dtype,
                                block_rows=block_rows,
-                               flops_per_cell=230, interpret=interpret)
+                               flops_per_cell=230 * substeps,
+                               interpret=interpret)
 
 
 def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
                                   omega_g: float, g_beta: float,
-                                  dtype=jnp.float32,
+                                  substeps: int = 1, dtype=jnp.float32,
                                   block_rows: int | None = None,
                                   interpret: bool = False):
     """Fused differentially-heated-cavity step (scenes.thermal.
-    heated_cavity): S (18, R, C) -> (18, R, C).  Same collision/
-    buoyancy algebra as the Rayleigh-Benard body; the walls move to the
-    de Vahl Davis geometry — no-slip on all four sides, ADE-Dirichlet
-    hot/cold on columns 0 / C-1, adiabatic (scalar bounce-back) rows.
-    Write order matches the jnp oracle exactly (columns after rows for
-    f, rows after columns for g, so the same writes win the corners).
-    """
+    heated_cavity): S (18, R, C) -> (18, R, C), advancing ``substeps``
+    steps per launch (temporal blocking; the column masks are applied
+    every sweep on every block, so only the row-mask fast path needs
+    the edge condition).  Same collision/buoyancy algebra as the
+    Rayleigh-Benard body; the walls move to the de Vahl Davis geometry
+    — no-slip on all four sides, ADE-Dirichlet hot/cold on columns
+    0 / C-1, adiabatic (scalar bounce-back) rows.  Write order matches
+    the jnp oracle exactly (columns after rows for f, rows after
+    columns for g, so the same writes win the corners)."""
     from jax.lax import broadcasted_iota
 
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
     block_rows = resolve_block_rows((18,), 18, R, C, dtype,
                                     6 * 2 ** 20, block_rows, False)
     n_blocks = R // block_rows
@@ -173,70 +196,74 @@ def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
         f = [block[k] for k in range(9)]
         g = [block[9 + k] for k in range(9)]
 
-        rho = f[0]
-        theta = g[0]
-        for k in range(1, 9):
-            rho = rho + f[k]
-            theta = theta + g[k]
-        inv_rho = 1.0 / rho
-        Fx = g_beta * theta
-        mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
-        my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
-        ux = (mx + 0.5 * Fx) * inv_rho
-        uy = my * inv_rho
+        for _ in range(substeps):
+            rho = f[0]
+            theta = g[0]
+            for k in range(1, 9):
+                rho = rho + f[k]
+                theta = theta + g[k]
+            inv_rho = 1.0 / rho
+            Fx = g_beta * theta
+            mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+            my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+            ux = (mx + 0.5 * Fx) * inv_rho
+            uy = my * inv_rho
 
-        f_coll = _bgk9(f, ux, uy, rho, omega_f)
-        g_coll = _bgk9(g, ux, uy, theta, omega_g)
-        pref = 1.0 - 0.5 * omega_f
-        uF3 = 3.0 * ux * Fx
-        for k in range(9):
-            if CX[k] == 0:
-                f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
-            else:
-                cu = CX[k] * ux + CY[k] * uy
-                cF = CX[k] * Fx
-                f_coll[k] = f_coll[k] + pref * WQ[k] * (
-                    (3.0 + 9.0 * cu) * cF - uF3)
+            f_coll = _bgk9(f, ux, uy, rho, omega_f)
+            g_coll = _bgk9(g, ux, uy, theta, omega_g)
+            pref = 1.0 - 0.5 * omega_f
+            uF3 = 3.0 * ux * Fx
+            for k in range(9):
+                if CX[k] == 0:
+                    f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
+                else:
+                    cu = CX[k] * ux + CY[k] * uy
+                    cF = CX[k] * Fx
+                    f_coll[k] = f_coll[k] + pref * WQ[k] * (
+                        (3.0 + 9.0 * cu) * cF - uF3)
 
-        f_new = _stream9(f_coll, rows, C)
-        g_new = _stream9(g_coll, rows, C)
+            f_new = _stream9(f_coll, rows, C)
+            g_new = _stream9(g_coll, rows, C)
 
-        # fluid: no-slip everywhere (rows first, then columns — the
-        # column writes win the corners, as in the jnp oracle)
-        if row_edges:
-            for k in (3, 6, 7):
-                f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
+            # fluid: no-slip everywhere (rows first, then columns — the
+            # column writes win the corners, as in the jnp oracle)
+            if row_edges:
+                for k in (3, 6, 7):
+                    f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
+                                              f_new[OPP[k]])
+                for k in (1, 5, 8):
+                    f_new[OPP[k]] = jnp.where(abs_iota == R - 1,
+                                              f_coll[k], f_new[OPP[k]])
+            for k in (4, 7, 8):
+                f_new[OPP[k]] = jnp.where(ci == 0, f_coll[k],
                                           f_new[OPP[k]])
-            for k in (1, 5, 8):
-                f_new[OPP[k]] = jnp.where(abs_iota == R - 1, f_coll[k],
+            for k in (2, 5, 6):
+                f_new[OPP[k]] = jnp.where(ci == C - 1, f_coll[k],
                                           f_new[OPP[k]])
-        for k in (4, 7, 8):
-            f_new[OPP[k]] = jnp.where(ci == 0, f_coll[k], f_new[OPP[k]])
-        for k in (2, 5, 6):
-            f_new[OPP[k]] = jnp.where(ci == C - 1, f_coll[k],
-                                      f_new[OPP[k]])
-        # temperature: halfway ADE-Dirichlet columns (hot +1/2 left,
-        # cold -1/2 right), then adiabatic bounce-back rows (rows win
-        # the corners, as in the jnp oracle)
-        for k in (4, 7, 8):
-            g_new[OPP[k]] = jnp.where(ci == 0, -g_coll[k] + WQ[k],
-                                      g_new[OPP[k]])
-        for k in (2, 5, 6):
-            g_new[OPP[k]] = jnp.where(ci == C - 1, -g_coll[k] - WQ[k],
-                                      g_new[OPP[k]])
-        if row_edges:
-            for k in (3, 6, 7):
-                g_new[OPP[k]] = jnp.where(abs_iota == 0, g_coll[k],
+            # temperature: halfway ADE-Dirichlet columns (hot +1/2
+            # left, cold -1/2 right), then adiabatic bounce-back rows
+            # (rows win the corners, as in the jnp oracle)
+            for k in (4, 7, 8):
+                g_new[OPP[k]] = jnp.where(ci == 0, -g_coll[k] + WQ[k],
                                           g_new[OPP[k]])
-            for k in (1, 5, 8):
-                g_new[OPP[k]] = jnp.where(abs_iota == R - 1, g_coll[k],
+            for k in (2, 5, 6):
+                g_new[OPP[k]] = jnp.where(ci == C - 1,
+                                          -g_coll[k] - WQ[k],
                                           g_new[OPP[k]])
+            if row_edges:
+                for k in (3, 6, 7):
+                    g_new[OPP[k]] = jnp.where(abs_iota == 0, g_coll[k],
+                                              g_new[OPP[k]])
+                for k in (1, 5, 8):
+                    g_new[OPP[k]] = jnp.where(abs_iota == R - 1,
+                                              g_coll[k], g_new[OPP[k]])
+            f, g = f_new, g_new
 
-        out = f_new + g_new
+        out = f + g
         return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
 
     def body(block, abs_iota, i):
-        if n_blocks <= 2:
+        if n_blocks <= 2 or substeps >= block_rows:
             return run(block, abs_iota, True)
         edge = (i == 0) | (i == n_blocks - 1)
         return jax.lax.cond(
@@ -247,4 +274,5 @@ def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
 
     return make_block_pipeline(18, R, C, body, dtype=dtype,
                                block_rows=block_rows,
-                               flops_per_cell=240, interpret=interpret)
+                               flops_per_cell=240 * substeps,
+                               interpret=interpret)

@@ -116,7 +116,7 @@ def make_rb_step(H: int, W: int, *, omega_f: float, omega_g: float,
 def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                     Ra: float = 1e4, Pr: float = 0.71,
                     tau_g: float = 0.8, amp: float = 1e-3,
-                    record_every: int = 0,
+                    record_every: int = 0, substeps: int = 1,
                     fused: bool | None = None, interpret: bool = False,
                     dtype=None) -> ThermalResult:
     """Rayleigh-Benard convection between a hot bottom and cold top wall.
@@ -130,7 +130,10 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
 
     ``record_every`` > 0 records (Nu, u_rms, theta_max) every k steps.
     ``fused=True`` (f32, W % 128 == 0) runs the coupled step as one
-    Pallas launch (kernels.thermal_pallas).
+    Pallas launch (kernels.thermal_pallas); ``substeps`` (fused only)
+    advances that many steps per launch — temporal blocking that cuts
+    the HBM-bound kernel's per-step traffic by ~substeps (T and
+    record_every must be divisible by it).
     """
     dtype = default_float(dtype)
     kappa = CS2 * (tau_g - 0.5)
@@ -154,13 +157,18 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
     if fused:
         from ..kernels.thermal_pallas import make_thermal_fused_step
 
+        if T % substeps or (record_every and record_every % substeps):
+            raise ValueError("T and record_every must be divisible by "
+                             "substeps")
         kstep = make_thermal_fused_step(
             H, W, omega_f=omega_f, omega_g=omega_g, g_beta=g_beta,
-            dtype=dtype, interpret=interpret)
+            substeps=substeps, dtype=dtype, interpret=interpret)
         step = lambda S: kstep(S)                       # noqa: E731
         carry = jnp.concatenate([f, g], axis=0)
         unpack = lambda S: (S[:9], S[9:])               # noqa: E731
     else:
+        if substeps != 1:
+            raise ValueError("substeps requires the fused path")
         step = make_rb_step(H, W, omega_f=omega_f, omega_g=omega_g,
                             g_beta=g_beta, dtype=dtype)
         carry = (f, g)
@@ -176,8 +184,9 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                           jnp.sqrt(jnp.mean(u * u)),
                           jnp.abs(th).max()])
 
-    per_cell = 0.15 if fused else 0.6
-    carry, series = drive_chunked(step, carry, T, record_every, H * W,
+    per_cell = 0.15 * substeps if fused else 0.6
+    carry, series = drive_chunked(step, carry, T // substeps,
+                                  record_every // substeps, H * W,
                                   per_cell, record)
     f, g = unpack(carry)
     rho = d2q9.calc_rho(f)
@@ -236,6 +245,7 @@ def make_cavity_step(H: int, W: int, *, omega_f: float, omega_g: float,
 def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
                   Ra: float = 1e4, Pr: float = 0.71,
                   tau_g: float = 0.8, record_every: int = 0,
+                  substeps: int = 1,
                   fused: bool | None = None, interpret: bool = False,
                   dtype=None) -> ThermalResult:
     """Differentially heated square cavity — the de Vahl Davis (1983)
@@ -267,13 +277,18 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
     if fused:
         from ..kernels.thermal_pallas import make_heated_cavity_fused_step
 
+        if T % substeps or (record_every and record_every % substeps):
+            raise ValueError("T and record_every must be divisible by "
+                             "substeps")
         kstep = make_heated_cavity_fused_step(
             H, W, omega_f=omega_f, omega_g=omega_g, g_beta=g_beta,
-            dtype=dtype, interpret=interpret)
+            substeps=substeps, dtype=dtype, interpret=interpret)
         step = lambda S: kstep(S)                       # noqa: E731
         carry = jnp.concatenate([f, g], axis=0)
         unpack = lambda S: (S[:9], S[9:])               # noqa: E731
     else:
+        if substeps != 1:
+            raise ValueError("substeps requires the fused path")
         step = make_cavity_step(H, W, omega_f=omega_f, omega_g=omega_g,
                                 g_beta=g_beta, dtype=dtype)
         carry = (f, g)
@@ -291,8 +306,9 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
         n, u, _, th = nus(fc, gc)
         return jnp.stack([n, jnp.sqrt(jnp.mean(u * u)), jnp.abs(th).max()])
 
-    per_cell = 0.15 if fused else 0.6
-    carry, series = drive_chunked(step, carry, T, record_every, H * W,
+    per_cell = 0.15 * substeps if fused else 0.6
+    carry, series = drive_chunked(step, carry, T // substeps,
+                                  record_every // substeps, H * W,
                                   per_cell, record)
     f, g = unpack(carry)
     nu_now, u, rho, theta = nus(f, g)

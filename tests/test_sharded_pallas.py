@@ -274,3 +274,38 @@ def test_sharded_thermal_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+@needs_8
+def test_sharded_thermal_substeps():
+    """Communication-avoiding thermal: substeps=4 per ppermute exchange
+    equals 4 plain single-chip steps (1 ICI exchange per 4 steps; the
+    stencil-free body consumes 1 of the 8 halo rows per sweep)."""
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_thermal_step
+    from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
+    from lbm_tpu.scenes.thermal import CS2, conduction_profile
+
+    R, C = 192, 128
+    kap = CS2 * 0.3
+    kw = dict(omega_f=1.0 / (0.71 * kap / CS2 + 0.5), omega_g=1.25,
+              g_beta=4e3 * 0.71 * kap * kap / float(R) ** 3,
+              dtype=jnp.float64, interpret=True)
+    single = make_thermal_fused_step(R, C, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    shard4 = make_sharded_thermal_step(m, R, C, substeps=4, **kw)
+    x = (np.arange(R) + 0.5) / R
+    y = np.arange(C) / C
+    th0 = jnp.asarray(conduction_profile(R)[:, None]
+                      + 1e-3 * np.sin(np.pi * x)[:, None]
+                      * np.cos(2.0 * np.pi * y)[None, :])
+    u0 = jnp.zeros((2, R, C), jnp.float64)
+    S = jnp.concatenate([d2q9.equilibrium(u0, jnp.ones((R, C))),
+                         d2q9.equilibrium(u0, th0)], axis=0)
+    Ss = jax.device_put(
+        S, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", None)))
+    Ss = shard4(Ss)
+    for _ in range(4):
+        S = single(S)
+    np.testing.assert_allclose(np.asarray(Ss), np.asarray(S), rtol=0,
+                               atol=1e-13)

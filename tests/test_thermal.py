@@ -102,3 +102,50 @@ def test_heated_cavity_fused_matches_jnp():
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
                                rtol=0, atol=1e-13)
+
+
+def test_fused_substeps_equivalence():
+    """Temporal blocking: substeps=4 per launch equals 4 plain steps at
+    machine precision (RB), including the all-masks path (n_blocks <= 2
+    via explicit block_rows = R/2)."""
+    kw = dict(H=32, W=128, T=24, Ra=3000.0, amp=1e-3,
+              dtype=jnp.float64, fused=True, interpret=True)
+    a = thermal.rayleigh_benard(substeps=1, **kw)
+    b = thermal.rayleigh_benard(substeps=4, **kw)
+    np.testing.assert_allclose(np.asarray(b.f), np.asarray(a.f),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b.g), np.asarray(a.g),
+                               rtol=0, atol=1e-13)
+
+    from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
+    from lbm_tpu.ops import d2q9
+    from lbm_tpu.scenes.thermal import CS2, conduction_profile
+
+    R, C = 32, 128
+    kap = CS2 * 0.3
+    kk = dict(omega_f=1.4, omega_g=1.25,
+              g_beta=3e3 * 0.71 * kap * kap / R ** 3,
+              dtype=jnp.float64, interpret=True)
+    s1 = make_thermal_fused_step(R, C, **kk)
+    s4e = make_thermal_fused_step(R, C, substeps=4, block_rows=16, **kk)
+    th0 = jnp.asarray(np.broadcast_to(conduction_profile(R)[:, None],
+                                      (R, C)))
+    u0 = jnp.zeros((2, R, C))
+    S = jnp.concatenate([d2q9.equilibrium(u0, jnp.ones((R, C))),
+                         d2q9.equilibrium(u0, 0.9 * th0)], axis=0)
+    ref = S
+    for _ in range(4):
+        ref = s1(ref)
+    np.testing.assert_allclose(np.asarray(s4e(S)), np.asarray(ref),
+                               rtol=0, atol=1e-13)
+
+
+def test_cavity_fused_substeps_equivalence():
+    kw = dict(H=32, W=128, T=24, Ra=1e4, dtype=jnp.float64, fused=True,
+              interpret=True)
+    a = thermal.heated_cavity(substeps=1, **kw)
+    b = thermal.heated_cavity(substeps=4, **kw)
+    np.testing.assert_allclose(np.asarray(b.f), np.asarray(a.f),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b.g), np.asarray(a.g),
+                               rtol=0, atol=1e-13)
