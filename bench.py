@@ -199,7 +199,8 @@ def build_step(args, H, W):
         step = make_sediment_fused_step(
             H, W, omega=1.0 / 0.55, u_in=u_in, w_s=w_s, C_w=C_w,
             R23=H - H // 3, C28=W // 4, C38=3 * W // 8,
-            inlet_rows=min(50, H // 4), dtype=dtype)
+            inlet_rows=min(50, H // 4), substeps=args.substeps,
+            dtype=dtype)
         us = jnp.zeros((2, H, W), dtype).at[1].set(u_in)
         f0 = d2q9.incomp_equilibrium(us, rho0)
         g0 = d2q9.equilibrium(us, jnp.zeros((H, W), dtype))
@@ -254,8 +255,8 @@ def build_step(args, H, W):
         log(f"sharded over mesh {m.devices.shape} ({n_dev} devices, {impl})")
 
     substeps = args.substeps if (impl == "pallas"
-                                 and args.model in ("bgk", "kbc",
-                                                    "thermal")) else 1
+                                 and args.model in ("bgk", "kbc", "thermal",
+                                                    "sediment")) else 1
     return step, f, impl, substeps, H, W
 
 

@@ -79,10 +79,18 @@ def _stream9(coll, rows, C):
 def make_sediment_fused_step(R: int, C: int, *, omega: float, u_in: float,
                              w_s: float, C_w: float, R23: int, C28: int,
                              C38: int, inlet_rows: int,
+                             substeps: int = 1,
                              dtype=jnp.float32,
                              block_rows: int | None = None,
                              interpret: bool = False):
-    """Fused coupled step: S (18, R, C) = [f(9), g(9)] -> (18, R, C)."""
+    """Fused coupled step: S (18, R, C) = [f(9), g(9)] -> (18, R, C),
+    advancing ``substeps`` steps per launch.  Temporal blocking: the
+    body has no gradient stencils, so each sweep consumes 1 of the 8
+    halo rows, and the wall/inlet masks (applied on EVERY block every
+    sweep — this kernel has no mask-free fast path) cut the
+    cross-boundary dependencies, exactly as in thermal_pallas."""
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
     R23 = R23 % R if R23 < 0 else R23
 
     def body(block, abs_iota, i):
@@ -90,7 +98,20 @@ def make_sediment_fused_step(R: int, C: int, *, omega: float, u_in: float,
         ci = _col_iota((rows, C))
         f = [block[k] for k in range(9)]
         g = [block[9 + k] for k in range(9)]
+        if substeps > 1:
+            # The scalar's row-0 side has a LIVE periodic wrap (the
+            # zero-gradient edit is pre-stream; its incoming populations
+            # are never overwritten), so sweep 2+ needs halo rows
+            # computed as their TRUE global rows: wrap abs_iota.  Safe
+            # for the masked extractions because the alias-free slab
+            # guard means each global row appears exactly once per slab.
+            abs_iota = jax.lax.rem(abs_iota + jnp.int32(R), jnp.int32(R))
+        for _ in range(substeps):
+            f, g = sweep(f, g, rows, ci, abs_iota)
+        out = f + g
+        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
 
+    def sweep(f, g, rows, ci, abs_iota):
         rho = f[0]
         conc = g[0]
         for k in range(1, 9):
@@ -187,9 +208,9 @@ def make_sediment_fused_step(R: int, C: int, *, omega: float, u_in: float,
             g_new[OPP[k]] = jnp.where(abs_iota == R - 1, g_coll[k],
                                       g_new[OPP[k]])
 
-        out = f_new + g_new
-        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+        return f_new, g_new
 
     return make_block_pipeline(18, R, C, body, dtype=dtype,
                                block_rows=block_rows,
-                               flops_per_cell=250, interpret=interpret)
+                               flops_per_cell=250 * substeps,
+                               interpret=interpret)

@@ -334,7 +334,9 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
                             inlet_rows: int = 50,
                             config_path: str | None = None,
                             snapshot_prefix: str | None = None,
+                            substeps: int = 1,
                             fused: bool | None = None,
+                            interpret: bool = False,
                             dtype=None) -> SedimentationResult:
     """Sediment-laden flow along cols past a bottom-mounted rectangle.
 
@@ -395,9 +397,13 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
     if fused:
         from ..kernels.sediment_pallas import make_sediment_fused_step
 
+        if substeps > 1 and (snap_cadence is not None or T % substeps):
+            raise ValueError("substeps requires T % substeps == 0 and no "
+                             "snapshot cadence")
         step = make_sediment_fused_step(
             H, W, omega=omega, u_in=u_in, w_s=w_s, C_w=C_w, R23=R23,
-            C28=C28, C38=C38, inlet_rows=inlet_rows, dtype=jnp.float32)
+            C28=C28, C38=C38, inlet_rows=inlet_rows, substeps=substeps,
+            dtype=jnp.float32, interpret=interpret)
         u0 = jnp.zeros((2, H, W), jnp.float32).at[1].set(u_in)
         rho0 = jnp.ones((H, W), jnp.float32)
         cw0 = np.zeros((H, W), np.float32)
@@ -413,8 +419,9 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
             S = recorder.run(chunk, S, T)
         else:
             done = 0
-            while done < T:
-                n = min(launch_cap(H * W, 0.12), T - done)
+            calls = T // substeps  # each kernel call advances substeps
+            while done < calls:
+                n = min(launch_cap(H * W, 0.12 * substeps), calls - done)
                 S = chunk(S, n)
                 done += n
         f, g = S[:9], S[9:]
