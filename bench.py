@@ -137,6 +137,7 @@ def build_step(args, H, W):
             log(f"cavity kernel is square; using {L}x{L}")
         H = W = L
         step = make_cavity_fused_step(L, omega=omega, force=1e-5,
+                                      substeps=args.substeps,
                                       dtype=dtype)
         f = d2q9.equilibrium(jnp.zeros((2, L, L), dtype),
                              jnp.ones((L, L), dtype))
@@ -256,7 +257,8 @@ def build_step(args, H, W):
 
     substeps = args.substeps if (impl == "pallas"
                                  and args.model in ("bgk", "kbc", "thermal",
-                                                    "sediment")) else 1
+                                                    "sediment",
+                                                    "cavity")) else 1
     return step, f, impl, substeps, H, W
 
 

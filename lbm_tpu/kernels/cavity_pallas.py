@@ -27,10 +27,16 @@ OPP = tuple(int(v) for v in lat.OPP)
 
 
 def make_cavity_fused_step(L: int, *, omega: float, force: float,
-                           dtype=jnp.float32,
+                           substeps: int = 1, dtype=jnp.float32,
                            block_rows: int | None = None,
                            interpret: bool = False):
-    """Fused annulus step: f (9, L, L) -> (9, L, L)."""
+    """Fused annulus step: f (9, L, L) -> (9, L, L), advancing
+    ``substeps`` steps per launch (temporal blocking: the body is
+    stencil-free and the annulus is fully walled — every wall mask runs
+    on every block every sweep, cutting all cross-boundary
+    dependencies, so each sweep consumes just 1 of the 8 halo rows)."""
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
     a, b = L // 4, 3 * L // 4
     fx = float(force)
     pref = 1.0 - 0.5 * omega
@@ -39,7 +45,11 @@ def make_cavity_fused_step(L: int, *, omega: float, force: float,
         rows = block.shape[1]
         ci = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
         f = [block[k] for k in range(9)]
+        for _ in range(substeps):
+            f = sweep(f, rows, ci, abs_iota)
+        return jnp.stack([p[HALO:rows - HALO] for p in f], axis=0)
 
+    def sweep(f, rows, ci, abs_iota):
         rho = f[0]
         for k in range(1, 9):
             rho = rho + f[k]
@@ -106,9 +116,10 @@ def make_cavity_fused_step(L: int, *, omega: float, force: float,
                 (8, 6, (abs_iota == b - 1) & bcols)):
             new[dst] = jnp.where(m, coll[src_k], new[dst])
 
-        return jnp.stack([p[HALO:rows - HALO] for p in new], axis=0)
+        return new
 
     return make_block_pipeline(9, L, L, body, dtype=dtype,
                                block_rows=block_rows,
                                vmem_budget=10 * 2 ** 20,
-                               flops_per_cell=90, interpret=interpret)
+                               flops_per_cell=90 * substeps,
+                               interpret=interpret)

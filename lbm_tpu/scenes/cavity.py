@@ -54,7 +54,8 @@ def _block_wall_assignments(L: int):
 
 def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
                 tau: float | None = None, mesh_shape: tuple[int, int] | None = None,
-                fused: bool | None = None,
+                fused: bool | None = None, substeps: int = 1,
+                interpret: bool = False,
                 dtype=None) -> CavityResult:
     """Force-driven circulation in a square annulus of width L/4.
 
@@ -96,16 +97,20 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
                              "run use mesh_shape without fused")
         from ..kernels.cavity_pallas import make_cavity_fused_step
 
+        if T % substeps:
+            raise ValueError("T must be divisible by substeps")
         kstep = make_cavity_fused_step(L, omega=omega, force=force,
-                                       dtype=dtype)
+                                       substeps=substeps, dtype=dtype,
+                                       interpret=interpret)
         f = d2q9.equilibrium(jnp.zeros((2, L, L), dtype),
                              jnp.ones((L, L), dtype))
         chunk = jax.jit(
             lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: kstep(x), s),
             static_argnums=1)
         done = 0
-        while done < T:
-            n = min(launch_cap(L * L, 0.12), T - done)
+        calls = T // substeps  # each kernel call advances substeps
+        while done < calls:
+            n = min(launch_cap(L * L, 0.12 * substeps), calls - done)
             f = chunk(f, n)
             done += n
         rho = d2q9.calc_rho(f)

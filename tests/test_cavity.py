@@ -51,3 +51,31 @@ def test_ring_cavity_fused_matches_jnp():
                                rtol=5e-4, atol=5e-6)
     np.testing.assert_allclose(np.asarray(rf.rho), np.asarray(rj.rho),
                                rtol=5e-5, atol=5e-6)
+
+
+def test_ring_cavity_fused_substeps_equivalence():
+    """Temporal blocking: substeps=4 per launch equals 4 plain steps at
+    machine precision (f64, interpret)."""
+    import jax.numpy as jnp
+    from lbm_tpu.kernels.cavity_pallas import make_cavity_fused_step
+    from lbm_tpu.ops import d2q9
+
+    L = 128
+    kw = dict(omega=1.0 / (np.sqrt(3.0 / 16.0) + 0.5), force=3e-5,
+              dtype=jnp.float64, interpret=True)
+    s1 = make_cavity_fused_step(L, **kw)
+    s4 = make_cavity_fused_step(L, substeps=4, **kw)
+    f0 = d2q9.equilibrium(jnp.zeros((2, L, L), jnp.float64),
+                          jnp.ones((L, L), jnp.float64))
+    S = f0
+    for _ in range(8):
+        S = s1(S)
+    np.testing.assert_allclose(np.asarray(s4(s4(f0))), np.asarray(S),
+                               rtol=0, atol=1e-13)
+    # and through the scene API
+    a = ring_cavity(L=128, T=24, force=3e-5, fused=True, interpret=True,
+                    substeps=1, dtype=jnp.float64)
+    b = ring_cavity(L=128, T=24, force=3e-5, fused=True, interpret=True,
+                    substeps=4, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(b.f), np.asarray(a.f),
+                               rtol=0, atol=1e-13)
