@@ -40,6 +40,39 @@ WQ = tuple(float(v) for v in lat.W)
 OPP = tuple(int(v) for v in lat.OPP)
 
 
+def _collide_buoyant(f, g, omega_f, omega_g, g_beta):
+    """One coupled collision: macroscopics with the Guo half-force
+    shift, BGK on both distributions, Guo buoyancy source on f
+    (F = (g_beta * theta, 0); S_k = (1 - w/2)((3 + 9 cu) cF - 3 uF) W_k
+    with cF = cx_k Fx).  Shared by the Rayleigh-Benard and heated-
+    cavity slab bodies (their walls differ, the collision does not)."""
+    rho = f[0]
+    theta = g[0]
+    for k in range(1, 9):
+        rho = rho + f[k]
+        theta = theta + g[k]
+    inv_rho = 1.0 / rho
+    Fx = g_beta * theta
+    mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+    my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+    ux = (mx + 0.5 * Fx) * inv_rho
+    uy = my * inv_rho
+
+    f_coll = _bgk9(f, ux, uy, rho, omega_f)
+    g_coll = _bgk9(g, ux, uy, theta, omega_g)
+    pref = 1.0 - 0.5 * omega_f
+    uF3 = 3.0 * ux * Fx
+    for k in range(9):
+        if CX[k] == 0:
+            f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
+        else:
+            cu = CX[k] * ux + CY[k] * uy
+            cF = CX[k] * Fx
+            f_coll[k] = f_coll[k] + pref * WQ[k] * (
+                (3.0 + 9.0 * cu) * cF - uF3)
+    return f_coll, g_coll
+
+
 def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
                       g_beta: float, substeps: int = 1):
     """The per-slab coupled step body: ``run(block (18, rows, width),
@@ -69,34 +102,8 @@ def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
         g = [block[9 + k] for k in range(9)]
 
         for _ in range(substeps):
-            rho = f[0]
-            theta = g[0]
-            for k in range(1, 9):
-                rho = rho + f[k]
-                theta = theta + g[k]
-            inv_rho = 1.0 / rho
-            Fx = g_beta * theta
-            mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
-            my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
-            ux = (mx + 0.5 * Fx) * inv_rho
-            uy = my * inv_rho
-
-            f_coll = _bgk9(f, ux, uy, rho, omega_f)
-            g_coll = _bgk9(g, ux, uy, theta, omega_g)
-
-            # Guo buoyancy source on f (F = (Fx, 0)):
-            # S_k = (1 - w/2) ((3 + 9 cu) cF - 3 uF) W_k, cF = cx_k Fx
-            pref = 1.0 - 0.5 * omega_f
-            uF3 = 3.0 * ux * Fx
-            for k in range(9):
-                if CX[k] == 0:
-                    f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
-                else:
-                    cu = CX[k] * ux + CY[k] * uy
-                    cF = CX[k] * Fx
-                    f_coll[k] = f_coll[k] + pref * WQ[k] * (
-                        (3.0 + 9.0 * cu) * cF - uF3)
-
+            f_coll, g_coll = _collide_buoyant(f, g, omega_f, omega_g,
+                                              g_beta)
             f_new = _stream9(f_coll, rows, width)
             g_new = _stream9(g_coll, rows, width)
 
@@ -197,31 +204,8 @@ def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
         g = [block[9 + k] for k in range(9)]
 
         for _ in range(substeps):
-            rho = f[0]
-            theta = g[0]
-            for k in range(1, 9):
-                rho = rho + f[k]
-                theta = theta + g[k]
-            inv_rho = 1.0 / rho
-            Fx = g_beta * theta
-            mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
-            my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
-            ux = (mx + 0.5 * Fx) * inv_rho
-            uy = my * inv_rho
-
-            f_coll = _bgk9(f, ux, uy, rho, omega_f)
-            g_coll = _bgk9(g, ux, uy, theta, omega_g)
-            pref = 1.0 - 0.5 * omega_f
-            uF3 = 3.0 * ux * Fx
-            for k in range(9):
-                if CX[k] == 0:
-                    f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
-                else:
-                    cu = CX[k] * ux + CY[k] * uy
-                    cF = CX[k] * Fx
-                    f_coll[k] = f_coll[k] + pref * WQ[k] * (
-                        (3.0 + 9.0 * cu) * cF - uF3)
-
+            f_coll, g_coll = _collide_buoyant(f, g, omega_f, omega_g,
+                                              g_beta)
             f_new = _stream9(f_coll, rows, C)
             g_new = _stream9(g_coll, rows, C)
 

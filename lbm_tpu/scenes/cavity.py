@@ -115,6 +115,8 @@ def ring_cavity(L: int = 512, T: int = 1000, force: float = 3e-3,
             done += n
         rho = d2q9.calc_rho(f)
         return CavityResult(f=f, rho=rho, u=d2q9.calc_u(f, rho), steps=T)
+    if substeps != 1:
+        raise ValueError("substeps requires the fused path")
     fg = jnp.asarray([force, 0.0], dtype)
     frows = slice(a + 5, a + 55)
     fcols = slice(0, a)

@@ -394,6 +394,8 @@ def rectangle_sedimentation(H: int = 256, W: int = 320, T: int = 500,
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
     R23 = R23 % H if R23 < 0 else R23
 
+    if substeps != 1 and not fused:
+        raise ValueError("substeps requires the fused path")
     if fused:
         from ..kernels.sediment_pallas import make_sediment_fused_step
 

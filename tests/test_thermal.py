@@ -149,3 +149,33 @@ def test_cavity_fused_substeps_equivalence():
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(np.asarray(b.g), np.asarray(a.g),
                                rtol=0, atol=1e-13)
+
+
+def test_fused_substeps_interior_fast_path():
+    """substeps>1 with n_blocks >= 3: the mask-free interior-block cond
+    fast path runs WITH multi-sweep bodies (explicit block_rows=16 on
+    R=64 gives 4 blocks) and still equals plain steps — guards the
+    `substeps < block_rows` edge condition for both thermal kernels."""
+    from lbm_tpu.kernels.thermal_pallas import (
+        make_heated_cavity_fused_step, make_thermal_fused_step)
+    from lbm_tpu.ops import d2q9
+    from lbm_tpu.scenes.thermal import CS2, conduction_profile
+
+    R, C = 64, 128
+    kap = CS2 * 0.3
+    kw = dict(omega_f=1.4, omega_g=1.25,
+              g_beta=3e3 * 0.71 * kap * kap / R ** 3,
+              dtype=jnp.float64, interpret=True)
+    th0 = jnp.asarray(np.broadcast_to(conduction_profile(R)[:, None],
+                                      (R, C)))
+    u0 = jnp.zeros((2, R, C))
+    S0 = jnp.concatenate([d2q9.equilibrium(u0, jnp.ones((R, C))),
+                          d2q9.equilibrium(u0, 0.9 * th0)], axis=0)
+    for mk in (make_thermal_fused_step, make_heated_cavity_fused_step):
+        s1 = mk(R, C, **kw)
+        s2 = mk(R, C, substeps=2, block_rows=16, **kw)
+        ref = S0
+        for _ in range(4):
+            ref = s1(ref)
+        np.testing.assert_allclose(np.asarray(s2(s2(S0))),
+                                   np.asarray(ref), rtol=0, atol=1e-13)
