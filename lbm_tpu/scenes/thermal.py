@@ -117,6 +117,7 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                     Ra: float = 1e4, Pr: float = 0.71,
                     tau_g: float = 0.8, amp: float = 1e-3,
                     record_every: int = 0, substeps: int = 1,
+                    mesh_shape: tuple[int, int] | None = None,
                     fused: bool | None = None, interpret: bool = False,
                     dtype=None) -> ThermalResult:
     """Rayleigh-Benard convection between a hot bottom and cold top wall.
@@ -134,6 +135,14 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
     advances that many steps per launch — temporal blocking that cuts
     the HBM-bound kernel's per-step traffic by ~substeps (T and
     record_every must be divisible by it).
+
+    ``mesh_shape`` runs the jnp step sharded over an (nx, ny) device
+    mesh (GSPMD inserts the halo collectives; same pattern as
+    ring_cavity).  For the production multi-chip path use the explicit
+    sharded fused kernels directly:
+    kernels.sharded_pallas.make_sharded_thermal_step (1-D, up to 8
+    steps per ICI exchange) or sharded2d_pallas.
+    make_sharded2d_thermal_step (rows x cols).
     """
     dtype = default_float(dtype)
     kappa = CS2 * (tau_g - 0.5)
@@ -153,7 +162,16 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
     f = d2q9.equilibrium(u0, jnp.ones((H, W), dtype))
     g = d2q9.equilibrium(u0, theta0)
 
+    if fused is None and mesh_shape is not None:
+        fused = False  # auto never overrides an explicit sharded request
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    if mesh_shape is not None:
+        if fused:
+            raise ValueError("fused=True runs single-chip; use the "
+                             "sharded fused factories for multi-chip")
+        if record_every:
+            raise ValueError("record_every is single-chip only; run "
+                             "mesh_shape without recording")
     if fused:
         from ..kernels.thermal_pallas import make_thermal_fused_step
 
@@ -184,10 +202,27 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                           jnp.sqrt(jnp.mean(u * u)),
                           jnp.abs(th).max()])
 
-    per_cell = 0.15 * substeps if fused else 0.6
-    carry, series = drive_chunked(step, carry, T // substeps,
-                                  record_every // substeps, H * W,
-                                  per_cell, record)
+    if mesh_shape is not None:
+        from ..parallel import mesh as meshmod
+        from ..parallel.sharded import auto_sharded
+        from ..utils.observe import check_finite
+        from ..utils.xmath import launch_cap
+
+        m = meshmod.make_mesh(shape=mesh_shape)
+        carry = meshmod.shard_state(m, carry)
+        chunk = auto_sharded(step, m)
+        done = 0
+        while done < T:
+            n = min(launch_cap(H * W, 0.6), T - done)
+            carry = chunk(carry, n)
+            done += n
+            check_finite(carry[0], done)
+        series = None
+    else:
+        per_cell = 0.15 * substeps if fused else 0.6
+        carry, series = drive_chunked(step, carry, T // substeps,
+                                      record_every // substeps, H * W,
+                                      per_cell, record)
     f, g = unpack(carry)
     rho = d2q9.calc_rho(f)
     theta = d2q9.calc_rho(g)

@@ -179,3 +179,21 @@ def test_fused_substeps_interior_fast_path():
             ref = s1(ref)
         np.testing.assert_allclose(np.asarray(s2(s2(S0))),
                                    np.asarray(ref), rtol=0, atol=1e-13)
+
+
+def test_rayleigh_benard_sharded_equals_single():
+    """rayleigh_benard(mesh_shape=(8, 1)) — GSPMD over the virtual mesh
+    — equals the single-device jnp run at 1e-13 in f64."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(H=32, W=64, T=200, Ra=3000.0, amp=1e-3, fused=False,
+              dtype=jnp.float64)
+    a = thermal.rayleigh_benard(**kw)
+    b = thermal.rayleigh_benard(mesh_shape=(8, 1), **kw)
+    np.testing.assert_allclose(np.asarray(b.f), np.asarray(a.f),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b.theta), np.asarray(a.theta),
+                               rtol=0, atol=1e-13)
