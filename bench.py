@@ -207,6 +207,15 @@ def build_step(args, H, W):
         g0 = d2q9.equilibrium(us, jnp.zeros((H, W), dtype))
         f = jnp.concatenate([f0, g0], axis=0)
         impl = "pallas"
+    elif args.model == "les":
+        from lbm_tpu.kernels.les_pallas import make_les_fused_step
+        from lbm_tpu.scenes.ulbm import double_shear_init
+
+        step = make_les_fused_step(H, W, tau0=0.5 + 3e-4, cs_smag=0.17,
+                                   substeps=args.substeps, dtype=dtype)
+        m0, us = double_shear_init(H, W, 0.05, dtype=dtype)
+        f = d2q9.equilibrium(us, m0)
+        impl = "pallas"
     elif args.model == "thermal":
         from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
         from lbm_tpu.scenes.thermal import CS2, conduction_profile
@@ -257,8 +266,8 @@ def build_step(args, H, W):
 
     substeps = args.substeps if (impl == "pallas"
                                  and args.model in ("bgk", "kbc", "thermal",
-                                                    "sediment",
-                                                    "cavity")) else 1
+                                                    "sediment", "cavity",
+                                                    "les")) else 1
     return step, f, impl, substeps, H, W
 
 
@@ -350,7 +359,7 @@ def main():
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
                              "csf", "csf_full", "rk",
                              "cavity", "cylinder", "falling", "sediment",
-                             "thermal"],
+                             "thermal", "les"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],

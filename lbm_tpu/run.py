@@ -37,6 +37,7 @@ def _register_all():
         "free_stream": channel.free_stream,
         "ulbm_poiseuille": ulbm.ulbm_poiseuille,
         "ulbm_double_shear": ulbm.ulbm_double_shear,
+        "les_double_shear": ulbm.les_double_shear,
         "mrtcg_static_droplet": multiphase.mrtcg_static_droplet,
         "mrtcg_rayleigh_taylor": multiphase.mrtcg_rayleigh_taylor,
         "mrtcg_multimode_rayleigh_taylor":
