@@ -100,3 +100,35 @@ def test_les_scene_runs():
     f = np.asarray(res.f)
     assert np.isfinite(f).all() and np.abs(f).max() < 1.0
     assert res.steps == 2000
+
+
+def test_les_sharded_matches_single_chip():
+    """les_collide_fn rides the generic sharded BGK factory: 8 ranks
+    with substeps=4 (one ppermute exchange per 4 steps) equals the
+    single-chip kernel at 1e-13 in f64."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lbm_tpu.kernels.les_pallas import les_collide_fn
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_fused_step
+    from lbm_tpu.parallel import mesh as meshmod
+
+    R, C = 192, 128
+    cs = 0.17
+    m0, u = double_shear_init(R, C, 0.1, dtype=jnp.float64)
+    f0 = d2q9.equilibrium(u, m0)
+    single = make_les_fused_step(R, C, tau0=TAU0, cs_smag=cs,
+                                 dtype=jnp.float64, interpret=True)
+    m = meshmod.make_mesh(shape=(8, 1))
+    shard = make_sharded_fused_step(
+        m, R, C, les_collide_fn(TAU0, cs, jnp.float64),
+        dtype=jnp.float64, substeps=4, interpret=True)
+    fs = meshmod.shard_state(m, f0)
+    fs = shard(fs)
+    S = f0
+    for _ in range(4):
+        S = single(S)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(S), rtol=0,
+                               atol=1e-13)
