@@ -363,8 +363,24 @@ def thermal():
     check("cavity_nusselt_ra1e4", cav.nusselt, 2.20, 2.29)
 
 
+def les():
+    """Smagorinsky LES completes the reference's under-resolved
+    double-shear workload (ulbm_double_shear_flow.cpp defaults, 128^2 x
+    10k steps) in PRODUCTION f32 on the fused kernel — the KBC f32 path
+    blows up near t=6k on the same workload (ulbm.py docstring).  CPU
+    f32 reference: |f|max = 0.445, |u|max = 0.030."""
+    from lbm_tpu.scenes.ulbm import les_double_shear
+
+    res = les_double_shear(T=10000, fused=True, substeps=8)
+    f = np.asarray(res.f)
+    check("les_finite", float(np.isfinite(f).all()), 1.0, 1.0)
+    check("les_fmax", float(np.abs(f).max()), 0.3, 0.6)
+    check("les_umax", float(np.abs(np.asarray(res.m1)).max()), 0.01, 0.1)
+
+
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
-         "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal"]
+         "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",
+         "les"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
         "ellipse"]
 
