@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,7 @@ class ThermalResult:
     nusselt: float           # volume-averaged Nusselt number
     steps: int
     series: object = None    # (T//record_every, 3): Nu, u_rms, theta_max
+    snapshots: dict | None = None  # {ux, uy, theta} stacks (snapshot_every)
 
 
 def conduction_profile(H: int, dtype=np.float64):
@@ -69,6 +71,23 @@ def nusselt_number(u_rows, theta, kappa: float, H: int):
     of total (advective + conductive) to conductive heat transport for
     the unit temperature drop dT = 1 across height H."""
     return 1.0 + jnp.mean(u_rows * theta) * H / kappa
+
+
+def _make_thermal_recorder(cadence: int, unpack, g_beta, prefix):
+    """Field-snapshot recorder (ux, uy, theta at the cadence instants,
+    t=0 included) — the reference drivers' snapshot convention
+    (free_stream_test.cpp:79-88) with theta in place of the pressure."""
+    from .channel import SnapshotRecorder
+
+    def fields(carry):
+        fc, gc = unpack(carry)
+        rho = d2q9.calc_rho(fc)
+        th = d2q9.calc_rho(gc)
+        u = d2q9.calc_u(fc, rho)
+        u = u + 0.5 * jnp.stack([g_beta * th, jnp.zeros_like(th)]) / rho
+        return {"ux": u[0], "uy": u[1], "theta": th}
+
+    return SnapshotRecorder(cadence, fields, prefix)
 
 
 def make_rb_step(H: int, W: int, *, omega_f: float, omega_g: float,
@@ -117,6 +136,8 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                     Ra: float = 1e4, Pr: float = 0.71,
                     tau_g: float = 0.8, amp: float = 1e-3,
                     record_every: int = 0, substeps: int = 1,
+                    snapshot_every: int = 0,
+                    snapshot_prefix: str | None = None,
                     mesh_shape: tuple[int, int] | None = None,
                     fused: bool | None = None, interpret: bool = False,
                     dtype=None) -> ThermalResult:
@@ -202,6 +223,7 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                           jnp.sqrt(jnp.mean(u * u)),
                           jnp.abs(th).max()])
 
+    snapshots = None
     if mesh_shape is not None:
         from ..parallel import mesh as meshmod
         from ..parallel.sharded import auto_sharded
@@ -218,6 +240,23 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
             done += n
             check_finite(carry[0], done)
         series = None
+    elif snapshot_every:
+        if record_every:
+            raise ValueError("snapshot_every and record_every are "
+                             "mutually exclusive")
+        if snapshot_every % substeps:
+            raise ValueError("snapshot_every must be divisible by "
+                             "substeps")
+        recorder = _make_thermal_recorder(
+            snapshot_every, unpack, g_beta, snapshot_prefix)
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(
+                0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        carry = recorder.run(
+            lambda c, n: chunk(c, n // substeps), carry, T)
+        series = None
+        snapshots = recorder.result()
     else:
         per_cell = 0.15 * substeps if fused else 0.6
         carry, series = drive_chunked(step, carry, T // substeps,
@@ -231,7 +270,8 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                              jnp.zeros_like(theta)]) / rho
     nu_now = float(nusselt_number(u[0], theta, kappa, H))
     return ThermalResult(f=f, g=g, rho=rho, u=u, theta=theta,
-                         nusselt=nu_now, steps=T, series=series)
+                         nusselt=nu_now, steps=T, series=series,
+                         snapshots=snapshots)
 
 
 def make_cavity_step(H: int, W: int, *, omega_f: float, omega_g: float,
@@ -280,7 +320,8 @@ def make_cavity_step(H: int, W: int, *, omega_f: float, omega_g: float,
 def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
                   Ra: float = 1e4, Pr: float = 0.71,
                   tau_g: float = 0.8, record_every: int = 0,
-                  substeps: int = 1,
+                  substeps: int = 1, snapshot_every: int = 0,
+                  snapshot_prefix: str | None = None,
                   fused: bool | None = None, interpret: bool = False,
                   dtype=None) -> ThermalResult:
     """Differentially heated square cavity — the de Vahl Davis (1983)
@@ -341,11 +382,31 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
         n, u, _, th = nus(fc, gc)
         return jnp.stack([n, jnp.sqrt(jnp.mean(u * u)), jnp.abs(th).max()])
 
-    per_cell = 0.15 * substeps if fused else 0.6
-    carry, series = drive_chunked(step, carry, T // substeps,
-                                  record_every // substeps, H * W,
-                                  per_cell, record)
+    snapshots = None
+    if snapshot_every:
+        if record_every:
+            raise ValueError("snapshot_every and record_every are "
+                             "mutually exclusive")
+        if snapshot_every % substeps:
+            raise ValueError("snapshot_every must be divisible by "
+                             "substeps")
+        recorder = _make_thermal_recorder(
+            snapshot_every, unpack, g_beta, snapshot_prefix)
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(
+                0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        carry = recorder.run(
+            lambda c, n: chunk(c, n // substeps), carry, T)
+        series = None
+        snapshots = recorder.result()
+    else:
+        per_cell = 0.15 * substeps if fused else 0.6
+        carry, series = drive_chunked(step, carry, T // substeps,
+                                      record_every // substeps, H * W,
+                                      per_cell, record)
     f, g = unpack(carry)
     nu_now, u, rho, theta = nus(f, g)
     return ThermalResult(f=f, g=g, rho=rho, u=u, theta=theta,
-                         nusselt=float(nu_now), steps=T, series=series)
+                         nusselt=float(nu_now), steps=T, series=series,
+                         snapshots=snapshots)

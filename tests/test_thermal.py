@@ -197,3 +197,17 @@ def test_rayleigh_benard_sharded_equals_single():
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(np.asarray(b.theta), np.asarray(a.theta),
                                rtol=0, atol=1e-13)
+
+
+def test_snapshot_streams():
+    """snapshot_every records (ux, uy, theta) at the cadence instants
+    (t=0 included), for both thermal scenes."""
+    r = thermal.rayleigh_benard(H=16, W=32, T=400, Ra=2300.0, amp=1e-3,
+                                snapshot_every=100, fused=False,
+                                dtype=jnp.float64)
+    assert set(r.snapshots) == {"ux", "uy", "theta"}
+    assert np.asarray(r.snapshots["theta"]).shape == (4, 16, 32)
+    c = thermal.heated_cavity(H=16, W=16, T=300, Ra=1e3,
+                              snapshot_every=100, fused=False,
+                              dtype=jnp.float64)
+    assert np.asarray(c.snapshots["ux"]).shape == (3, 16, 16)
