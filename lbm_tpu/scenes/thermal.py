@@ -138,6 +138,8 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                     record_every: int = 0, substeps: int = 1,
                     snapshot_every: int = 0,
                     snapshot_prefix: str | None = None,
+                    checkpoint_dir: str | None = None,
+                    checkpoint_every: int = 10000,
                     mesh_shape: tuple[int, int] | None = None,
                     fused: bool | None = None, interpret: bool = False,
                     dtype=None) -> ThermalResult:
@@ -257,6 +259,52 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
             lambda c, n: chunk(c, n // substeps), carry, T)
         series = None
         snapshots = recorder.result()
+    elif checkpoint_dir:
+        # long-run path: periodic atomic checkpoints, resume from the
+        # newest one in the directory (io.checkpoint; same semantics as
+        # mrtcg_rayleigh_taylor's flagship integration)
+        if record_every:
+            raise ValueError("checkpointing composes with plain runs "
+                             "only (no record_every)")
+        from ..io import checkpoint as _ck
+        from ..io.checkpoint import Checkpointer
+        from ..utils.observe import check_finite
+        from ..utils.xmath import launch_cap
+
+        ckpt = Checkpointer(checkpoint_dir, every=checkpoint_every)
+        restored, at = ckpt.restore_latest(carry)
+        done = 0
+        if restored is not None:
+            carry = jax.tree.map(jnp.asarray, restored)
+            done = int(at)
+            if done % substeps:
+                raise ValueError(
+                    f"checkpoint at step {done} is not divisible by "
+                    f"substeps={substeps}; resume with the substeps the "
+                    "run was started with")
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(
+                0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        per_cell = 0.15 * substeps if fused else 0.6
+        last = done
+        calls_total = T // substeps
+        done_calls = done // substeps
+        while done_calls < calls_total:
+            to_ckpt = -(-(last + checkpoint_every
+                          - done_calls * substeps) // substeps)
+            n = max(1, min(launch_cap(H * W, per_cell),
+                           calls_total - done_calls, to_ckpt))
+            carry = chunk(carry, n)
+            done_calls += n
+            done = done_calls * substeps
+            check_finite(carry[0], done)
+            if done - last >= checkpoint_every:
+                _ck.save(ckpt.path(done),
+                         jax.tree.map(np.asarray, carry), step=done)
+                ckpt._prune()
+                last = done
+        series = None
     else:
         per_cell = 0.15 * substeps if fused else 0.6
         carry, series = drive_chunked(step, carry, T // substeps,

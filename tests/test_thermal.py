@@ -211,3 +211,18 @@ def test_snapshot_streams():
                               snapshot_every=100, fused=False,
                               dtype=jnp.float64)
     assert np.asarray(c.snapshots["ux"]).shape == (3, 16, 16)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """A run interrupted at T=400 and resumed to T=600 from its
+    checkpoint is bit-identical to a straight T=600 run."""
+    d = str(tmp_path / "ck")
+    kw = dict(H=16, W=32, Ra=2300.0, amp=1e-3, fused=False,
+              dtype=jnp.float64)
+    ref = thermal.rayleigh_benard(T=600, **kw)
+    thermal.rayleigh_benard(T=400, checkpoint_dir=d,
+                            checkpoint_every=200, **kw)
+    res = thermal.rayleigh_benard(T=600, checkpoint_dir=d,
+                                  checkpoint_every=200, **kw)
+    np.testing.assert_array_equal(np.asarray(res.f), np.asarray(ref.f))
+    np.testing.assert_array_equal(np.asarray(res.g), np.asarray(ref.g))
