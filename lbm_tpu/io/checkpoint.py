@@ -79,9 +79,15 @@ class Checkpointer:
     def maybe_save(self, step: int, state) -> bool:
         if self.every <= 0 or step % self.every != 0:
             return False
+        self.force_save(step, state)
+        return True
+
+    def force_save(self, step: int, state) -> None:
+        """Write a checkpoint at ``step`` unconditionally (scene drive
+        loops that chunk past exact cadence multiples use this), then
+        prune to ``keep``."""
         save(self.path(step), state, step=step)
         self._prune()
-        return True
 
     def _prune(self) -> None:
         entries = []

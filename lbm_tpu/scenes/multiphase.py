@@ -366,10 +366,7 @@ def mrtcg_rayleigh_taylor(config_path: str | None = None,
                 meter.steps = meter.start = done  # absolute progress lines
         while done < T:
             if ckpt is not None and done - last_ckpt >= checkpoint_every:
-                from ..io import checkpoint as _ck
-
-                _ck.save(ckpt.path(done), np.asarray(G), step=done)
-                ckpt._prune()
+                ckpt.force_save(done, np.asarray(G))
                 last_ckpt = done
             if snapshot_every and done % snapshot_every == 0:
                 mom = np.asarray(G[:9])

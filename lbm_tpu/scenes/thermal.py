@@ -73,6 +73,27 @@ def nusselt_number(u_rows, theta, kappa: float, H: int):
     return 1.0 + jnp.mean(u_rows * theta) * H / kappa
 
 
+def _capped_calls(step, n_cells: int, per_cell_ns: float, substeps: int):
+    """``chunk(carry, n_steps)`` advancing in launch-capped slices (the
+    axon relay hangs on single launches past ~2 s; CLAUDE.md), where
+    each kernel call advances ``substeps`` steps."""
+    from ..utils.xmath import launch_cap
+
+    inner = jax.jit(
+        lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+        static_argnums=1)
+
+    def chunk(carry, n_steps):
+        calls = n_steps // substeps
+        while calls > 0:
+            k = min(launch_cap(n_cells, per_cell_ns), calls)
+            carry = inner(carry, k)
+            calls -= k
+        return carry
+
+    return chunk
+
+
 def _make_thermal_recorder(cadence: int, unpack, g_beta, prefix):
     """Field-snapshot recorder (ux, uy, theta at the cadence instants,
     t=0 included) — the reference drivers' snapshot convention
@@ -192,9 +213,12 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
         if fused:
             raise ValueError("fused=True runs single-chip; use the "
                              "sharded fused factories for multi-chip")
-        if record_every:
-            raise ValueError("record_every is single-chip only; run "
-                             "mesh_shape without recording")
+        if record_every or snapshot_every or checkpoint_dir:
+            raise ValueError("record/snapshot/checkpoint are single-chip "
+                             "only; run mesh_shape without them")
+    if snapshot_every and checkpoint_dir:
+        raise ValueError("snapshot_every and checkpoint_dir are "
+                         "mutually exclusive (one drive mode per run)")
     if fused:
         from ..kernels.thermal_pallas import make_thermal_fused_step
 
@@ -251,12 +275,10 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                              "substeps")
         recorder = _make_thermal_recorder(
             snapshot_every, unpack, g_beta, snapshot_prefix)
-        chunk = jax.jit(
-            lambda c, n: jax.lax.fori_loop(
-                0, n, lambda _, x: step(x), c),
-            static_argnums=1)
         carry = recorder.run(
-            lambda c, n: chunk(c, n // substeps), carry, T)
+            _capped_calls(step, H * W,
+                          0.15 * substeps if fused else 0.6, substeps),
+            carry, T)
         series = None
         snapshots = recorder.result()
     elif checkpoint_dir:
@@ -266,7 +288,6 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
         if record_every:
             raise ValueError("checkpointing composes with plain runs "
                              "only (no record_every)")
-        from ..io import checkpoint as _ck
         from ..io.checkpoint import Checkpointer
         from ..utils.observe import check_finite
         from ..utils.xmath import launch_cap
@@ -282,6 +303,11 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
                     f"checkpoint at step {done} is not divisible by "
                     f"substeps={substeps}; resume with the substeps the "
                     "run was started with")
+            if done > T:
+                raise ValueError(
+                    f"newest checkpoint in {checkpoint_dir} is at step "
+                    f"{done} > T={T}; pass a larger T or a fresh "
+                    "directory")
         chunk = jax.jit(
             lambda c, n: jax.lax.fori_loop(
                 0, n, lambda _, x: step(x), c),
@@ -300,9 +326,7 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
             done = done_calls * substeps
             check_finite(carry[0], done)
             if done - last >= checkpoint_every:
-                _ck.save(ckpt.path(done),
-                         jax.tree.map(np.asarray, carry), step=done)
-                ckpt._prune()
+                ckpt.force_save(done, jax.tree.map(np.asarray, carry))
                 last = done
         series = None
     else:
@@ -440,12 +464,10 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
                              "substeps")
         recorder = _make_thermal_recorder(
             snapshot_every, unpack, g_beta, snapshot_prefix)
-        chunk = jax.jit(
-            lambda c, n: jax.lax.fori_loop(
-                0, n, lambda _, x: step(x), c),
-            static_argnums=1)
         carry = recorder.run(
-            lambda c, n: chunk(c, n // substeps), carry, T)
+            _capped_calls(step, H * W,
+                          0.15 * substeps if fused else 0.6, substeps),
+            carry, T)
         series = None
         snapshots = recorder.result()
     else:
