@@ -216,22 +216,25 @@ def build_step(args, H, W):
         m0, us = double_shear_init(H, W, 0.05, dtype=dtype)
         f = d2q9.equilibrium(us, m0)
         impl = "pallas"
-    elif args.model == "thermal":
+    elif args.model in ("thermal", "thermal5"):
         from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
-        from lbm_tpu.scenes.thermal import CS2, conduction_profile
+        from lbm_tpu.scenes.thermal import (
+            CS2, conduction_profile, d2q5_equilibrium)
 
         tau_g = 0.8
         kappa = CS2 * (tau_g - 0.5)
         nu = 0.71 * kappa
+        slat = "d2q5" if args.model == "thermal5" else "d2q9"
         step = make_thermal_fused_step(
             H, W, omega_f=1.0 / (nu / CS2 + 0.5), omega_g=1.0 / tau_g,
             g_beta=1e4 * nu * kappa / float(H) ** 3,
-            substeps=args.substeps, dtype=dtype)
+            substeps=args.substeps, dtype=dtype, scalar_lattice=slat)
         th0 = jnp.asarray(conduction_profile(H), dtype)[:, None] \
             * jnp.ones((1, W), dtype)
         u0 = jnp.zeros((2, H, W), dtype)
-        f = jnp.concatenate([d2q9.equilibrium(u0, rho0),
-                             d2q9.equilibrium(u0, th0)], axis=0)
+        geq = d2q5_equilibrium(u0, th0) if slat == "d2q5" \
+            else d2q9.equilibrium(u0, th0)
+        f = jnp.concatenate([d2q9.equilibrium(u0, rho0), geq], axis=0)
         impl = "pallas"
     elif impl in ("auto", "pallas"):
         try:
@@ -266,8 +269,8 @@ def build_step(args, H, W):
 
     substeps = args.substeps if (impl == "pallas"
                                  and args.model in ("bgk", "kbc", "thermal",
-                                                    "sediment", "cavity",
-                                                    "les")) else 1
+                                                    "thermal5", "sediment",
+                                                    "cavity", "les")) else 1
     return step, f, impl, substeps, H, W
 
 
@@ -359,7 +362,7 @@ def main():
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
                              "csf", "csf_full", "rk",
                              "cavity", "cylinder", "falling", "sediment",
-                             "thermal", "les"],
+                             "thermal", "thermal5", "les"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],

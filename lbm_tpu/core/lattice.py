@@ -101,3 +101,16 @@ NORM_C = np.where(
     C / np.maximum(np.linalg.norm(C.astype(np.float64), axis=0, keepdims=True), 1e-300),
     0.0,
 )
+
+
+# ---------------------------------------------------------------------------
+# D2Q5 (scalar transport) — BEYOND THE REFERENCE
+# ---------------------------------------------------------------------------
+# A passive scalar (temperature, concentration) needs only the first five
+# directions' moments; the D2Q5 sub-lattice (rest + 4 axis directions,
+# w = [1/3, 1/6 x4], cs^2 = 1/3 like D2Q9) carries the same
+# advection-diffusion physics with 5 populations instead of 9 — a 4-plane
+# HBM-traffic cut per coupled fluid+scalar step.  Directions 1..4 reuse
+# D2Q9's ordering (C[:, :5]); opposite pairs (1,3), (2,4).
+W5 = np.array([1.0 / 3.0] + [1.0 / 6.0] * 4)
+OPP5 = np.array([0, 3, 4, 1, 2], dtype=np.int64)

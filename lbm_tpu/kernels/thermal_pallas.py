@@ -73,6 +73,64 @@ def _collide_buoyant(f, g, omega_f, omega_g, g_beta):
     return f_coll, g_coll
 
 
+def _collide_buoyant5(f, g, omega_f, omega_g, g_beta):
+    """D2Q5-scalar variant of _collide_buoyant: the temperature rides 5
+    populations (rest + axis directions, w = [1/3, 1/6 x4] =
+    lattice.W5; scenes.thermal.d2q5_equilibrium algebra) — 4 fewer
+    planes of HBM traffic for identical advection-diffusion physics."""
+    rho = f[0]
+    for k in range(1, 9):
+        rho = rho + f[k]
+    theta = g[0] + g[1] + g[2] + g[3] + g[4]
+    inv_rho = 1.0 / rho
+    Fx = g_beta * theta
+    mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+    my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+    ux = (mx + 0.5 * Fx) * inv_rho
+    uy = my * inv_rho
+
+    f_coll = _bgk9(f, ux, uy, rho, omega_f)
+    pref = 1.0 - 0.5 * omega_f
+    uF3 = 3.0 * ux * Fx
+    for k in range(9):
+        if CX[k] == 0:
+            f_coll[k] = f_coll[k] - pref * WQ[k] * uF3
+        else:
+            cu = CX[k] * ux + CY[k] * uy
+            cF = CX[k] * Fx
+            f_coll[k] = f_coll[k] + pref * WQ[k] * (
+                (3.0 + 9.0 * cu) * cF - uF3)
+
+    # D2Q5 scalar BGK: w theta (1 + 3cu + 4.5cu^2 - 1.5uu), paired odd
+    uu15 = 1.5 * (ux * ux + uy * uy)
+    w5 = 1.0 / 6.0
+    th6 = w5 * theta
+    g_coll = [None] * 5
+    g_coll[0] = (1.0 - omega_g) * g[0] \
+        + omega_g * ((1.0 / 3.0) * theta * (1.0 - uu15))
+    for kp, km, cu in ((1, 3, ux), (2, 4, uy)):
+        even = th6 * (1.0 + 4.5 * cu * cu - uu15)
+        odd = th6 * (3.0 * cu)
+        g_coll[kp] = (1.0 - omega_g) * g[kp] + omega_g * (even + odd)
+        g_coll[km] = (1.0 - omega_g) * g[km] + omega_g * (even - odd)
+    return f_coll, g_coll
+
+
+def _stream5(coll, rows, width):
+    """Periodic rolls on the 5 scalar planes (axis directions only)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = [coll[0]]
+    for k in range(1, 5):
+        t = coll[k]
+        if CY[k] != 0:
+            t = pltpu.roll(t, CY[k] % width, axis=1)
+        if CX[k] != 0:
+            t = pltpu.roll(t, CX[k] % rows, axis=0)
+        out.append(t)
+    return out
+
+
 def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
                       g_beta: float, substeps: int = 1):
     """The per-slab coupled step body: ``run(block (18, rows, width),
@@ -138,20 +196,70 @@ def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
     return run
 
 
+def make_thermal5_body(R: int, C: int, *, omega_f: float, omega_g: float,
+                       g_beta: float, substeps: int = 1):
+    """D2Q5-scalar slab body: ``run(block (14, rows, width), abs_iota,
+    row_edges) -> (14, rows - 2*HALO, width')`` — the make_thermal_body
+    contract on the [f(9), g(5)] state."""
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
+    w5 = 1.0 / 6.0
+
+    def run(block, abs_iota, row_edges, col_iota=None):
+        rows = block.shape[1]
+        width = block.shape[2]
+        f = [block[k] for k in range(9)]
+        g = [block[9 + k] for k in range(5)]
+
+        for _ in range(substeps):
+            f_coll, g_coll = _collide_buoyant5(f, g, omega_f, omega_g,
+                                               g_beta)
+            f_new = _stream9(f_coll, rows, width)
+            g_new = _stream5(g_coll, rows, width)
+
+            if row_edges:
+                for k in (3, 6, 7):
+                    f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
+                                              f_new[OPP[k]])
+                for k in (1, 5, 8):
+                    f_new[OPP[k]] = jnp.where(abs_iota == R - 1,
+                                              f_coll[k], f_new[OPP[k]])
+                # D2Q5 halfway ADE-Dirichlet walls: one incoming
+                # direction per wall (scenes.thermal.make_rb_step q5)
+                g_new[1] = jnp.where(abs_iota == 0,
+                                     -g_coll[3] + w5, g_new[1])
+                g_new[3] = jnp.where(abs_iota == R - 1,
+                                     -g_coll[1] - w5, g_new[3])
+            f, g = f_new, g_new
+
+        out = f + g
+        if col_iota is None:
+            return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+        return jnp.stack(
+            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in out],
+            axis=0)
+
+    return run
+
+
 def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
                             omega_g: float, g_beta: float,
                             substeps: int = 1, dtype=jnp.float32,
                             block_rows: int | None = None,
-                            interpret: bool = False):
-    """Fused coupled step: S (18, R, C) = [f(9), g(9)] -> (18, R, C),
-    advancing ``substeps`` steps per launch (temporal blocking — the
-    18-plane kernel is HBM-bound, so k sweeps per slab pass cut the
-    per-step HBM traffic by ~k)."""
-    block_rows = resolve_block_rows((18,), 18, R, C, dtype,
+                            interpret: bool = False,
+                            scalar_lattice: str = "d2q9"):
+    """Fused coupled step: S (P, R, C) = [f(9), g(9 or 5)] -> (P, R, C)
+    with P = 18 (d2q9 scalar) or 14 (``scalar_lattice='d2q5'`` — same
+    physics, 4 fewer planes of HBM traffic), advancing ``substeps``
+    steps per launch (temporal blocking — the kernel is HBM-bound, so
+    k sweeps per slab pass cut the per-step traffic by ~k)."""
+    planes = 14 if scalar_lattice == "d2q5" else 18
+    block_rows = resolve_block_rows((planes,), planes, R, C, dtype,
                                     6 * 2 ** 20, block_rows, False)
     n_blocks = R // block_rows
-    run = make_thermal_body(R, C, omega_f=omega_f, omega_g=omega_g,
-                            g_beta=g_beta, substeps=substeps)
+    mk = make_thermal5_body if planes == 14 else make_thermal_body
+    run = mk(R, C, omega_f=omega_f, omega_g=omega_g,
+             g_beta=g_beta, substeps=substeps)
 
     def body(block, abs_iota, i):
         # only the first/last blocks can see the wall rows: the kept
@@ -168,7 +276,7 @@ def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
             lambda b, a: run(b, a, False),
             block, abs_iota)
 
-    return make_block_pipeline(18, R, C, body, dtype=dtype,
+    return make_block_pipeline(planes, R, C, body, dtype=dtype,
                                block_rows=block_rows,
                                flops_per_cell=230 * substeps,
                                interpret=interpret)

@@ -226,3 +226,33 @@ def test_checkpoint_resume_roundtrip(tmp_path):
                                   checkpoint_every=200, **kw)
     np.testing.assert_array_equal(np.asarray(res.f), np.asarray(ref.f))
     np.testing.assert_array_equal(np.asarray(res.g), np.asarray(ref.g))
+
+
+def test_d2q5_scalar_lattice():
+    """The D2Q5 temperature lattice (14-plane coupled state): exact
+    conduction, machine-precision fused parity incl. substeps, and the
+    same Nu accuracy class as D2Q9 (2.6657 vs Clever-Busse 2.661)."""
+    r = thermal.rayleigh_benard(H=16, W=32, T=5000, Ra=0.0, amp=0.0,
+                                scalar_lattice="d2q5", fused=False,
+                                dtype=jnp.float64)
+    prof = np.asarray(r.theta).mean(axis=1)
+    assert np.sqrt(((prof - thermal.conduction_profile(16))**2).mean()) \
+        < 1e-12
+
+    kw = dict(H=32, W=128, T=24, Ra=3000.0, amp=1e-3,
+              scalar_lattice="d2q5", dtype=jnp.float64)
+    j = thermal.rayleigh_benard(fused=False, **kw)
+    b = thermal.rayleigh_benard(fused=True, interpret=True, substeps=4,
+                                **kw)
+    np.testing.assert_allclose(np.asarray(b.f), np.asarray(j.f),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b.g), np.asarray(j.g),
+                               rtol=0, atol=1e-13)
+    assert b.g.shape[0] == 5
+
+
+def test_d2q5_nusselt():
+    r = thermal.rayleigh_benard(H=32, W=64, T=20000, Ra=1e4, Pr=0.71,
+                                amp=1e-2, scalar_lattice="d2q5",
+                                fused=False, dtype=jnp.float64)
+    assert abs(r.nusselt - 2.661) < 0.03
