@@ -37,6 +37,8 @@ CONFIGS = {
                "--steps", "1000"],
     "thermal": ["--model", "thermal", "--rows", "1024", "--cols", "512",
                 "--steps", "400"],
+    "thermal5": ["--model", "thermal5", "--rows", "1024", "--cols", "512",
+                 "--steps", "400"],
     "les": ["--model", "les", "--rows", "1024", "--cols", "512",
             "--steps", "800"],
     "bgk_sharded": ["--model", "bgk", "--sharded", "--rows", "4096",
