@@ -27,7 +27,7 @@ SCENES = {}
 
 def _register_all():
     from .scenes import cavity, channel, multiphase, obstacles, thermal, \
-        ulbm
+        three_d, ulbm
 
     SCENES.update({
         "horizontal_poiseuille": channel.horizontal_poiseuille,
@@ -54,6 +54,8 @@ def _register_all():
         "ring_cavity": cavity.ring_cavity,
         "rayleigh_benard": thermal.rayleigh_benard,
         "heated_cavity": thermal.heated_cavity,
+        "poiseuille_3d": three_d.poiseuille_3d,
+        "taylor_green_3d": three_d.taylor_green_3d,
     })
 
 
