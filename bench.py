@@ -207,6 +207,20 @@ def build_step(args, H, W):
         g0 = d2q9.equilibrium(us, jnp.zeros((H, W), dtype))
         f = jnp.concatenate([f0, g0], axis=0)
         impl = "pallas"
+    elif args.model == "d3q19":
+        from lbm_tpu.kernels.d3q19_pallas import make_d3q19_fused_step
+        from lbm_tpu.ops import d3q19 as _d3
+        from lbm_tpu.scenes.three_d import _pack
+
+        X3 = 24  # depth folded into planes (19 * 24 = 456 planes)
+        step = make_d3q19_fused_step(X3, H, W, omega=omega, force_z=1e-6,
+                                     x_walls=True, substeps=args.substeps,
+                                     dtype=dtype)
+        f3 = _d3.equilibrium(jnp.zeros((3, X3, H, W), dtype),
+                             jnp.ones((X3, H, W), dtype))
+        f = _pack(f3, X3, H, W)
+        H = X3 * H  # report MLUPS on the true 3-D cell count
+        impl = "pallas"
     elif args.model == "les":
         from lbm_tpu.kernels.les_pallas import make_les_fused_step
         from lbm_tpu.scenes.ulbm import double_shear_init
@@ -270,7 +284,8 @@ def build_step(args, H, W):
     substeps = args.substeps if (impl == "pallas"
                                  and args.model in ("bgk", "kbc", "thermal",
                                                     "thermal5", "sediment",
-                                                    "cavity", "les")) else 1
+                                                    "cavity", "les",
+                                                    "d3q19")) else 1
     return step, f, impl, substeps, H, W
 
 
@@ -362,7 +377,7 @@ def main():
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
                              "csf", "csf_full", "rk",
                              "cavity", "cylinder", "falling", "sediment",
-                             "thermal", "thermal5", "les"],
+                             "thermal", "thermal5", "les", "d3q19"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],

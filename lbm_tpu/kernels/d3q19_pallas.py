@@ -1,0 +1,145 @@
+"""Fused D3Q19 collide-stream kernels — the 3-D extension at
+fused-kernel speed (BEYOND THE REFERENCE, which is strictly 2-D).
+
+TPU mapping ("depth-as-planes"): the (19, X, Y, Z) state is viewed as
+(19 * X, Y, Z) population planes — the wall-normal x axis folds into
+the PLANE INDEX, so the block pipeline's 2-D machinery applies
+unchanged with (Y, Z) as (rows, lanes).  The consequences are elegant:
+
+  * x-streaming is STATIC plane arithmetic — out[19 x + k] reads
+    coll[19 (x - cx_k) + k]; no rolls, no masks;
+  * the halfway x-walls are exact static wiring: at the wall depth the
+    incoming population is coll[opp(k)] at the SAME cell (the full
+    bounce-back reversal has no y/z displacement), so the 3-D channel
+    kernel has NO masks at all;
+  * y streams as the blocked-row roll (halo rows feed the edges),
+    z as the fully-resident lane roll — exactly the 2-D pattern;
+  * temporal blocking works as in 2-D: each sweep consumes 1 of the 8
+    Y-halo rows (x and z are fully resident), so up to 8 sweeps per
+    launch.
+
+VMEM bounds X: the slab holds 19 X (B + 16) Z values double-buffered;
+X up to ~40 fits at Z = 128..512 f32 (resolve_block_rows enforces it).
+
+Pinned to ops.d3q19 + scenes.three_d at 1e-13 in f64
+(tests/test_d3q19.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.d3q19 import C3, OPP3, Q, W3
+from .collide_stream import HALO
+from .pipeline import make_block_pipeline, resolve_block_rows
+
+CX = tuple(int(v) for v in C3[0])
+CY = tuple(int(v) for v in C3[1])
+CZ = tuple(int(v) for v in C3[2])
+WQ = tuple(float(v) for v in W3)
+OPP = tuple(int(v) for v in OPP3)
+
+
+def _collide_x(fx, omega, gz):
+    """One depth-slice BGK collision (+ optional Guo force along z, with
+    the half-force velocity shift).  ``fx`` is the 19-entry list of
+    (rows, Z) planes at this depth.  cu flips sign under k -> opp(k)
+    while cF = cz gz also flips, so 9 cu cF is even and 3 cF odd —
+    the opposite-direction pairing shares every even subexpression."""
+    rho = fx[0]
+    for k in range(1, Q):
+        rho = rho + fx[k]
+    inv_rho = 1.0 / rho
+    mx = my = mz = None
+    for k in range(1, Q):
+        if CX[k]:
+            mx = fx[k] * CX[k] if mx is None else mx + fx[k] * CX[k]
+        if CY[k]:
+            my = fx[k] * CY[k] if my is None else my + fx[k] * CY[k]
+        if CZ[k]:
+            mz = fx[k] * CZ[k] if mz is None else mz + fx[k] * CZ[k]
+    ux = mx * inv_rho
+    uy = my * inv_rho
+    uz = (mz + 0.5 * gz) * inv_rho if gz else mz * inv_rho
+    uu15 = 1.5 * (ux * ux + uy * uy + uz * uz)
+
+    pref = (1.0 - 0.5 * omega) if gz else 0.0
+    out = [None] * Q
+    out[0] = (1.0 - omega) * fx[0] \
+        + omega * (WQ[0] * rho * (1.0 - uu15))
+    if gz:
+        out[0] = out[0] - pref * WQ[0] * (3.0 * uz * gz)
+    done = set()
+    for k in range(1, Q):
+        if k in done:
+            continue
+        ko = OPP[k]
+        done.add(ko)
+        cu = CX[k] * ux + CY[k] * uy + CZ[k] * uz
+        w = WQ[k]
+        wr = w * rho
+        even = omega * (wr * (1.0 + 4.5 * cu * cu - uu15))
+        odd = omega * (wr * (3.0 * cu))
+        out[k] = (1.0 - omega) * fx[k] + (even + odd)
+        out[ko] = (1.0 - omega) * fx[ko] + (even - odd)
+        if gz:
+            cF = CZ[k] * gz                     # scalar (0 for z-free)
+            even_s = pref * w * (9.0 * cu * cF - 3.0 * uz * gz)
+            odd_s = pref * w * (3.0 * cF)
+            out[k] = out[k] + (even_s + odd_s)
+            out[ko] = out[ko] + (even_s - odd_s)
+    return out
+
+
+def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
+                          force_z: float = 0.0, x_walls: bool = False,
+                          substeps: int = 1, dtype=jnp.float32,
+                          block_rows: int | None = None,
+                          interpret: bool = False):
+    """Fused D3Q19 step on the flattened (19 * X, Y, Z) state:
+    ``S -> S`` advancing ``substeps`` steps per launch.  ``x_walls``
+    adds halfway no-slip planes at x = -1/2 and X - 1/2 (static
+    plane wiring); otherwise x is periodic.  ``force_z`` adds the Guo
+    body force along z (scenes.three_d.poiseuille_3d)."""
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
+    P = Q * X
+    block_rows = resolve_block_rows((P,), P, Y, Z, dtype,
+                                    10 * 2 ** 20, block_rows,
+                                    not x_walls)
+    gz = float(force_z)
+
+    def body(block, abs_iota, i):
+        rows = block.shape[1]
+        width = block.shape[2]
+        f = [[block[Q * x + k] for k in range(Q)] for x in range(X)]
+
+        for _ in range(substeps):
+            coll = [_collide_x(f[x], omega, gz) for x in range(X)]
+
+            new = [[None] * Q for _ in range(X)]
+            for x in range(X):
+                for k in range(Q):
+                    xs = x - CX[k]
+                    if 0 <= xs < X or not x_walls:
+                        t = coll[xs % X][k]
+                        if CZ[k]:
+                            t = pltpu.roll(t, CZ[k] % width, axis=1)
+                        if CY[k]:
+                            t = pltpu.roll(t, CY[k] % rows, axis=0)
+                        new[x][k] = t
+                    else:
+                        # halfway x-wall: full reversal arrives at the
+                        # SAME cell — no y/z displacement, no masks
+                        new[x][k] = coll[x][OPP[k]]
+            f = new
+
+        out = [f[x][k] for x in range(X) for k in range(Q)]
+        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+
+    return make_block_pipeline(P, Y, Z, body, dtype=dtype,
+                               block_rows=block_rows,
+                               flops_per_cell=140 * X * substeps,
+                               allow_row_alias=not x_walls,
+                               interpret=interpret)

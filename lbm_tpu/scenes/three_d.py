@@ -40,6 +40,27 @@ class ThreeDResult:
     l2: float | None = None  # analytic-profile error where defined
 
 
+def _pack(f, X, Y, Z):
+    """(19, X, Y, Z) -> the kernel's (19 X, Y, Z) depth-as-planes view."""
+    return jnp.transpose(f, (1, 0, 2, 3)).reshape(19 * X, Y, Z)
+
+
+def _unpack(S, X, Y, Z):
+    return jnp.transpose(S.reshape(X, 19, Y, Z), (1, 0, 2, 3))
+
+
+def _resolve_fused3(fused, dtype, X, Y, Z, substeps):
+    if fused is None:
+        import jax
+
+        fused = (jax.devices()[0].platform != "cpu"
+                 and jnp.dtype(dtype) == jnp.float32
+                 and Z % 128 == 0 and Y % 8 == 0 and Y >= 24)
+    if not fused and substeps != 1:
+        raise ValueError("substeps requires the fused path")
+    return fused
+
+
 def _drive(step, f, T, n_cells, per_cell=1.2, mesh_shape=None):
     if mesh_shape is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -65,6 +86,8 @@ def _drive(step, f, T, n_cells, per_cell=1.2, mesh_shape=None):
 def poiseuille_3d(X: int = 24, Y: int = 8, Z: int = 8, T: int = 20000,
                   tau: float | None = None, force: float = 1e-6,
                   mesh_shape: tuple[int, int] | None = None,
+                  fused: bool | None = None, substeps: int = 1,
+                  interpret: bool = False,
                   dtype=None) -> ThreeDResult:
     """Body-forced plane Poiseuille: no-slip walls on the x faces,
     periodic y/z, Guo force along z.  Steady analytic profile between
@@ -100,7 +123,22 @@ def poiseuille_3d(X: int = 24, Y: int = 8, Z: int = 8, T: int = 20000,
 
     u0 = jnp.zeros((3, X, Y, Z), dtype)
     f = d3q19.equilibrium(u0, jnp.ones((X, Y, Z), dtype))
-    f = _drive(step, f, T, X * Y * Z, mesh_shape=mesh_shape)
+    fused = _resolve_fused3(fused, dtype, X, Y, Z, substeps)
+    if fused:
+        from ..kernels.d3q19_pallas import make_d3q19_fused_step
+
+        if mesh_shape is not None:
+            raise ValueError("fused=True runs single-chip")
+        if T % substeps:
+            raise ValueError("T must be divisible by substeps")
+        kstep = make_d3q19_fused_step(
+            X, Y, Z, omega=omega, force_z=force, x_walls=True,
+            substeps=substeps, dtype=dtype, interpret=interpret)
+        S = _drive(kstep, _pack(f, X, Y, Z), T // substeps,
+                   X * Y * Z, per_cell=0.3 * substeps)
+        f = _unpack(S, X, Y, Z)
+    else:
+        f = _drive(step, f, T, X * Y * Z, mesh_shape=mesh_shape)
 
     rho = d3q19.calc_rho(f)
     u = d3q19.calc_u(f, rho)
@@ -115,6 +153,8 @@ def poiseuille_3d(X: int = 24, Y: int = 8, Z: int = 8, T: int = 20000,
 def taylor_green_3d(N: int = 32, T: int = 400, tau: float = 0.8,
                     u0: float = 0.02,
                     mesh_shape: tuple[int, int] | None = None,
+                    fused: bool | None = None, substeps: int = 1,
+                    interpret: bool = False,
                     dtype=None) -> ThreeDResult:
     """z-invariant Taylor-Green vortex on a triply periodic N^3 box —
     an exact 3-D Navier-Stokes solution with uniform decay
@@ -144,7 +184,22 @@ def taylor_green_3d(N: int = 32, T: int = 400, tau: float = 0.8,
 
     f = d3q19.equilibrium(jnp.asarray(u_init, dtype),
                           jnp.asarray(rho0, dtype))
-    f = _drive(step, f, T, N ** 3, mesh_shape=mesh_shape)
+    fused = _resolve_fused3(fused, dtype, N, N, N, substeps)
+    if fused:
+        from ..kernels.d3q19_pallas import make_d3q19_fused_step
+
+        if mesh_shape is not None:
+            raise ValueError("fused=True runs single-chip")
+        if T % substeps:
+            raise ValueError("T must be divisible by substeps")
+        kstep = make_d3q19_fused_step(
+            N, N, N, omega=omega, substeps=substeps, dtype=dtype,
+            interpret=interpret)
+        S = _drive(kstep, _pack(f, N, N, N), T // substeps, N ** 3,
+                   per_cell=0.3 * substeps)
+        f = _unpack(S, N, N, N)
+    else:
+        f = _drive(step, f, T, N ** 3, mesh_shape=mesh_shape)
 
     rho = d3q19.calc_rho(f)
     u = d3q19.calc_u(f, rho)
