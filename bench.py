@@ -212,7 +212,10 @@ def build_step(args, H, W):
         from lbm_tpu.ops import d3q19 as _d3
         from lbm_tpu.scenes.three_d import _pack
 
-        X3 = 24  # depth folded into planes (19 * 24 = 456 planes)
+        X3 = 16  # depth folded into planes; X*Z <= ~2500 (VMEM bound)
+        if W > 128:
+            log(f"d3q19 depth-as-planes needs X*Z <= ~2500; using Z=128")
+            W = 128
         step = make_d3q19_fused_step(X3, H, W, omega=omega, force_z=1e-6,
                                      x_walls=True, substeps=args.substeps,
                                      dtype=dtype)
@@ -410,8 +413,9 @@ def main():
 
     baseline = 2000.0  # BASELINE.md north star, MLUPS/chip
     mlups, impl = measure(args, *wide)
+    lattice = "" if args.model == "d3q19" else "_d2q9"  # model names lattice
     record = {
-        "metric": args.model + "_d2q9_collide_stream_mlups_" + impl
+        "metric": args.model + lattice + "_collide_stream_mlups_" + impl
                   + ("_sharded" if args.sharded else ""),
         "value": round(mlups, 1),
         "unit": "MLUPS",

@@ -18,10 +18,13 @@ unchanged with (Y, Z) as (rows, lanes).  The consequences are elegant:
     Y-halo rows (x and z are fully resident), so up to 8 sweeps per
     launch.
 
-VMEM bounds X: the slab holds 19 X (B + 16) Z values double-buffered;
-X up to ~40 fits at Z = 128..512 f32 (resolve_block_rows enforces it).
+VMEM bounds the depth: the double-buffered slabs at the minimum
+block_rows = 8 need 19 X (2(8+16) + 2*8) Z itemsize = 4864 X Z bytes
+f32, so X Z <= ~2500 (e.g. X = 16 at Z = 128) — the factory checks
+this explicitly and raises a clear ValueError (resolve_block_rows'
+auto-pick alone bottoms out at b = 8 without re-checking the budget).
 
-Pinned to ops.d3q19 + scenes.three_d at 1e-13 in f64
+Pinned to ops.d3q19 + scenes.three_d at 1e-13 (observed 3e-16) in f64
 (tests/test_d3q19.py).
 """
 
@@ -105,9 +108,18 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
     if not 1 <= substeps <= HALO:
         raise ValueError(f"substeps must be in [1, {HALO}]")
     P = Q * X
-    block_rows = resolve_block_rows((P,), P, Y, Z, dtype,
-                                    10 * 2 ** 20, block_rows,
-                                    not x_walls)
+    budget = 12 * 2 ** 20
+    # the body never reads abs_iota (x-walls are static plane wiring),
+    # so row aliasing is always safe — thin-Y channels run fused too
+    block_rows = resolve_block_rows((P,), P, Y, Z, dtype, budget,
+                                    block_rows, True)
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (2 * P * (block_rows + 2 * HALO)
+            + 2 * P * block_rows) * Z * itemsize
+    if need > budget:
+        raise ValueError(
+            f"D3Q19 slab needs {need >> 20} MiB VMEM (X={X}, Z={Z}, "
+            f"block_rows={block_rows}); reduce X*Z below ~{budget // (4864 if itemsize == 4 else 9728)}")
     gz = float(force_z)
 
     def body(block, abs_iota, i):
@@ -140,6 +152,7 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
 
     return make_block_pipeline(P, Y, Z, body, dtype=dtype,
                                block_rows=block_rows,
+                               vmem_budget=budget,
                                flops_per_cell=140 * X * substeps,
-                               allow_row_alias=not x_walls,
+                               allow_row_alias=True,
                                interpret=interpret)

@@ -50,12 +50,18 @@ def _unpack(S, X, Y, Z):
 
 
 def _resolve_fused3(fused, dtype, X, Y, Z, substeps):
+    """3-D variant of utils.xmath.resolve_fused: the depth-as-planes
+    kernel allows row aliasing (no positional masks), so thin-Y grids
+    run fused — but X bounds feasibility through VMEM (the 19 X-plane
+    slab; d3q19_pallas docstring), so auto only fires when X Z fits."""
     if fused is None:
         import jax
 
+        fits = 4864 * X * Z * (jnp.dtype(dtype).itemsize // 4) \
+            <= 12 * 2 ** 20
         fused = (jax.devices()[0].platform != "cpu"
                  and jnp.dtype(dtype) == jnp.float32
-                 and Z % 128 == 0 and Y % 8 == 0 and Y >= 24)
+                 and Z % 128 == 0 and Y % 8 == 0 and fits)
     if not fused and substeps != 1:
         raise ValueError("substeps requires the fused path")
     return fused
