@@ -452,7 +452,9 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
     natural-convection benchmark.  Hot left / cold right walls, a
     single buoyancy-driven circulation cell, and a mean Nusselt number
     with classic reference values (Pr = 0.71): Nu = 1.118 at Ra = 1e3,
-    2.243 at 1e4, 4.519 at 1e5.
+    2.243 at 1e4, 4.519 at 1e5.  Measured here (f64): 1.1176 at Ra=1e3
+    (48^2), 2.2423 at 1e4 (64^2), 4.5120 at 1e5 (96^2, tau_g=0.7,
+    T=120k) — all three canonical points within 0.2%.
 
     ``nusselt`` here is the steady volume-averaged transport across the
     cavity, 1 + <u_y theta> W / (kappa dT) — at steady state the flux
