@@ -282,11 +282,67 @@ def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
                                interpret=interpret)
 
 
+def make_heated_cavity5_body(R: int, C: int, *, omega_f: float,
+                             omega_g: float, g_beta: float,
+                             substeps: int = 1):
+    """D2Q5-scalar heated-cavity slab body (14 planes): the cavity wall
+    stack on the 5-population temperature — one incoming direction per
+    column wall, axis bounce-back on the adiabatic rows (exact algebra
+    of scenes.thermal.make_cavity_step q5)."""
+    from jax.lax import broadcasted_iota
+
+    if not 1 <= substeps <= HALO:
+        raise ValueError(f"substeps must be in [1, {HALO}]")
+    w5 = 1.0 / 6.0
+
+    def run(block, abs_iota, row_edges):
+        rows = block.shape[1]
+        ci = broadcasted_iota(jnp.int32, (rows, C), 1)
+        f = [block[k] for k in range(9)]
+        g = [block[9 + k] for k in range(5)]
+
+        for _ in range(substeps):
+            f_coll, g_coll = _collide_buoyant5(f, g, omega_f, omega_g,
+                                               g_beta)
+            f_new = _stream9(f_coll, rows, C)
+            g_new = _stream5(g_coll, rows, C)
+
+            # fluid: no-slip everywhere (rows first, then columns)
+            if row_edges:
+                for k in (3, 6, 7):
+                    f_new[OPP[k]] = jnp.where(abs_iota == 0, f_coll[k],
+                                              f_new[OPP[k]])
+                for k in (1, 5, 8):
+                    f_new[OPP[k]] = jnp.where(abs_iota == R - 1,
+                                              f_coll[k], f_new[OPP[k]])
+            for k in (4, 7, 8):
+                f_new[OPP[k]] = jnp.where(ci == 0, f_coll[k],
+                                          f_new[OPP[k]])
+            for k in (2, 5, 6):
+                f_new[OPP[k]] = jnp.where(ci == C - 1, f_coll[k],
+                                          f_new[OPP[k]])
+            # temperature: column ADE Dirichlet (incoming 2/4), then
+            # adiabatic row bounce-back (rows win the corners)
+            g_new[2] = jnp.where(ci == 0, -g_coll[4] + w5, g_new[2])
+            g_new[4] = jnp.where(ci == C - 1, -g_coll[2] - w5, g_new[4])
+            if row_edges:
+                g_new[1] = jnp.where(abs_iota == 0, g_coll[3], g_new[1])
+                g_new[3] = jnp.where(abs_iota == R - 1, g_coll[1],
+                                     g_new[3])
+            f, g = f_new, g_new
+
+        out = f + g
+        return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
+
+    return run
+
+
 def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
                                   omega_g: float, g_beta: float,
                                   substeps: int = 1, dtype=jnp.float32,
                                   block_rows: int | None = None,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  scalar_lattice: str = "d2q9"):
     """Fused differentially-heated-cavity step (scenes.thermal.
     heated_cavity): S (18, R, C) -> (18, R, C), advancing ``substeps``
     steps per launch (temporal blocking; the column masks are applied
@@ -296,14 +352,36 @@ def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
     — no-slip on all four sides, ADE-Dirichlet hot/cold on columns
     0 / C-1, adiabatic (scalar bounce-back) rows.  Write order matches
     the jnp oracle exactly (columns after rows for f, rows after
-    columns for g, so the same writes win the corners)."""
+    columns for g, so the same writes win the corners).
+    ``scalar_lattice='d2q5'`` runs the 14-plane state via
+    make_heated_cavity5_body."""
     from jax.lax import broadcasted_iota
 
     if not 1 <= substeps <= HALO:
         raise ValueError(f"substeps must be in [1, {HALO}]")
-    block_rows = resolve_block_rows((18,), 18, R, C, dtype,
+    planes = 14 if scalar_lattice == "d2q5" else 18
+    block_rows = resolve_block_rows((planes,), planes, R, C, dtype,
                                     6 * 2 ** 20, block_rows, False)
     n_blocks = R // block_rows
+    if planes == 14:
+        run5 = make_heated_cavity5_body(R, C, omega_f=omega_f,
+                                        omega_g=omega_g, g_beta=g_beta,
+                                        substeps=substeps)
+
+        def body5(block, abs_iota, i):
+            if n_blocks <= 2 or substeps >= block_rows:
+                return run5(block, abs_iota, True)
+            edge = (i == 0) | (i == n_blocks - 1)
+            return jax.lax.cond(
+                edge,
+                lambda b, a: run5(b, a, True),
+                lambda b, a: run5(b, a, False),
+                block, abs_iota)
+
+        return make_block_pipeline(14, R, C, body5, dtype=dtype,
+                                   block_rows=block_rows,
+                                   flops_per_cell=240 * substeps,
+                                   interpret=interpret)
 
     def run(block, abs_iota, row_edges):
         rows = block.shape[1]

@@ -399,7 +399,8 @@ def rayleigh_benard(H: int = 64, W: int = 128, T: int = 20000,
 
 
 def make_cavity_step(H: int, W: int, *, omega_f: float, omega_g: float,
-                     g_beta: float, dtype=jnp.float32):
+                     g_beta: float, dtype=jnp.float32,
+                     scalar_lattice: str = "d2q9"):
     """Differentially heated cavity step: carry (f, g) -> (f, g).
 
     Geometry: hot left wall (col 0, theta=+1/2), cold right wall
@@ -408,34 +409,55 @@ def make_cavity_step(H: int, W: int, *, omega_f: float, omega_g: float,
     no-slip halfway bounce-back for the fluid; the temperature walls
     are halfway ADE-Dirichlet on the columns and plain bounce-back
     (zero normal flux = adiabatic) on the rows.
+
+    ``scalar_lattice='d2q5'`` carries the temperature on 5 populations
+    (see make_rb_step): one incoming direction per column wall, axis
+    bounce-back on the adiabatic rows.
     """
+    q5 = scalar_lattice == "d2q5"
+    if not q5 and scalar_lattice != "d2q9":
+        raise ValueError(f"unknown scalar_lattice {scalar_lattice!r}")
     w9 = jnp.asarray(lat.W, dtype)[:, None]
     g_eq_hot = 0.5 * w9 * jnp.ones((1, H), dtype)
     g_eq_cold = -g_eq_hot
+    w5w = 1.0 / 6.0
 
     def step(carry):
         f, g = carry
         rho = d2q9.calc_rho(f)
-        theta = d2q9.calc_rho(g)
+        theta = g.sum(axis=0)
         u = d2q9.calc_u(f, rho)
         force = jnp.stack([g_beta * theta, jnp.zeros_like(theta)])
         u = u + 0.5 * force / rho
         f_eq = d2q9.equilibrium(u, rho)
-        g_eq = d2q9.equilibrium(u, theta)
         f_coll = d2q9.bgk_collision(f, f_eq, omega_f) \
             + d2q9.guo_source(u, force, omega_f)
-        g_coll = d2q9.bgk_collision(g, g_eq, omega_g)
-
         f_new = d2q9.stream(f_coll)
-        g_new = d2q9.stream(g_coll)
         for side in ("row0", "rowN", "col0", "colN"):
             f_new = bc.bounce_back(f_new, f_coll, side)
-        g_new = bc.ade_dirichlet(g_new, g_coll, "col0", g_eq_hot,
-                                 incoming_only=True)
-        g_new = bc.ade_dirichlet(g_new, g_coll, "colN", g_eq_cold,
-                                 incoming_only=True)
-        g_new = bc.bounce_back(g_new, g_coll, "row0")
-        g_new = bc.bounce_back(g_new, g_coll, "rowN")
+
+        if q5:
+            g_coll = d2q9.bgk_collision(g, d2q5_equilibrium(u, theta),
+                                        omega_g)
+            g_new = d2q5_stream(g_coll)
+            # column ADE Dirichlet (incoming 2 at col0, 4 at colN),
+            # then adiabatic row bounce-back (rows win the corners)
+            g_new = g_new.at[2, :, 0].set(-g_coll[4, :, 0]
+                                          + 2.0 * w5w * 0.5)
+            g_new = g_new.at[4, :, -1].set(-g_coll[2, :, -1]
+                                           + 2.0 * w5w * (-0.5))
+            g_new = g_new.at[1, 0].set(g_coll[3, 0])
+            g_new = g_new.at[3, -1].set(g_coll[1, -1])
+        else:
+            g_coll = d2q9.bgk_collision(g, d2q9.equilibrium(u, theta),
+                                        omega_g)
+            g_new = d2q9.stream(g_coll)
+            g_new = bc.ade_dirichlet(g_new, g_coll, "col0", g_eq_hot,
+                                     incoming_only=True)
+            g_new = bc.ade_dirichlet(g_new, g_coll, "colN", g_eq_cold,
+                                     incoming_only=True)
+            g_new = bc.bounce_back(g_new, g_coll, "row0")
+            g_new = bc.bounce_back(g_new, g_coll, "rowN")
         return f_new, g_new
 
     return step
@@ -446,6 +468,7 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
                   tau_g: float = 0.8, record_every: int = 0,
                   substeps: int = 1, snapshot_every: int = 0,
                   snapshot_prefix: str | None = None,
+                  scalar_lattice: str = "d2q9",
                   fused: bool | None = None, interpret: bool = False,
                   dtype=None) -> ThermalResult:
     """Differentially heated square cavity — the de Vahl Davis (1983)
@@ -473,7 +496,9 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
     theta0 = jnp.asarray(np.broadcast_to(0.5 - y, (H, W)), dtype)
     u0 = jnp.zeros((2, H, W), dtype)
     f = d2q9.equilibrium(u0, jnp.ones((H, W), dtype))
-    g = d2q9.equilibrium(u0, theta0)
+    q5 = scalar_lattice == "d2q5"
+    g = d2q5_equilibrium(u0, theta0) if q5 \
+        else d2q9.equilibrium(u0, theta0)
 
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
     if fused:
@@ -484,7 +509,8 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
                              "substeps")
         kstep = make_heated_cavity_fused_step(
             H, W, omega_f=omega_f, omega_g=omega_g, g_beta=g_beta,
-            substeps=substeps, dtype=dtype, interpret=interpret)
+            substeps=substeps, dtype=dtype, interpret=interpret,
+            scalar_lattice=scalar_lattice)
         step = lambda S: kstep(S)                       # noqa: E731
         carry = jnp.concatenate([f, g], axis=0)
         unpack = lambda S: (S[:9], S[9:])               # noqa: E731
@@ -492,7 +518,8 @@ def heated_cavity(H: int = 128, W: int = 128, T: int = 40000,
         if substeps != 1:
             raise ValueError("substeps requires the fused path")
         step = make_cavity_step(H, W, omega_f=omega_f, omega_g=omega_g,
-                                g_beta=g_beta, dtype=dtype)
+                                g_beta=g_beta, dtype=dtype,
+                                scalar_lattice=scalar_lattice)
         carry = (f, g)
         unpack = lambda c: c                            # noqa: E731
 
