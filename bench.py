@@ -233,6 +233,17 @@ def build_step(args, H, W):
         m0, us = double_shear_init(H, W, 0.05, dtype=dtype)
         f = d2q9.equilibrium(us, m0)
         impl = "pallas"
+    elif args.model == "trt":
+        from lbm_tpu.kernels.trt_pallas import make_trt_fused_step
+        from lbm_tpu.models.trt import omega_minus_from_magic
+
+        om_p = 1.0 / 0.9
+        step = make_trt_fused_step(H, W, omega_plus=om_p,
+                                   omega_minus=omega_minus_from_magic(om_p),
+                                   substeps=args.substeps, dtype=dtype)
+        f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype),
+                             jnp.ones((H, W), dtype))
+        impl = "pallas"
     elif args.model in ("thermal", "thermal5"):
         from lbm_tpu.kernels.thermal_pallas import make_thermal_fused_step
         from lbm_tpu.scenes.thermal import (
@@ -287,7 +298,7 @@ def build_step(args, H, W):
     substeps = args.substeps if (impl == "pallas"
                                  and args.model in ("bgk", "kbc", "thermal",
                                                     "thermal5", "sediment",
-                                                    "cavity", "les",
+                                                    "cavity", "les", "trt",
                                                     "d3q19")) else 1
     return step, f, impl, substeps, H, W
 
@@ -380,7 +391,7 @@ def main():
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
                              "csf", "csf_full", "rk",
                              "cavity", "cylinder", "falling", "sediment",
-                             "thermal", "thermal5", "les", "d3q19"],
+                             "thermal", "thermal5", "les", "trt", "d3q19"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],

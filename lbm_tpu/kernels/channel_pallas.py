@@ -162,6 +162,7 @@ def make_channel_variant_step(R: int, C: int, *, omega: float,
                               col_walls: str | None = None,
                               row_walls: str | None = None,
                               abb_u=(0.0, 0.0),
+                              omega_minus: float | None = None,
                               dtype=jnp.float32,
                               block_rows: int | None = None,
                               interpret: bool = False):
@@ -182,6 +183,11 @@ def make_channel_variant_step(R: int, C: int, *, omega: float,
       row_walls  None | 'bounce' | 'abb' on rows 0 / R-1 (abb uses the
                  constant wall velocity ``abb_u``,
                  free_stream_test.cpp:104-125).
+      omega_minus  None = BGK; a float swaps the collision for TRT
+                 (models.trt: even parts relaxed at ``omega``, odd at
+                 ``omega_minus``) — beyond the reference.  Not
+                 supported together with ``force`` (the Guo prefactor
+                 is parity-dependent under TRT).
     """
     from .collide_stream import PAIR_KS, d2q9_pairs, pair_cu
     from .mrtcg_pallas import _edge_col
@@ -191,6 +197,9 @@ def make_channel_variant_step(R: int, C: int, *, omega: float,
         raise ValueError(col_walls)
     if row_walls not in (None, "bounce", "abb"):
         raise ValueError(row_walls)
+    if omega_minus is not None and force is not None:
+        raise ValueError("TRT (omega_minus) + body force not supported: "
+                         "the Guo prefactor is parity-dependent")
     dt = jnp.dtype(dtype).type
     has_force = force is not None
     fx, fy = (float(force[0]), float(force[1])) if has_force else (0.0, 0.0)
@@ -249,8 +258,21 @@ def make_channel_variant_step(R: int, C: int, *, omega: float,
             uy = uy + dt(fy)
 
         feq = eq9(rho, ux, uy)
-        coll = [dt(1.0 - omega) * f[k] + dt(omega) * feq[k]
-                for k in range(9)]
+        if omega_minus is None:
+            coll = [dt(1.0 - omega) * f[k] + dt(omega) * feq[k]
+                    for k in range(9)]
+        else:
+            # TRT: even/odd non-equilibria per opposite pair
+            # (models.trt.trt_collision algebra)
+            coll = [None] * 9
+            coll[0] = f[0] - dt(omega) * (f[0] - feq[0])
+            for kp, km in PAIR_KS:
+                d_even = dt(0.5 * omega) * ((f[kp] + f[km])
+                                            - (feq[kp] + feq[km]))
+                d_odd = dt(0.5 * omega_minus) * ((f[kp] - f[km])
+                                                 - (feq[kp] - feq[km]))
+                coll[kp] = f[kp] - (d_even + d_odd)
+                coll[km] = f[km] - (d_even - d_odd)
         if has_force:
             uF = ux * dt(fx) + uy * dt(fy)
             cu_p = pair_cu(ux, uy)

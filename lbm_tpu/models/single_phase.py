@@ -37,10 +37,14 @@ class SinglePhaseModel:
         test/gravity_test.cpp:146) plus a Guo source on f_coll (:154).
       pre_stream_bcs: edits to f_coll before streaming (pressure BCs).
       post_stream_bcs: wall rules overwriting f_adve from f_coll.
+      collision: optional (f, f_eq) -> f_coll override of the BGK
+        relaxation (e.g. models.trt.trt_collision); omega is still used
+        by the Guo source prefactor when a force is set.
     """
 
     omega: float
     incompressible: bool = False
+    collision: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None
     force: Optional[tuple[float, float]] = None
     # Guo-source coefficients; the reference's gravity driver uses the
     # 9x-weaker (1/3, 1/9) variant (gravity_test.cpp:81-82,154).
@@ -64,7 +68,10 @@ class SinglePhaseModel:
             fg = jnp.asarray(self.force, dtype=f_adve.dtype)
             u = u + fg[:, None, None]
         f_equi = self.eq(u, rho)
-        f_coll = d2q9.bgk_collision(f_adve, f_equi, self.omega)
+        if self.collision is not None:
+            f_coll = self.collision(f_adve, f_equi)
+        else:
+            f_coll = d2q9.bgk_collision(f_adve, f_equi, self.omega)
         if self.force is not None:
             f_coll = f_coll + d2q9.guo_source(
                 u, fg, self.omega, ics2=self.guo_coeffs[0], ics4=self.guo_coeffs[1])

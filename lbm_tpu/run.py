@@ -34,6 +34,7 @@ def _register_all():
         "vertical_poiseuille": channel.vertical_poiseuille,
         "gravity_channel": channel.gravity_channel,
         "specular_channel": channel.specular_channel,
+        "trt_poiseuille": channel.trt_poiseuille,
         "free_stream": channel.free_stream,
         "ulbm_poiseuille": ulbm.ulbm_poiseuille,
         "ulbm_double_shear": ulbm.ulbm_double_shear,

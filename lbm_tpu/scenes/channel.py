@@ -194,6 +194,70 @@ def horizontal_poiseuille(H: int = 21, W: int = 21, T: int = 8301,
     return ChannelResult(f=f, rho=rho, u=u, steps=steps, l2=l2)
 
 
+def trt_poiseuille(H: int = 21, W: int = 21, T: int = 20000,
+                   u_max: float = 1.030985714e-1,
+                   tau: float = 1.2,
+                   magic: float = None,
+                   fused: bool | None = None,
+                   dtype=None) -> ChannelResult:
+    """horizontal_poiseuille with the TRT operator (models.trt) — BEYOND
+    THE REFERENCE.  The reference's L2 <= 1e-11 gate
+    (test/horizontal_poiseuille_test.cpp:175) holds for BGK only at the
+    magic tau = sqrt(3/16)+1/2; TRT restores the same exactness at ANY
+    ``tau`` (viscosity) by relaxing the odd parts at the rate that keeps
+    Lambda = (tau+ - 1/2)(tau- - 1/2) = 3/16 (``magic``; None = 3/16).
+    Geometry/BC stack and parameters otherwise cite
+    test/horizontal_poiseuille_test.cpp:50-67."""
+    from ..models import trt
+
+    dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    omega = 1.0 / tau
+    if magic is None:
+        magic = trt.MAGIC_POISEUILLE
+    omega_minus = trt.omega_minus_from_magic(omega, magic)
+    nu = (2.0 * tau - 1.0) / 6.0
+    p_grad = 8.0 * nu * u_max / (W * W)
+    rho_outlet = 1.0
+    rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
+
+    if fused:
+        from ..kernels.channel_pallas import make_channel_variant_step
+
+        step = make_channel_variant_step(
+            H, W, omega=omega, incompressible=True,
+            pressure=(rho_inlet, rho_outlet, 0), col_walls="bounce",
+            omega_minus=omega_minus, dtype=dtype)
+        f = d2q9.incomp_equilibrium(jnp.zeros((2, H, W), dtype),
+                                    jnp.ones((H, W), dtype))
+        f, steps = _fused_run(step, f, T, converge=True)
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_momentum(f)
+        return ChannelResult(f=f, rho=rho, u=u, steps=steps,
+                             l2=poiseuille_l2(np.asarray(u[0]), u_max))
+
+    model = SinglePhaseModel(
+        omega=omega,
+        incompressible=True,
+        collision=lambda f, fe: trt.trt_collision(f, fe, omega,
+                                                  omega_minus),
+        pre_stream_bcs=(
+            lambda fc, fe, u, rho: bc.pressure_periodic(
+                fc, fe, u, rho_inlet, rho_outlet, axis=0,
+                eq_fn=d2q9.incomp_equilibrium),
+        ),
+        post_stream_bcs=(
+            lambda fa, fc: bc.bounce_back(fa, fc, "colN"),
+            lambda fa, fc: bc.bounce_back(fa, fc, "col0"),
+        ),
+    )
+    f = model.init(H, W, dtype=dtype)
+    f, steps = _converged_run(model, f, T)
+    rho, u = model.macroscopics(f)
+    l2 = poiseuille_l2(np.asarray(u[0]), u_max)
+    return ChannelResult(f=f, rho=rho, u=u, steps=steps, l2=l2)
+
+
 def _fused_run(step, f, T: int, converge: bool = False,
                tolerance: float = 1e-12, interval: int = 100):
     """Run a fused one-launch step T times (chunked), optionally stopping

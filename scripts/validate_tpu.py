@@ -48,6 +48,17 @@ def poiseuille():
     check("poiseuille_f32_L2", res.l2, 0.0, 5e-4)
 
 
+def trt():
+    """TRT fused channel at tau=1.2 (far from the BGK magic tau): the
+    magic Lambda=3/16 keeps the profile exact, so the f32 L2 should sit
+    at the same convergence floor as the magic-tau BGK run — while BGK
+    at tau=1.2 misses by ~4.5e-3 (tests/test_trt.py, f64)."""
+    from lbm_tpu.scenes import channel
+
+    res = channel.trt_poiseuille(H=128, W=128, T=200000, fused=True)
+    check("trt_f32_L2", res.l2, 0.0, 5e-4)
+
+
 def laplace():
     """MRT-CG droplet pressure jump vs 2*sigma/R (the measured
     sigma_eff = 2*sigma calibration, mrtcg docstrings)."""
@@ -380,7 +391,7 @@ def les():
 
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",
-         "les"]
+         "les", "trt"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
         "ellipse"]
 
