@@ -212,9 +212,9 @@ def build_step(args, H, W):
         from lbm_tpu.ops import d3q19 as _d3
         from lbm_tpu.scenes.three_d import _pack
 
-        X3 = 16  # depth folded into planes; X*Z <= ~2500 (VMEM bound)
+        X3 = 16  # depth folded into planes; X*Z <= ~6400 (VMEM bound)
         if W > 128:
-            log(f"d3q19 depth-as-planes needs X*Z <= ~2500; using Z=128")
+            log(f"d3q19 depth-as-planes needs X*Z <= ~6400; using Z=128")
             W = 128
         step = make_d3q19_fused_step(X3, H, W, omega=omega, force_z=1e-6,
                                      x_walls=True, substeps=args.substeps,
@@ -304,7 +304,9 @@ def build_step(args, H, W):
 
 
 def measure(args, H, W):
-    """Bench one geometry; returns (median marginal MLUPS, impl)."""
+    """Bench one geometry; returns (median marginal MLUPS, impl, H, W) —
+    H/W as actually run (models may clamp cols or fold depth into rows,
+    e.g. d3q19), so records label the true geometry."""
     import jax
 
     step, f, impl, substeps, H, W = build_step(args, H, W)
@@ -367,7 +369,7 @@ def measure(args, H, W):
         marginal = H * W * n_full * substeps / dt_full / 1e6
         log("marginal window under noise floor; using end-to-end rate")
     log(f"median marginal {marginal:.0f} MLUPS ({impl}) at {H}x{W}")
-    return marginal, impl
+    return marginal, impl, H, W
 
 
 # (wide representative, tall-narrow peak) default geometries per model.
@@ -423,7 +425,7 @@ def main():
         peak = PEAK_GRID_STENCIL if stencil else PEAK_GRID
 
     baseline = 2000.0  # BASELINE.md north star, MLUPS/chip
-    mlups, impl = measure(args, *wide)
+    mlups, impl, H_run, W_run = measure(args, *wide)
     lattice = "" if args.model == "d3q19" else "_d2q9"  # model names lattice
     record = {
         "metric": args.model + lattice + "_collide_stream_mlups_" + impl
@@ -431,12 +433,12 @@ def main():
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / baseline, 3),
-        "grid": f"{wide[0]}x{wide[1]}",
+        "grid": f"{H_run}x{W_run}",
     }
     if peak is not None:
-        mlups_peak, _ = measure(args, *peak)
+        mlups_peak, _, Hp, Wp = measure(args, *peak)
         record["value_peak"] = round(mlups_peak, 1)
-        record["grid_peak"] = f"{peak[0]}x{peak[1]}"
+        record["grid_peak"] = f"{Hp}x{Wp}"
     print(json.dumps(record))
 
 

@@ -73,7 +73,7 @@ def bgk_collide_fn(omega: float, dtype):
 
 def make_fused_step(R: int, C: int, omega: float, dtype=jnp.float32,
                     block_rows: int | None = None, interpret: bool = False,
-                    substeps: int = 1):
+                    substeps: int = 1, vmem_limit_bytes: int | None = None):
     """Fused periodic BGK collide-stream: f (9, R, C) -> (9, R, C), advanced
     ``substeps`` steps per launch (temporal blocking; measured 3.7 GLUPS at
     substeps=1 -> 14.7 GLUPS at substeps=8 on the v5e chip).
@@ -83,4 +83,4 @@ def make_fused_step(R: int, C: int, omega: float, dtype=jnp.float32,
     return collide_stream.make_fused_step(
         R, C, bgk_collide_fn(omega, dtype), dtype=dtype,
         block_rows=block_rows, interpret=interpret, flops_per_cell=60,
-        substeps=substeps)
+        substeps=substeps, vmem_limit_bytes=vmem_limit_bytes)

@@ -73,16 +73,15 @@ def _stream_slab(coll, C, rows):
 
 def pick_block_rows(R: int, C: int, dtype=jnp.float32,
                     vmem_budget=10 * 2 ** 20) -> int:
-    """Largest multiple-of-8 row block (9-plane state) that (a) divides R,
-    (b) fits the double-buffered slabs in the VMEM budget, and (c) keeps
-    each slab plane under the empirical Mosaic ceiling ((b+16)*C*itemsize
-    <= 256 KiB for f32 — measured: B=16@C=2048 and B=64@C=512 compile,
-    B=32@C=2048 does not).  Larger blocks cut temporal-blocking compute
-    redundancy: 14.7 GLUPS at B=16/C=2048 vs 20.2 at B=64/C=512
-    (substeps=8), and narrow columns compound the win because 1-cell
-    column rolls stay within a single 128-lane tile (21.5 GLUPS at
-    7168x512/B=112, 25.9 at 7680x256/B=240, 33.7 at 7936x128/B=496).
-    Raises when C is too wide for any legal block."""
+    """Largest multiple-of-8 row block (9-plane state) that (a) divides R
+    and (b) fits the double-buffered slabs in the VMEM budget (scaled to
+    the pipeline's penalty-free SAFE_SCOPE; the pallas_call requests the
+    matching adaptive scoped-VMEM limit — pipeline.vmem_limit_for).
+    Larger blocks cut temporal-blocking compute redundancy: 15.8 GLUPS at
+    B=16/C=2048 vs 21.0 at B=64/C=2048 (substeps=8, the VMEM lift), and
+    narrow columns compound the win because 1-cell column rolls stay
+    within a single 128-lane tile (25.9 GLUPS at 7680x256/B=240, 33.7 at
+    7936x128/B=496)."""
     from .pipeline import resolve_block_rows
 
     return resolve_block_rows((9,), 9, R, C, dtype, vmem_budget,
@@ -91,7 +90,8 @@ def pick_block_rows(R: int, C: int, dtype=jnp.float32,
 
 def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,
                     block_rows: int | None = None, interpret: bool = False,
-                    flops_per_cell: int = 60, substeps: int = 1):
+                    flops_per_cell: int = 60, substeps: int = 1,
+                    vmem_limit_bytes: int | None = None):
     """Fused periodic collide-stream with an arbitrary local collision.
 
     ``substeps`` > 1 enables temporal blocking: one launch advances the
@@ -119,10 +119,14 @@ def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,
 
     # the purely periodic body is alias-safe: wrapped halo rows are exact
     # periodic images, no absolute-row masks are involved
+    # vmem_budget mirrors pick_block_rows' convention so the adaptive
+    # scoped-VMEM request keeps the same headroom ratio as the pick
     return make_block_pipeline(9, R, C, body, dtype=dtype,
                                block_rows=block_rows,
+                               vmem_budget=10 * 2 ** 20,
                                flops_per_cell=flops_per_cell,
                                allow_row_alias=True,
+                               vmem_limit_bytes=vmem_limit_bytes,
                                interpret=interpret)
 
 

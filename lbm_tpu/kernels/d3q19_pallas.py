@@ -20,7 +20,8 @@ unchanged with (Y, Z) as (rows, lanes).  The consequences are elegant:
 
 VMEM bounds the depth: the double-buffered slabs at the minimum
 block_rows = 8 need 19 X (2(8+16) + 2*8) Z itemsize = 4864 X Z bytes
-f32, so X Z <= ~2500 (e.g. X = 16 at Z = 128) — the factory checks
+f32, so X Z <= ~6400 under the pipeline's penalty-free SAFE_SCOPE lift
+(e.g. X = 48 at Z = 128, or X = 8 at Z = 512) — the factory checks
 this explicitly and raises a clear ValueError (resolve_block_rows'
 auto-pick alone bottoms out at b = 8 without re-checking the budget).
 
@@ -35,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.d3q19 import C3, OPP3, Q, W3
 from .collide_stream import HALO
-from .pipeline import make_block_pipeline, resolve_block_rows
+from .pipeline import _BUDGET_SCALE, make_block_pipeline, resolve_block_rows
 
 CX = tuple(int(v) for v in C3[0])
 CY = tuple(int(v) for v in C3[1])
@@ -108,18 +109,23 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
     if not 1 <= substeps <= HALO:
         raise ValueError(f"substeps must be in [1, {HALO}]")
     P = Q * X
-    budget = 12 * 2 ** 20
+    # 10 MiB-of-16 convention = 1.6x Mosaic headroom over the accounted
+    # slabs; this kernel's actual scoped need measured 1.49x (35.41 MiB
+    # at B=32/Z=128's 23.7 MiB slabs), so the old 12 MiB (1.33x) OOMs
+    budget = 10 * 2 ** 20
     # the body never reads abs_iota (x-walls are static plane wiring),
     # so row aliasing is always safe — thin-Y channels run fused too
     block_rows = resolve_block_rows((P,), P, Y, Z, dtype, budget,
                                     block_rows, True)
     itemsize = jnp.dtype(dtype).itemsize
+    budget_eff = int(budget * _BUDGET_SCALE)  # resolve scales the same way
     need = (2 * P * (block_rows + 2 * HALO)
             + 2 * P * block_rows) * Z * itemsize
-    if need > budget:
+    if need > budget_eff:
         raise ValueError(
             f"D3Q19 slab needs {need >> 20} MiB VMEM (X={X}, Z={Z}, "
-            f"block_rows={block_rows}); reduce X*Z below ~{budget // (4864 if itemsize == 4 else 9728)}")
+            f"block_rows={block_rows}); reduce X*Z below "
+            f"~{budget_eff // ((2 * (8 + 2 * HALO) + 2 * 8) * Q * itemsize)}")
     gz = float(force_z)
 
     def body(block, abs_iota, i):

@@ -35,6 +35,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .collide_stream import HALO
 
+# Scoped-VMEM limits requested from the Mosaic compiler
+# (xla_tpu_scoped_vmem_limit_kib; hardware default 16 MiB).  The default
+# forces tiny row blocks on wide grids — at C=2048 f32 the 9-plane BGK
+# slab was capped at B=16, paying 2x halo-compute redundancy under
+# temporal blocking.  Raising it is NOT free: the request itself slows
+# kernels that never needed it (7936x128/B=496 BGK, slabs 8.9 MiB:
+# 35.4 GLUPS at a <= 48 MiB request, 29.8 at 64 MiB, 24.3 at 100 MiB),
+# so each pallas_call requests the SMALLEST limit that admits its slabs
+# (vmem_limit_for below) and the auto block pick stays inside the
+# measured penalty-free zone (SAFE_SCOPE): 15.8 GLUPS (B=16, default
+# scope) -> 21.2 (B=128, 64 MiB) ~= 21.0 (B=64, 34 MiB) at 4096x2048
+# substeps=8, with the B=64 pick avoiding the >48 MiB regime that cost
+# 16-31% on the narrow geometry.  Mosaic needs ~1.6x the accounted slab
+# bytes (B=128's 40.1 MiB slabs compile at 64 MiB, not 48) — the
+# caller's vmem_budget-of-16-MiB convention supplies that headroom.
+DEFAULT_SCOPE = 16 * 2 ** 20   # hardware default, free
+SAFE_SCOPE = 48 * 2 ** 20      # largest measured penalty-free request
+VMEM_LIMIT = 100 * 2 ** 20     # hard cap (v5e has 128 MiB VMEM/core)
+# auto-picked blocks may fill vmem_budget of SAFE_SCOPE (the same
+# fraction the caller tuned against the default scope), keeping every
+# auto pick's request penalty-free; explicit block_rows may go to
+# VMEM_LIMIT.
+_BUDGET_SCALE = SAFE_SCOPE / DEFAULT_SCOPE
+
+
+def slab_bytes(planes_tup, planes_out: int, block_rows: int, C: int,
+               dtype) -> int:
+    """Accounted VMEM for the double-buffered in-slabs + out-blocks."""
+    return (2 * sum(planes_tup) * (block_rows + 2 * HALO)
+            + 2 * planes_out * block_rows) * C * jnp.dtype(dtype).itemsize
+
+
+def vmem_limit_for(need_bytes: int, vmem_budget: int) -> int:
+    """Smallest scoped-VMEM request (whole MiB) admitting ``need_bytes``
+    of slabs at the caller's headroom convention — slabs may fill
+    ``vmem_budget`` of the scope, the rest is Mosaic working space and
+    live collision temporaries."""
+    lim = need_bytes * DEFAULT_SCOPE // vmem_budget
+    lim = (lim + 2 ** 20 - 1) // 2 ** 20 * 2 ** 20
+    return int(max(DEFAULT_SCOPE, min(VMEM_LIMIT, lim)))
+
 
 def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
     ins, out_hbm = refs[:-1], refs[-1]
@@ -120,15 +161,20 @@ def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
                        allow_row_alias: bool) -> int:
     """Auto-pick (or validate) the row-block size: largest multiple of 8
     (DMA alignment) dividing R whose double-buffered slabs fit the VMEM
-    budget and whose planes stay under the empirical 256 KiB Mosaic
-    ceiling.  Exposed so kernels that branch on the block index can learn
-    the pick up front."""
-    p_sum = sum(planes_tup)
+    budget (scaled by _BUDGET_SCALE — callers' budgets are ratios of the
+    default 16 MiB scope, the pipeline requests the matching adaptive
+    limit; see vmem_limit_for).  Taller blocks cut halo-compute
+    redundancy: the default-scope B=16 cap at C=2048 paid (16+16)/16 =
+    2x redundant collisions per output row (15.8 GLUPS); B=64 pays
+    1.25x (21.0 GLUPS at 4096x2048, substeps=8).  Exposed so kernels
+    that branch on the block index can learn the pick up front."""
+    budget = int(vmem_budget * _BUDGET_SCALE)
+
+    def need(b):
+        return slab_bytes(planes_tup, planes_out, b, C, dtype)
+
     if block_rows is None:
-        itemsize = jnp.dtype(dtype).itemsize
-        # taller blocks cut halo redundancy; see
-        # kernels.collide_stream.pick_block_rows for the measurements
-        b_max = 256 * 1024 // (C * itemsize) - 2 * HALO
+        b_max = 512
         if not allow_row_alias:
             # a slab must not contain any global row twice (wrapped halo
             # rows overlapping the interior would double-count the
@@ -137,20 +183,19 @@ def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
             # multiple of 8: halving a pick after the fact can break the
             # pl.multiple_of(i*B, 8) DMA alignment promise.
             b_max = min(b_max, R - 2 * HALO)
-        b_max = min(512, b_max - b_max % 8)
+        b_max -= b_max % 8
         if b_max < 8:
             raise ValueError(
-                f"no legal block: need C*itemsize <= "
-                f"{256 * 1024 // (3 * HALO)} (C={C}, {jnp.dtype(dtype).name})"
-                + ("" if allow_row_alias else f" and R >= {3 * HALO} "
-                   f"(R={R}) for an alias-free slab"))
+                f"no legal block: need R >= {3 * HALO} (R={R}) "
+                f"for an alias-free slab")
         b = b_max
-        while b > 8:
-            need = (2 * p_sum * (b + 2 * HALO)
-                    + 2 * planes_out * b) * C * itemsize
-            if need <= vmem_budget and R % b == 0:
-                break
+        while b > 8 and not (need(b) <= budget and R % b == 0):
             b -= 8
+        if need(b) > budget:
+            raise ValueError(
+                f"no legal block: even B=8 slabs need {need(8)} bytes "
+                f"> budget {budget} (planes={sum(planes_tup)}, C={C}, "
+                f"{jnp.dtype(dtype).name})")
         block_rows = b
     if R % block_rows != 0:
         raise ValueError(f"rows {R} not divisible by block {block_rows}")
@@ -168,6 +213,7 @@ def make_block_pipeline(planes, R: int, C: int, body,
                         vmem_budget: int = 6 * 2 ** 20,
                         flops_per_cell: int = 200,
                         allow_row_alias: bool = False,
+                        vmem_limit_bytes: int | None = None,
                         interpret: bool = False):
     """Fused step over one or more (P_j, R, C) inputs: one launch per call.
 
@@ -194,7 +240,12 @@ def make_block_pipeline(planes, R: int, C: int, body,
         out_shape=jax.ShapeDtypeStruct((planes_out, R, C), dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(planes_tup),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit_for(
+                slab_bytes(planes_tup, planes_out, block_rows, C, dtype),
+                vmem_budget) if vmem_limit_bytes is None
+            else vmem_limit_bytes),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * R * C,
             bytes_accessed=(p_sum + planes_out) * R * C

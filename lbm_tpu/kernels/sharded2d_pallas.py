@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .collide_stream import CHALO, CX, CY, HALO
+from .pipeline import _BUDGET_SCALE, vmem_limit_for
 
 
 def _stream_slab_padded(coll, W_pad, rows):
@@ -138,12 +139,18 @@ def make_local_2d_step(R_loc: int, C_loc: int, collide_fn, dtype=jnp.float32,
         raise ValueError(f"substeps must be in [1, {HALO}]")
     if C_loc % 128 != 0:
         raise ValueError("local cols must be a multiple of 128")
-    if block_rows is None:
-        itemsize = jnp.dtype(dtype).itemsize
+    itemsize = jnp.dtype(dtype).itemsize
+    W_padded = C_loc + 2 * CHALO
 
+    def slab_vmem(b):
+        # double-buffered (9, b+16, W_pad) slabs + (9, b, C_loc) outputs
+        return 2 * 9 * ((b + 2 * HALO) * W_padded + b * C_loc) * itemsize
+
+    if block_rows is None:
         def fits(b):
-            return (b + 2 * HALO) * (C_loc + 2 * CHALO) * itemsize \
-                <= 256 * 1024
+            # the pallas_call below requests the matching adaptive
+            # scoped-VMEM limit (pipeline.vmem_limit_for)
+            return slab_vmem(b) <= int(10 * 2 ** 20 * _BUDGET_SCALE)
         b = 128
         while b > 8:
             if fits(b) and R_loc % b == 0:
@@ -151,7 +158,7 @@ def make_local_2d_step(R_loc: int, C_loc: int, collide_fn, dtype=jnp.float32,
             b //= 2
         if not fits(b):  # fall-through guard: fail clean, not in Mosaic
             raise ValueError(
-                f"no block_rows fits the 256 KiB plane ceiling for "
+                f"no block_rows fits the VMEM budget for "
                 f"{C_loc} local cols (+{2 * CHALO} halo) {jnp.dtype(dtype)}; "
                 "shard the column axis more finely")
         block_rows = b
@@ -166,7 +173,10 @@ def make_local_2d_step(R_loc: int, C_loc: int, collide_fn, dtype=jnp.float32,
         out_shape=jax.ShapeDtypeStruct((9, R_loc, C_loc), dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit_for(slab_vmem(block_rows),
+                                            10 * 2 ** 20)),
         cost_estimate=pl.CostEstimate(
             flops=60 * substeps * R_loc * C_loc,
             bytes_accessed=2 * 9 * R_loc * C_loc * jnp.dtype(dtype).itemsize,
@@ -326,15 +336,18 @@ def make_local_2d_body_step(planes: int, R_loc: int, C_loc: int, C_glob: int,
     if C_loc % 128 != 0:
         raise ValueError("local cols must be a multiple of 128")
     W_pad = C_loc + 2 * CHALO
-    if block_rows is None:
-        itemsize = jnp.dtype(dtype).itemsize
+    itemsize = jnp.dtype(dtype).itemsize
 
+    def slab_vmem(b):
+        return 2 * (2 * planes * (b + 2 * HALO) * W_pad
+                    + planes * b * C_loc) * itemsize
+
+    if block_rows is None:
         def fits(b):
-            plane = (b + 2 * HALO) * W_pad * itemsize
-            vmem = 2 * (2 * planes * (b + 2 * HALO) * W_pad
-                        + planes * b * C_loc) * itemsize
-            return plane <= 256 * 1024 and vmem <= 10 * 2 ** 20
-        b = 64
+            # the pallas_call requests the matching adaptive scoped-VMEM
+            # limit; budget scaled like pipeline.resolve_block_rows
+            return slab_vmem(b) <= int(10 * 2 ** 20 * _BUDGET_SCALE)
+        b = 128
         while b > 8:
             if fits(b) and R_loc % b == 0:
                 break
@@ -361,7 +374,10 @@ def make_local_2d_body_step(planes: int, R_loc: int, C_loc: int, C_glob: int,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
             out_specs=pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=jax.ShapeDtypeStruct((planes, R_loc, C_loc), dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit_for(slab_vmem(block_rows),
+                                            10 * 2 ** 20)),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * R_loc * C_loc,
             bytes_accessed=2 * planes * R_loc * C_loc

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .collide_stream import HALO, _stream_slab, pick_block_rows
+from .pipeline import slab_bytes, vmem_limit_for
 
 
 def make_local_halo_step(R_loc: int, C: int, collide_fn, dtype=jnp.float32,
@@ -182,7 +183,14 @@ def make_local_halo_body_step(planes: int, R_loc: int, C: int, body_fn,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
             out_specs=pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=jax.ShapeDtypeStruct((planes, R_loc, C), dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # the scoped-VMEM request must admit the lifted block picks but
+        # stay minimal — over-requesting slows kernels that fit the
+        # default scope (see pipeline.vmem_limit_for)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit_for(
+                slab_bytes((planes,), planes, block_rows, C, dtype),
+                10 * 2 ** 20)),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * R_loc * C,
             bytes_accessed=2 * planes * R_loc * C * jnp.dtype(dtype).itemsize,

@@ -156,13 +156,15 @@ def test_channel_kernel_rejects_aliasing_blocks():
     assert step is not None
 
 
-def test_pick_block_rows_mosaic_ceiling():
+def test_pick_block_rows_safe_scope():
     from lbm_tpu.kernels.collide_stream import pick_block_rows
 
-    # measured Mosaic compile ceiling: (b+16)*C*4 <= 256 KiB
-    assert pick_block_rows(4096, 2048) == 16
-    assert pick_block_rows(4096, 1024) == 32
-    assert pick_block_rows(8192, 512) == 64
+    # slabs fill 10 MiB of the penalty-free 48 MiB SAFE_SCOPE (the
+    # pallas_call requests the matching adaptive scoped-VMEM limit);
+    # taller blocks than the default-scope picks cut halo redundancy
+    assert pick_block_rows(4096, 2048) == 64
+    assert pick_block_rows(4096, 1024) == 128
+    assert pick_block_rows(8192, 512) == 256
 
 
 @pytest.mark.parametrize("variant", ["gravity", "specular", "free_stream",

@@ -57,9 +57,9 @@ def test_abs_iota_is_unwrapped():
 
 
 def test_resolve_block_rows_rules():
-    # Mosaic plane ceiling: C=2048 f32 forces 16-row blocks
+    # C=2048 f32: 64-row blocks fill the SAFE_SCOPE-scaled budget
     assert resolve_block_rows((9,), 9, 4096, 2048, jnp.float32,
-                              10 * 2 ** 20, None, False) == 16
+                              10 * 2 ** 20, None, False) == 64
     with pytest.raises(ValueError, match="not divisible"):
         resolve_block_rows((9,), 9, 30, 128, jnp.float32,
                            10 * 2 ** 20, 8, False)
@@ -80,10 +80,14 @@ def test_resolve_block_rows_alias_aware_picks():
     assert b % 8 == 0 and b + 16 <= 56
     assert resolve_block_rows((9,), 9, 120, 128, jnp.float32,
                               10 * 2 ** 20, None, False) == 40
-    # columns too wide for the Mosaic plane ceiling: clear error, not a
-    # bogus 8-row fallback that dies inside Mosaic
+    # C=4096 is admissible under the SAFE_SCOPE lift (the old 256 KiB
+    # plane ceiling rejected it); the budget caps the block instead
+    assert resolve_block_rows((9,), 9, 4096, 4096, jnp.float32,
+                              10 * 2 ** 20, None, True) == 32
+    # columns so wide even B=8 slabs blow the budget: clear error, not
+    # a bogus fallback that dies inside Mosaic
     with pytest.raises(ValueError, match="no legal block"):
-        resolve_block_rows((9,), 9, 4096, 4096, jnp.float32,
+        resolve_block_rows((9,), 9, 4096, 16384, jnp.float32,
                            10 * 2 ** 20, None, True)
     # R too small for any alias-free slab
     with pytest.raises(ValueError, match="no legal block"):
