@@ -713,8 +713,11 @@ def make_csf_fused_step(R: int, C: int, red: ColourParams,
     available."""
     from .pipeline import make_block_pipeline, resolve_block_rows
 
+    # lift=False — CSF prefers the default-scope pick (see
+    # _make_reduced_pipeline)
     block_rows = resolve_block_rows(
-        (20,), 20, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+        (20,), 20, R, C, dtype, 6 * 2 ** 20, block_rows, False,
+        lift=False)
     n_blocks = R // block_rows
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
@@ -757,8 +760,14 @@ def _make_reduced_pipeline(R, C, red, blue, sigma, gravity, delta,
     csf = surface_tension == "csf"
     p_in = reduced_planes(surface_tension)
     p_out = (20 if csf else 18) if split_out else p_in
+    # lift=False: both colour-gradient bodies measured FASTER at the
+    # default-scope picks on the recorded bench harness (csf 3,785 at
+    # B=128/16 MiB vs 3,208 lifted; mrtcg 4,957 at B=256/16 MiB vs
+    # 4,677 lifted, 2048x128 — the short-window probe that preferred
+    # the lift was within relay noise)
     block_rows = resolve_block_rows(
-        (p_in,), p_out, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+        (p_in,), p_out, R, C, dtype, 6 * 2 ** 20, block_rows, False,
+        lift=False)
     n_blocks = R // block_rows
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,

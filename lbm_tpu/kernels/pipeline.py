@@ -158,7 +158,7 @@ def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
 
 def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
                        vmem_budget: int, block_rows: int | None,
-                       allow_row_alias: bool) -> int:
+                       allow_row_alias: bool, lift: bool = True) -> int:
     """Auto-pick (or validate) the row-block size: largest multiple of 8
     (DMA alignment) dividing R whose double-buffered slabs fit the VMEM
     budget (scaled by _BUDGET_SCALE — callers' budgets are ratios of the
@@ -166,9 +166,13 @@ def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
     limit; see vmem_limit_for).  Taller blocks cut halo-compute
     redundancy: the default-scope B=16 cap at C=2048 paid (16+16)/16 =
     2x redundant collisions per output row (15.8 GLUPS); B=64 pays
-    1.25x (21.0 GLUPS at 4096x2048, substeps=8).  Exposed so kernels
+    1.25x (21.0 GLUPS at 4096x2048, substeps=8).  The gain is NOT
+    universal — some stencil/coupled families measure FASTER at the
+    default-scope pick (thermal 7.8 vs 6.6 GLUPS at B=32 vs 64, CSF 4.0
+    vs 3.2 at B=128 vs 512) — ``lift=False`` keeps the unscaled budget
+    (and hence the free 16 MiB request) for those.  Exposed so kernels
     that branch on the block index can learn the pick up front."""
-    budget = int(vmem_budget * _BUDGET_SCALE)
+    budget = int(vmem_budget * _BUDGET_SCALE) if lift else vmem_budget
 
     def need(b):
         return slab_bytes(planes_tup, planes_out, b, C, dtype)
@@ -214,6 +218,7 @@ def make_block_pipeline(planes, R: int, C: int, body,
                         flops_per_cell: int = 200,
                         allow_row_alias: bool = False,
                         vmem_limit_bytes: int | None = None,
+                        lift: bool = True,
                         interpret: bool = False):
     """Fused step over one or more (P_j, R, C) inputs: one launch per call.
 
@@ -231,7 +236,8 @@ def make_block_pipeline(planes, R: int, C: int, body,
     planes_out = planes_out if planes_out is not None else planes_tup[0]
     p_sum = sum(planes_tup)
     block_rows = resolve_block_rows(planes_tup, planes_out, R, C, dtype,
-                                    vmem_budget, block_rows, allow_row_alias)
+                                    vmem_budget, block_rows,
+                                    allow_row_alias, lift)
     kernel = functools.partial(
         _kernel, body=body, planes_out=planes_out, block_rows=block_rows,
         n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)

@@ -171,8 +171,12 @@ def make_rk_fused_step(R: int, C: int, *, r_alpha: float, b_alpha: float,
 
     from .pipeline import resolve_block_rows
 
+    # lift=False: like the other colour-gradient bodies, the lifted pick
+    # measured slower on the recorded bench harness (5,227 at B=256/31
+    # MiB vs 5,588 at B=128/16 MiB, 1024x256)
     block_rows = resolve_block_rows(
-        (11,), 11, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+        (11,), 11, R, C, dtype, 6 * 2 ** 20, block_rows, False,
+        lift=False)
     n_blocks = R // block_rows
 
     run = make_rk_body(R, C, r_alpha=r_alpha, b_alpha=b_alpha, r_nu=r_nu,

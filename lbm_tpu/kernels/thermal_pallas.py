@@ -254,8 +254,12 @@ def make_thermal_fused_step(R: int, C: int, *, omega_f: float,
     steps per launch (temporal blocking — the kernel is HBM-bound, so
     k sweeps per slab pass cut the per-step traffic by ~k)."""
     planes = 14 if scalar_lattice == "d2q5" else 18
+    # lift=False: this family measured FASTER at the default-scope pick
+    # (7.8 GLUPS at B=32/16 MiB vs 6.6 at the lifted B=64/27 MiB,
+    # 1024x512 substeps=8)
     block_rows = resolve_block_rows((planes,), planes, R, C, dtype,
-                                    6 * 2 ** 20, block_rows, False)
+                                    6 * 2 ** 20, block_rows, False,
+                                    lift=False)
     n_blocks = R // block_rows
     mk = make_thermal5_body if planes == 14 else make_thermal_body
     run = mk(R, C, omega_f=omega_f, omega_g=omega_g,
@@ -360,8 +364,10 @@ def make_heated_cavity_fused_step(R: int, C: int, *, omega_f: float,
     if not 1 <= substeps <= HALO:
         raise ValueError(f"substeps must be in [1, {HALO}]")
     planes = 14 if scalar_lattice == "d2q5" else 18
+    # lift=False — see make_thermal_fused_step
     block_rows = resolve_block_rows((planes,), planes, R, C, dtype,
-                                    6 * 2 ** 20, block_rows, False)
+                                    6 * 2 ** 20, block_rows, False,
+                                    lift=False)
     n_blocks = R // block_rows
     if planes == 14:
         run5 = make_heated_cavity5_body(R, C, omega_f=omega_f,
