@@ -233,6 +233,18 @@ def build_step(args, H, W):
         m0, us = double_shear_init(H, W, 0.05, dtype=dtype)
         f = d2q9.equilibrium(us, m0)
         impl = "pallas"
+    elif args.model == "sc":
+        from lbm_tpu.kernels.shan_chen_pallas import make_sc_fused_step
+
+        if args.substeps > 4:
+            log("sc kernel caps substeps at 4 (2 halo rows/sweep)")
+            args.substeps = 4  # keep the MLUPS accounting honest
+        step = make_sc_fused_step(H, W, omega=1.0, G=-5.0,
+                                  substeps=args.substeps, dtype=dtype)
+        rho_sc = 0.7 + 0.02 * jax.random.normal(jax.random.PRNGKey(0),
+                                                (H, W), dtype)
+        f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho_sc)
+        impl = "pallas"
     elif args.model == "trt":
         from lbm_tpu.kernels.trt_pallas import make_trt_fused_step
         from lbm_tpu.models.trt import omega_minus_from_magic
@@ -299,7 +311,7 @@ def build_step(args, H, W):
                                  and args.model in ("bgk", "kbc", "thermal",
                                                     "thermal5", "sediment",
                                                     "cavity", "les", "trt",
-                                                    "d3q19")) else 1
+                                                    "d3q19", "sc")) else 1
     return step, f, impl, substeps, H, W
 
 
@@ -391,7 +403,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small grid, few steps")
     ap.add_argument("--model", default="bgk",
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
-                             "csf", "csf_full", "rk",
+                             "csf", "csf_full", "rk", "sc",
                              "cavity", "cylinder", "falling", "sediment",
                              "thermal", "thermal5", "les", "trt", "d3q19"],
                     help="collision family / fused scene kernel to benchmark")

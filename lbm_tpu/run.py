@@ -26,8 +26,8 @@ SCENES = {}
 
 
 def _register_all():
-    from .scenes import cavity, channel, multiphase, obstacles, thermal, \
-        three_d, ulbm
+    from .scenes import cavity, channel, multiphase, obstacles, \
+        shan_chen, thermal, three_d, ulbm
 
     SCENES.update({
         "horizontal_poiseuille": channel.horizontal_poiseuille,
@@ -55,6 +55,9 @@ def _register_all():
         "ring_cavity": cavity.ring_cavity,
         "rayleigh_benard": thermal.rayleigh_benard,
         "heated_cavity": thermal.heated_cavity,
+        "sc_phase_separation": shan_chen.sc_phase_separation,
+        "sc_static_droplet": shan_chen.sc_static_droplet,
+        "sc_flat_interface": shan_chen.sc_flat_interface,
         "poiseuille_3d": three_d.poiseuille_3d,
         "taylor_green_3d": three_d.taylor_green_3d,
     })

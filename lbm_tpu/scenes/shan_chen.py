@@ -1,0 +1,157 @@
+"""Shan-Chen pseudopotential liquid-vapor scenes (models.shan_chen).
+
+BEYOND THE REFERENCE: its multiphase drivers are all colour-gradient
+immiscible mixtures (test/mrtcg_static_droplet.cpp,
+rk_static_droplet_test.cpp) — none can condense a vapor against its own
+liquid.  These scenes exercise the classical pseudopotential workloads:
+
+  * sc_phase_separation — spinodal decomposition from density noise at
+    G < G_c = -4: the fluid separates into liquid/vapor domains whose
+    densities come from the equation of state, not from initial data.
+  * sc_static_droplet   — a liquid droplet in its vapor: the emergent
+    surface tension obeys the Laplace law dP = sigma / R (the
+    pseudopotential analog of the reference's mrtcg_static_droplet
+    workload, where sigma is imposed instead).
+  * sc_flat_interface   — 1-D liquid slab: coexistence densities and
+    mechanical equilibrium (equal bulk EOS pressure in both phases).
+
+All three run the fused kernel (kernels.shan_chen_pallas, substeps <= 4)
+on TPU/f32 and the jnp oracle on CPU/f64.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import shan_chen as sc
+from ..ops import d2q9
+from ..utils import observe
+from ..utils.xmath import default_float, launch_cap, resolve_fused
+
+
+@dataclass
+class SCResult:
+    f: jnp.ndarray
+    rho: jnp.ndarray
+    u: jnp.ndarray  # PHYSICAL velocity (m + F/2)/rho — at a stationary
+    # interface the bare moment is -F/2, not zero (Guo forcing)
+    steps: int
+    # scene-specific scalars (0.0 where not applicable)
+    rho_l: float = 0.0
+    rho_v: float = 0.0
+    dp: float = 0.0          # droplet: P(center) - P(far), bulk EOS
+    p_jump: float = 0.0      # flat interface: |P_l - P_v| / P_l
+
+
+def _drive(f, T: int, omega: float, G: float, substeps: int,
+           fused: bool, interpret: bool, H: int, W: int):
+    if fused:
+        from ..kernels.shan_chen_pallas import make_sc_fused_step
+
+        if T % substeps:
+            raise ValueError("T must be divisible by substeps")
+        step = make_sc_fused_step(H, W, omega=omega, G=G,
+                                  substeps=substeps, dtype=f.dtype,
+                                  interpret=interpret)
+    else:
+        if substeps != 1:
+            raise ValueError("substeps requires the fused path")
+
+        def step(x):
+            return sc.step(x, omega, G)
+
+    chunk = jax.jit(
+        lambda x, n: jax.lax.fori_loop(0, n, lambda _, y: step(y), x),
+        static_argnums=1)
+    done = 0
+    calls = T // substeps
+    per_cell = 0.15 * substeps if fused else 0.8
+    while done < calls:
+        n = min(launch_cap(f.shape[1] * f.shape[2], per_cell),
+                calls - done)
+        f = chunk(f, n)
+        done += n
+        observe.check_finite(f, done * substeps)
+    return f
+
+
+def sc_phase_separation(H: int = 128, W: int = 128, T: int = 4000,
+                        G: float = -5.0, tau: float = 1.0,
+                        rho_mean: float = 0.7, noise: float = 0.02,
+                        seed: int = 0, substeps: int = 1,
+                        fused: bool | None = None,
+                        interpret: bool = False, dtype=None) -> SCResult:
+    """Spinodal decomposition: uniform rho near the critical density
+    (ln 2) + noise separates into liquid/vapor for G < -4 and stays
+    mixed for G > -4 (tests/test_shan_chen.py gates both)."""
+    dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    key = jax.random.PRNGKey(seed)
+    rho0 = rho_mean + noise * jax.random.normal(key, (H, W), dtype)
+    f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho0)
+    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W)
+    rho, u, _ = sc.macroscopics(f, G)
+    return SCResult(f=f, rho=rho, u=u, steps=T,
+                    rho_l=float(rho.max()), rho_v=float(rho.min()))
+
+
+def _tanh_disk(H, W, radius, rho_l, rho_v, width, dtype):
+    r = jnp.sqrt((jnp.arange(H, dtype=dtype)[:, None] - H / 2.0) ** 2
+                 + (jnp.arange(W, dtype=dtype)[None, :] - W / 2.0) ** 2)
+    return rho_v + 0.5 * (rho_l - rho_v) * (1.0 - jnp.tanh(
+        (r - radius) / width))
+
+
+def sc_static_droplet(H: int = 128, W: int = 128, T: int = 10000,
+                      radius: float = 25.0, G: float = -5.0,
+                      tau: float = 1.0, substeps: int = 1,
+                      fused: bool | None = None, interpret: bool = False,
+                      dtype=None) -> SCResult:
+    """Liquid droplet in vapor: relax a tanh disk and measure the bulk
+    EOS pressure jump dP = P(center) - P(corner); the Laplace law
+    dP = sigma / R with the EMERGENT sigma is gated by comparing two
+    radii in tests/test_shan_chen.py (dP ratio = inverse radius ratio).
+    Droplet analog of mrtcg_static_droplet.cpp:129-180 with emergent
+    instead of imposed tension."""
+    dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    rho0 = _tanh_disk(H, W, radius, 1.93, 0.16, 3.0, dtype)
+    f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho0)
+    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W)
+    rho, u, _ = sc.macroscopics(f, G)
+    p_c = sc.pressure(rho[H // 2, W // 2], G)
+    p_far = sc.pressure(rho[0, 0], G)
+    return SCResult(f=f, rho=rho, u=u, steps=T,
+                    rho_l=float(rho[H // 2, W // 2]),
+                    rho_v=float(rho[0, 0]),
+                    dp=float(p_c - p_far))
+
+
+def sc_flat_interface(H: int = 256, W: int = 128, T: int = 20000,
+                      G: float = -5.0, tau: float = 1.0,
+                      substeps: int = 1, fused: bool | None = None,
+                      interpret: bool = False, dtype=None) -> SCResult:
+    """1-D liquid slab (rows [H/4, 3H/4)) between vapor: coexistence
+    densities and mechanical equilibrium.  Gates: bulk EOS pressures
+    equal across the flat interface (no curvature -> no Laplace jump)
+    and the profile is stationary."""
+    dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    x = jnp.arange(H, dtype=dtype)[:, None]
+    prof = 0.16 + (1.93 - 0.16) * 0.25 * (
+        (1.0 + jnp.tanh((x - H / 4.0) / 3.0))
+        * (1.0 + jnp.tanh((3.0 * H / 4.0 - x) / 3.0)))
+    rho0 = prof * jnp.ones((1, W), dtype)
+    f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho0)
+    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W)
+    rho, u, _ = sc.macroscopics(f, G)
+    rho_l = float(rho[H // 2].mean())
+    rho_v = float(rho[0].mean())
+    p_l = float(sc.pressure(jnp.asarray(rho_l), G))
+    p_v = float(sc.pressure(jnp.asarray(rho_v), G))
+    return SCResult(f=f, rho=rho, u=u, steps=T, rho_l=rho_l, rho_v=rho_v,
+                    p_jump=abs(p_l - p_v) / abs(p_l))

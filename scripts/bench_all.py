@@ -43,6 +43,8 @@ CONFIGS = {
             "--steps", "800"],
     "trt": ["--model", "trt", "--rows", "1024", "--cols", "512",
             "--steps", "800"],
+    "sc": ["--model", "sc", "--rows", "1024", "--cols", "512",
+           "--steps", "800"],
     "d3q19": ["--model", "d3q19", "--rows", "512", "--cols", "512",
               "--steps", "200"],
     "bgk_sharded": ["--model", "bgk", "--sharded", "--rows", "4096",

@@ -389,9 +389,26 @@ def les():
     check("les_umax", float(np.abs(np.asarray(res.m1)).max()), 0.01, 0.1)
 
 
+def shan_chen():
+    """Pseudopotential liquid-vapor on the fused f32 kernel: spinodal
+    decomposition at G = -5 (emergent densities, f64 CPU reference
+    rho_l/rho_v ~ 1.93/0.12) and mechanical equilibrium of the flat
+    interface (equal bulk EOS pressures)."""
+    from lbm_tpu.scenes.shan_chen import sc_flat_interface, \
+        sc_phase_separation
+
+    r = sc_phase_separation(H=256, W=256, T=4000, G=-5.0, fused=True,
+                            substeps=4)
+    check("sc_separation_ratio", r.rho_l / max(r.rho_v, 1e-6), 4.0, 50.0)
+    flat = sc_flat_interface(H=256, W=128, T=12000, G=-5.0, fused=True,
+                             substeps=4)
+    check("sc_flat_pressure_jump", flat.p_jump, 0.0, 0.03)
+    check("sc_flat_rho_liquid", flat.rho_l, 1.5, 2.2)
+
+
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",
-         "les", "trt"]
+         "les", "trt", "shan_chen"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
         "ellipse"]
 
