@@ -513,6 +513,32 @@ def _sharded2d_wrap(mesh: Mesh, planes: int, R_loc: int, C_loc: int,
         check_vma=False)
 
 
+def make_sharded2d_sc_step(mesh: Mesh, R: int, C: int, *, omega: float,
+                           G: float, substeps: int = 1,
+                           dtype=jnp.float32,
+                           block_rows: int | None = None,
+                           interpret: bool = False):
+    """The Shan-Chen pseudopotential step sharded over BOTH mesh axes
+    (rows over 'x', cols over 'y'): f (9, R, C) -> (9, R, C).  Fully
+    periodic — the body needs no masks at all; the psi stencil and
+    streaming read the halo rows/strips (2 rows consumed per sweep, so
+    ``substeps`` <= 4 amortise one two-phase exchange); same guards as
+    the other 2-D factories."""
+    from .shan_chen_pallas import make_sc_body
+
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    if R % nx or C % ny:
+        raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")
+    R_loc, C_loc = R // nx, C // ny
+    if ny < 2 or C - C_loc < 2 * CHALO:
+        raise ValueError(
+            f"need ny >= 2 and C - C/ny >= {2 * CHALO} (C={C}, ny={ny}); "
+            "use sharded_pallas.make_sharded_body_step for 1-D meshes")
+    run = make_sc_body(R, C, omega=omega, G=G, substeps=substeps)
+    return _sharded2d_wrap(mesh, 9, R_loc, C_loc, C, run, dtype,
+                           block_rows, interpret)
+
+
 def make_sharded2d_thermal_step(mesh: Mesh, R: int, C: int, *,
                                 omega_f: float, omega_g: float,
                                 g_beta: float, substeps: int = 1,

@@ -277,3 +277,34 @@ def test_sharded2d_thermal_matches_single_chip():
         b = sharded(b)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=1e-13)
+
+
+def test_sharded2d_sc_matches_single_chip():
+    """The Shan-Chen pseudopotential kernel 2-D sharded over a 4x2 mesh
+    equals the single-chip fused kernel (1e-13, f64), substeps=4 (one
+    two-phase exchange per 4 steps)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lbm_tpu.kernels.shan_chen_pallas import make_sc_fused_step
+    from lbm_tpu.kernels.sharded2d_pallas import make_sharded2d_sc_step
+    from lbm_tpu.ops import d2q9
+    from lbm_tpu.parallel import mesh as meshmod
+
+    R, C = 96, 512
+    m = meshmod.make_mesh(shape=(4, 2))
+    rng = np.random.default_rng(13)
+    rho0 = jnp.asarray(0.7 + 0.1 * rng.standard_normal((R, C)))
+    f = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64), rho0)
+    kw = dict(omega=1.0, G=-5.0, substeps=4, dtype=jnp.float64,
+              interpret=True)
+    single = make_sc_fused_step(R, C, **kw)
+    sharded = make_sharded2d_sc_step(m, R, C, **kw)
+    fs = jax.device_put(
+        f, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", "y")))
+    got = sharded(fs)
+    want = single(f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-13)
