@@ -68,19 +68,26 @@ def _sc_force(psi_p, G, rows, width):
     return mg * fx, mg * fy
 
 
-def _collide_sc(f, omega, G, rows, width):
-    """One Shan-Chen collision on slab plane lists: macroscopics with
-    the half-force shift, paired BGK, paired Guo source (standard
-    ics2=3/ics4=9 coefficients; pair-even part 9 cu cF - 3 uF, odd
-    3 cF)."""
+def _collide_sc(f, omega, G, rows, width, psi_of, forcing):
+    """One Shan-Chen collision on slab plane lists (models.shan_chen.
+    collide algebra).  ``forcing='guo'``: half-force velocity shift +
+    paired Guo source (standard ics2=3/ics4=9; pair-even part
+    9 cu cF - 3 uF, odd 3 cF).  ``forcing='shift'``: the original
+    velocity-shift scheme — u_eq = u_bare + F/(omega rho), no source
+    (required for the stiff Carnahan-Starling EOS)."""
     rho = f[0]
     for k in range(1, 9):
         rho = rho + f[k]
-    psi_p = 1.0 - jnp.exp(-rho)
+    psi_p = psi_of(rho)
     Fx, Fy = _sc_force(psi_p, G, rows, width)
     inv_rho = 1.0 / rho
     mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
     my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+    if forcing == "shift":
+        inv_om = 1.0 / omega
+        ux = (mx + inv_om * Fx) * inv_rho
+        uy = (my + inv_om * Fy) * inv_rho
+        return _bgk9(f, ux, uy, rho, omega)
     ux = (mx + 0.5 * Fx) * inv_rho
     uy = (my + 0.5 * Fy) * inv_rho
 
@@ -99,8 +106,38 @@ def _collide_sc(f, omega, G, rows, width):
     return out
 
 
-def make_sc_body(R: int, C: int, *, omega: float, G: float,
-                 substeps: int = 1):
+def resolve_eos(eos: str, G: float | None, T: float | None,
+                forcing: str | None):
+    """(psi_of, G, forcing) with the model's defaults: exponential EOS
+    runs Guo forcing at the caller's G; Carnahan-Starling fixes G = -1
+    and needs the velocity-shift scheme (models.shan_chen.collide
+    docstring — Guo NaNs on the stiff EOS).  All constants stay python
+    scalars (Mosaic kernels cannot capture arrays)."""
+    if eos == "sc":
+        if G is None:
+            raise ValueError("eos='sc' needs the coupling G")
+        return ((lambda rho: 1.0 - jnp.exp(-rho)), float(G),
+                forcing or "guo")
+    if eos == "cs":
+        if T is None:
+            raise ValueError("eos='cs' needs a temperature T")
+        from ..models.shan_chen import CS_A, CS_B
+        Tf, a, b = float(T), CS_A, CS_B
+
+        def psi_of(rho):
+            eta = (0.25 * b) * rho
+            e2 = eta * eta
+            P = rho * Tf * (1.0 + eta + e2 - e2 * eta) \
+                / (1.0 - eta) ** 3 - a * rho * rho
+            return jnp.sqrt(jnp.maximum(6.0 * (rho / 3.0 - P), 0.0))
+
+        return psi_of, -1.0, forcing or "shift"
+    raise ValueError(f"unknown eos {eos!r} (want 'sc' or 'cs')")
+
+
+def make_sc_body(R: int, C: int, *, omega: float, G: float | None = None,
+                 substeps: int = 1, eos: str = "sc",
+                 T: float | None = None, forcing: str | None = None):
     """Per-slab body: ``run(block (9, rows, width), abs_iota, row_edges,
     col_iota=None) -> (9, rows - 2*HALO, width')`` — the generic body
     contract of the sharded wrappers.  Fully periodic: abs_iota and
@@ -112,6 +149,7 @@ def make_sc_body(R: int, C: int, *, omega: float, G: float,
         raise ValueError(
             f"substeps must be in [1, {HALO // ROWS_PER_SWEEP}] "
             f"({ROWS_PER_SWEEP} halo rows consumed per sweep)")
+    psi_of, G, forcing = resolve_eos(eos, G, T, forcing)
 
     def run(block, abs_iota, row_edges, col_iota=None):
         del abs_iota, row_edges
@@ -119,7 +157,8 @@ def make_sc_body(R: int, C: int, *, omega: float, G: float,
         width = block.shape[2]
         f = [block[k] for k in range(9)]
         for _ in range(substeps):
-            f = _stream9(_collide_sc(f, omega, G, rows, width),
+            f = _stream9(_collide_sc(f, omega, G, rows, width,
+                                     psi_of, forcing),
                          rows, width)
         if col_iota is None:
             return jnp.stack([p[HALO:rows - HALO] for p in f], axis=0)
@@ -130,17 +169,22 @@ def make_sc_body(R: int, C: int, *, omega: float, G: float,
     return run
 
 
-def make_sc_fused_step(R: int, C: int, *, omega: float, G: float,
-                       substeps: int = 1, dtype=jnp.float32,
+def make_sc_fused_step(R: int, C: int, *, omega: float,
+                       G: float | None = None, substeps: int = 1,
+                       eos: str = "sc", T: float | None = None,
+                       forcing: str | None = None, dtype=jnp.float32,
                        block_rows: int | None = None,
                        interpret: bool = False):
     """Fused periodic Shan-Chen step: f (9, R, C) -> (9, R, C), advanced
-    ``substeps`` (<= 4) steps per launch."""
+    ``substeps`` (<= 4) steps per launch.  ``eos='cs'`` runs the
+    Carnahan-Starling pseudopotential at temperature ``T`` (G fixed at
+    -1, velocity-shift forcing — see resolve_eos)."""
     # 8 MiB-of-16 budget (2.0x Mosaic headroom): the psi/force planes add
     # live temporaries over plain BGK's 1.6x-headroom convention
     block_rows = resolve_block_rows((9,), 9, R, C, dtype, 8 * 2 ** 20,
                                     block_rows, True)
-    run = make_sc_body(R, C, omega=omega, G=G, substeps=substeps)
+    run = make_sc_body(R, C, omega=omega, G=G, substeps=substeps,
+                       eos=eos, T=T, forcing=forcing)
 
     def body(block, abs_iota, i):
         return run(block, abs_iota, True)

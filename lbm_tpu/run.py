@@ -58,6 +58,7 @@ def _register_all():
         "sc_phase_separation": shan_chen.sc_phase_separation,
         "sc_static_droplet": shan_chen.sc_static_droplet,
         "sc_flat_interface": shan_chen.sc_flat_interface,
+        "sc_cs_interface": shan_chen.sc_cs_interface,
         "poiseuille_3d": three_d.poiseuille_3d,
         "taylor_green_3d": three_d.taylor_green_3d,
     })

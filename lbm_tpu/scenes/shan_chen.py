@@ -14,9 +14,12 @@ liquid.  These scenes exercise the classical pseudopotential workloads:
     workload, where sigma is imposed instead).
   * sc_flat_interface   — 1-D liquid slab: coexistence densities and
     mechanical equilibrium (equal bulk EOS pressure in both phases).
+  * sc_cs_interface     — the Carnahan-Starling EOS (Yuan & Schaefer
+    2006 psi trick): HIGH density ratios (65 at T/T_c = 0.7, 870 at
+    0.6) with rho_l within 0.2% of the Maxwell construction.
 
-All three run the fused kernel (kernels.shan_chen_pallas, substeps <= 4)
-on TPU/f32 and the jnp oracle on CPU/f64.
+All scenes run the fused kernel (kernels.shan_chen_pallas, substeps <=
+4) on TPU/f32 and the jnp oracle on CPU/f64.
 """
 
 from __future__ import annotations
@@ -48,21 +51,27 @@ class SCResult:
 
 
 def _drive(f, T: int, omega: float, G: float, substeps: int,
-           fused: bool, interpret: bool, H: int, W: int):
+           fused: bool, interpret: bool, H: int, W: int,
+           eos: str = "sc", T_eos: float | None = None,
+           forcing: str | None = None):
     if fused:
         from ..kernels.shan_chen_pallas import make_sc_fused_step
 
         if T % substeps:
             raise ValueError("T must be divisible by substeps")
-        step = make_sc_fused_step(H, W, omega=omega, G=G,
+        step = make_sc_fused_step(H, W, omega=omega, G=G, eos=eos,
+                                  T=T_eos, forcing=forcing,
                                   substeps=substeps, dtype=f.dtype,
                                   interpret=interpret)
     else:
         if substeps != 1:
             raise ValueError("substeps requires the fused path")
+        from ..kernels.shan_chen_pallas import resolve_eos
+
+        psi_fn, G_r, forcing_r = resolve_eos(eos, G, T_eos, forcing)
 
         def step(x):
-            return sc.step(x, omega, G)
+            return sc.step(x, omega, G_r, psi_fn, forcing_r)
 
     chunk = jax.jit(
         lambda x, n: jax.lax.fori_loop(0, n, lambda _, y: step(y), x),
@@ -155,3 +164,40 @@ def sc_flat_interface(H: int = 256, W: int = 128, T: int = 20000,
     p_v = float(sc.pressure(jnp.asarray(rho_v), G))
     return SCResult(f=f, rho=rho, u=u, steps=T, rho_l=rho_l, rho_v=rho_v,
                     p_jump=abs(p_l - p_v) / abs(p_l))
+
+
+def sc_cs_interface(H: int = 128, W: int = 128, T: int = 20000,
+                    T_red: float = 0.7, tau: float = 1.0,
+                    substeps: int = 1, fused: bool | None = None,
+                    interpret: bool = False, dtype=None) -> SCResult:
+    """Carnahan-Starling liquid slab at reduced temperature
+    ``T_red = T/T_c``: HIGH-density-ratio coexistence (measured ratios
+    65 at T_red = 0.7, 870 at 0.6 in f64 — far beyond the exponential
+    EOS's ~15).  rho_l lands within 0.2% of the Maxwell construction
+    (models.shan_chen.maxwell_coexistence); the vapor branch
+    under-predicts (0.0055 vs 0.0093 at T_red = 0.7) — the classic
+    scheme's known thermodynamic inconsistency, reported as-is.
+    p_jump gates mechanical equilibrium on the CS EOS pressures,
+    normalised by the liquid ideal-gas scale."""
+    dtype = default_float(dtype)
+    fused = resolve_fused(fused, dtype, rows=H, cols=W)
+    T_eos = T_red * sc.CS_TC
+    rv, rl = sc.maxwell_coexistence(T_eos)
+    x = jnp.arange(H, dtype=dtype)[:, None]
+    prof = rv + (rl - rv) * 0.25 * (
+        (1.0 + jnp.tanh((x - H / 4.0) / 3.0))
+        * (1.0 + jnp.tanh((3.0 * H / 4.0 - x) / 3.0)))
+    f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype),
+                         prof * jnp.ones((1, W), dtype))
+    f = _drive(f, T, 1.0 / tau, None, substeps, fused, interpret, H, W,
+               eos="cs", T_eos=T_eos)
+    from ..kernels.shan_chen_pallas import resolve_eos
+
+    psi_fn, G_r, _ = resolve_eos("cs", None, T_eos, None)
+    rho, u, _ = sc.macroscopics(f, G_r, psi_fn)
+    rho_l = float(rho[H // 2].mean())
+    rho_v = float(rho[0].mean())
+    p_l = float(sc.cs_eos_pressure(jnp.asarray(rho_l), T_eos))
+    p_v = float(sc.cs_eos_pressure(jnp.asarray(rho_v), T_eos))
+    return SCResult(f=f, rho=rho, u=u, steps=T, rho_l=rho_l, rho_v=rho_v,
+                    p_jump=abs(p_l - p_v) / (rho_l / 3.0))

@@ -405,6 +405,19 @@ def shan_chen():
     check("sc_flat_pressure_jump", flat.p_jump, 0.0, 0.03)
     check("sc_flat_rho_liquid", flat.rho_l, 1.5, 2.2)
 
+    # Carnahan-Starling EOS at T/T_c = 0.7 in production f32: high
+    # density ratio (f64 reference 65) with the liquid branch on the
+    # Maxwell value (models.shan_chen.maxwell_coexistence)
+    from lbm_tpu.models.shan_chen import CS_TC, maxwell_coexistence
+    from lbm_tpu.scenes.shan_chen import sc_cs_interface
+
+    cs = sc_cs_interface(H=256, W=128, T=12000, T_red=0.7, fused=True,
+                         substeps=4)
+    _, rl = maxwell_coexistence(0.7 * CS_TC)
+    check("sc_cs_density_ratio", cs.rho_l / max(cs.rho_v, 1e-9),
+          30.0, 120.0)
+    check("sc_cs_rho_liquid_vs_maxwell", cs.rho_l / rl, 0.98, 1.02)
+
 
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",

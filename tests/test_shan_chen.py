@@ -143,3 +143,63 @@ def test_sharded_sc_matches_single_chip():
     got = step(meshmod.shard_state(m, f0))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-13)
+
+
+def test_maxwell_construction_matches_literature():
+    """The equal-area construction on the CS EOS (a=1, b=4) reproduces
+    the published coexistence densities (Yuan & Schaefer 2006 table)."""
+    rv, rl = sc.maxwell_coexistence(0.7 * sc.CS_TC)
+    assert abs(rv / 0.00929 - 1.0) < 0.02, rv
+    assert abs(rl / 0.35812 - 1.0) < 0.02, rl
+    rv5, rl5 = sc.maxwell_coexistence(0.5 * sc.CS_TC)
+    assert abs(rl5 / 0.45407 - 1.0) < 0.02, rl5
+    assert rl5 / rv5 > 500.0
+
+
+def test_cs_high_density_ratio_coexistence():
+    """The Carnahan-Starling pseudopotential (velocity-shift forcing)
+    holds a density ratio ~65 at T/T_c = 0.7 — far beyond the
+    exponential EOS's ~15 — with the liquid branch within 1% of the
+    Maxwell construction (the vapor branch under-predicts: the classic
+    scheme's thermodynamic inconsistency)."""
+    from lbm_tpu.scenes.shan_chen import sc_cs_interface
+
+    r = sc_cs_interface(H=128, W=64, T=12000, T_red=0.7, fused=False,
+                        dtype=jnp.float64)
+    _, rl = sc.maxwell_coexistence(0.7 * sc.CS_TC)
+    assert np.isfinite(np.asarray(r.rho)).all()
+    assert abs(r.rho_l / rl - 1.0) < 0.01, (r.rho_l, rl)
+    assert r.rho_l / r.rho_v > 40.0, (r.rho_l, r.rho_v)
+    assert r.p_jump < 0.02, r.p_jump
+
+
+def test_cs_fused_matches_jnp():
+    """The fused kernel's eos='cs' mode (in-kernel CS psi + velocity-
+    shift forcing) equals the jnp oracle at 1e-13 in f64, substeps 1
+    and 4."""
+    from lbm_tpu.kernels.shan_chen_pallas import (
+        make_sc_fused_step, resolve_eos)
+
+    R, C = 32, 128
+    T_eos = 0.7 * sc.CS_TC
+    rv, rl = sc.maxwell_coexistence(T_eos)
+    rng = np.random.default_rng(17)
+    rho0 = jnp.asarray(0.5 * (rv + rl)
+                       + 0.2 * (rl - rv) * rng.standard_normal((R, C)))
+    f0 = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64), rho0)
+
+    psi_fn, G, forcing = resolve_eos("cs", None, T_eos, None)
+    assert forcing == "shift" and G == -1.0
+    want = f0
+    for _ in range(4):
+        want = sc.step(want, 1.0, G, psi_fn, forcing)
+
+    for substeps in (1, 4):
+        step = make_sc_fused_step(R, C, omega=1.0, eos="cs", T=T_eos,
+                                  substeps=substeps, dtype=jnp.float64,
+                                  interpret=True)
+        got = f0
+        for _ in range(4 // substeps):
+            got = step(got)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-13)
