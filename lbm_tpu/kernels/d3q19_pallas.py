@@ -31,6 +31,7 @@ Pinned to ops.d3q19 + scenes.three_d at 1e-13 (observed 3e-16) in f64
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,6 +99,8 @@ def _collide_x(fx, omega, gz):
 
 def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
                           force_z: float = 0.0, x_walls: bool = False,
+                          y_walls: bool = False, z_walls: bool = False,
+                          lid_u: float = 0.0,
                           substeps: int = 1, dtype=jnp.float32,
                           block_rows: int | None = None,
                           interpret: bool = False):
@@ -105,18 +108,33 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
     ``S -> S`` advancing ``substeps`` steps per launch.  ``x_walls``
     adds halfway no-slip planes at x = -1/2 and X - 1/2 (static
     plane wiring); otherwise x is periodic.  ``force_z`` adds the Guo
-    body force along z (scenes.three_d.poiseuille_3d)."""
+    body force along z (scenes.three_d.poiseuille_3d).
+
+    ``y_walls`` / ``z_walls`` add halfway no-slip faces on the row /
+    lane axes (global-row masks on UNwrapped abs_iota / lane-iota
+    masks; the masks overwrite every population the periodic wrap
+    corrupts each sweep, so temporal blocking stays valid — the
+    thermal-kernel argument).  ``lid_u`` (needs y_walls) slides the
+    y = Y - 1/2 face along +z with the standard moving-wall momentum
+    correction (ops.d3q19.bounce_back with u_wall) — the 3-D
+    lid-driven cavity (scenes.three_d.lid_cavity_3d).  Write order
+    matches the jnp oracle: x wiring, then y masks, then z masks (z
+    wins shared edges)."""
     if not 1 <= substeps <= HALO:
         raise ValueError(f"substeps must be in [1, {HALO}]")
+    if lid_u and not y_walls:
+        raise ValueError("lid_u needs y_walls=True")
     P = Q * X
     # 10 MiB-of-16 convention = 1.6x Mosaic headroom over the accounted
     # slabs; this kernel's actual scoped need measured 1.49x (35.41 MiB
     # at B=32/Z=128's 23.7 MiB slabs), so the old 12 MiB (1.33x) OOMs
     budget = 10 * 2 ** 20
-    # the body never reads abs_iota (x-walls are static plane wiring),
-    # so row aliasing is always safe — thin-Y channels run fused too
+    # without y-walls the body never reads abs_iota (x-walls are static
+    # plane wiring), so row aliasing is safe — thin-Y channels run
+    # fused; y-wall masks extract by absolute row, so those need
+    # alias-free slabs (Y >= B + 16)
     block_rows = resolve_block_rows((P,), P, Y, Z, dtype, budget,
-                                    block_rows, True)
+                                    block_rows, not y_walls)
     itemsize = jnp.dtype(dtype).itemsize
     budget_eff = int(budget * _BUDGET_SCALE)  # resolve scales the same way
     need = (2 * P * (block_rows + 2 * HALO)
@@ -127,11 +145,17 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
             f"block_rows={block_rows}); reduce X*Z below "
             f"~{budget_eff // ((2 * (8 + 2 * HALO) + 2 * 8) * Q * itemsize)}")
     gz = float(force_z)
+    y_out_lo = tuple(k for k in range(1, Q) if CY[k] < 0)
+    y_out_hi = tuple(k for k in range(1, Q) if CY[k] > 0)
+    z_out_lo = tuple(k for k in range(1, Q) if CZ[k] < 0)
+    z_out_hi = tuple(k for k in range(1, Q) if CZ[k] > 0)
 
     def body(block, abs_iota, i):
         rows = block.shape[1]
         width = block.shape[2]
         f = [[block[Q * x + k] for k in range(Q)] for x in range(X)]
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1) \
+            if z_walls else None
 
         for _ in range(substeps):
             coll = [_collide_x(f[x], omega, gz) for x in range(X)]
@@ -151,6 +175,33 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
                         # halfway x-wall: full reversal arrives at the
                         # SAME cell — no y/z displacement, no masks
                         new[x][k] = coll[x][OPP[k]]
+
+            # y faces: no-slip at y = -1/2, moving lid (along +z,
+            # standard 6 w_k c.u_w correction) at y = Y - 1/2; applied
+            # every sweep so the masks cut the cross-wall dependency
+            # (temporal-blocking validity, thermal-kernel argument)
+            if y_walls:
+                for x in range(X):
+                    for k in y_out_lo:
+                        new[x][OPP[k]] = jnp.where(
+                            abs_iota == 0, coll[x][k], new[x][OPP[k]])
+                    for k in y_out_hi:
+                        src = coll[x][k]
+                        if lid_u and CZ[k]:
+                            src = src - (6.0 * WQ[k] * CZ[k] * lid_u)
+                        new[x][OPP[k]] = jnp.where(
+                            abs_iota == Y - 1, src, new[x][OPP[k]])
+            # z faces after y (z wins shared edges, like the 2-D cavity
+            # kernels' column-after-row order); lanes have no halo, so
+            # the masks repair the periodic lane wrap every sweep
+            if z_walls:
+                for x in range(X):
+                    for k in z_out_lo:
+                        new[x][OPP[k]] = jnp.where(
+                            ci == 0, coll[x][k], new[x][OPP[k]])
+                    for k in z_out_hi:
+                        new[x][OPP[k]] = jnp.where(
+                            ci == width - 1, coll[x][k], new[x][OPP[k]])
             f = new
 
         out = [f[x][k] for x in range(X) for k in range(Q)]
@@ -160,5 +211,5 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
                                block_rows=block_rows,
                                vmem_budget=budget,
                                flops_per_cell=140 * X * substeps,
-                               allow_row_alias=True,
+                               allow_row_alias=not y_walls,
                                interpret=interpret)

@@ -104,3 +104,40 @@ def bounce_back_x(f_adve: jnp.ndarray, f_coll: jnp.ndarray,
     for k in ks:
         f_adve = f_adve.at[int(OPP3[k]), idx].set(f_coll[k, idx])
     return f_adve
+
+
+def wall_ks(axis: int, side: str):
+    """Outgoing directions through the ``axis`` = -1/2 ('lo') or
+    N-1/2 ('hi') face."""
+    sign = -1 if side == "lo" else 1
+    return tuple(int(k) for k in range(Q) if int(C3[axis, k]) * sign > 0)
+
+
+def bounce_back(f_adve: jnp.ndarray, f_coll: jnp.ndarray, axis: int,
+                side: str, u_wall=None, rho_w: float = 1.0) -> jnp.ndarray:
+    """Halfway bounce-back on any grid face, optionally moving.
+
+    Static: f_adve[opp(k), wall] = f_coll[k, wall] for every outgoing k
+    (generalises bounce_back_x to all three axes).  With ``u_wall``
+    (a 3-tuple, the tangential lid velocity) the standard moving-wall
+    momentum correction applies:
+
+        f_opp = f_coll - 2 w_k rho_w (c_k . u_w) / cs^2
+              = f_coll - 6 w_k rho_w (c_k . u_w)
+
+    (the 3-D analog of the 2-D ABB lid, bc.anti_bounce_back with the
+    halfway-wall convention; rho_w = 1 is the standard constant-density
+    approximation)."""
+    idx = 0 if side == "lo" else -1
+    for k in wall_ks(axis, side):
+        sl = [int(OPP3[k]), slice(None), slice(None), slice(None)]
+        sl[1 + axis] = idx
+        src = [k, slice(None), slice(None), slice(None)]
+        src[1 + axis] = idx
+        val = f_coll[tuple(src)]
+        if u_wall is not None:
+            cu = sum(float(C3[a, k]) * float(u_wall[a]) for a in range(3))
+            if cu:
+                val = val - (6.0 * float(W3[k]) * rho_w * cu)
+        f_adve = f_adve.at[tuple(sl)].set(val)
+    return f_adve

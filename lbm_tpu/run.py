@@ -61,6 +61,7 @@ def _register_all():
         "sc_cs_interface": shan_chen.sc_cs_interface,
         "poiseuille_3d": three_d.poiseuille_3d,
         "taylor_green_3d": three_d.taylor_green_3d,
+        "lid_cavity_3d": three_d.lid_cavity_3d,
     })
 
 

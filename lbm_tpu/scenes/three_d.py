@@ -215,3 +215,69 @@ def taylor_green_3d(N: int = 32, T: int = 400, tau: float = 0.8,
     den = (exact ** 2).sum()
     return ThreeDResult(f=f, rho=rho, u=u, steps=T,
                         l2=float(np.sqrt(num / den)))
+
+
+def lid_cavity_3d(X: int = 8, Y: int = 64, Z: int = 128, T: int = 20000,
+                  Re: float = 100.0, u_lid: float = 0.05,
+                  x_walls: bool = True,
+                  mesh_shape: tuple[int, int] | None = None,
+                  fused: bool | None = None, substeps: int = 1,
+                  interpret: bool = False,
+                  dtype=None) -> ThreeDResult:
+    """3-D lid-driven cavity: no-slip on every face except the
+    y = Y - 1/2 lid sliding along +z at ``u_lid``; viscosity from
+    ``Re = u_lid Z / nu``.  ``x_walls=False`` makes x periodic — the
+    flow is then exactly x-invariant (the quasi-2-D degeneracy
+    tests/test_d3q19.py gates at machine precision), the 3-D analog of
+    the z-invariant Taylor-Green embedding.  With ``x_walls=True`` the
+    end walls brake the core vortex — the genuinely 3-D benchmark
+    geometry (Ku/Shankar class); the dynamics are mirror-symmetric in x
+    (gated).
+
+    BC write order (x wiring, then y faces, then z faces — z wins the
+    shared edges) matches kernels.d3q19_pallas exactly; corners of the
+    lid face belong to the side walls (the halfway-wall convention the
+    2-D cavity kernels use)."""
+    dtype = default_float(dtype)
+    nu = u_lid * Z / Re
+    tau = 3.0 * nu + 0.5
+    omega = 1.0 / tau
+    lid = (0.0, 0.0, u_lid)
+
+    def step(f):
+        rho = d3q19.calc_rho(f)
+        u = d3q19.calc_u(f, rho)
+        f_coll = d3q19.bgk_collision(f, d3q19.equilibrium(u, rho), omega)
+        f_new = d3q19.stream(f_coll)
+        if x_walls:
+            f_new = d3q19.bounce_back(f_new, f_coll, 0, "lo")
+            f_new = d3q19.bounce_back(f_new, f_coll, 0, "hi")
+        f_new = d3q19.bounce_back(f_new, f_coll, 1, "lo")
+        f_new = d3q19.bounce_back(f_new, f_coll, 1, "hi", u_wall=lid)
+        f_new = d3q19.bounce_back(f_new, f_coll, 2, "lo")
+        f_new = d3q19.bounce_back(f_new, f_coll, 2, "hi")
+        return f_new
+
+    u0 = jnp.zeros((3, X, Y, Z), dtype)
+    f = d3q19.equilibrium(u0, jnp.ones((X, Y, Z), dtype))
+    fused = _resolve_fused3(fused, dtype, X, Y, Z, substeps)
+    if fused:
+        from ..kernels.d3q19_pallas import make_d3q19_fused_step
+
+        if mesh_shape is not None:
+            raise ValueError("fused=True runs single-chip")
+        if T % substeps:
+            raise ValueError("T must be divisible by substeps")
+        kstep = make_d3q19_fused_step(
+            X, Y, Z, omega=omega, x_walls=x_walls, y_walls=True,
+            z_walls=True, lid_u=u_lid, substeps=substeps, dtype=dtype,
+            interpret=interpret)
+        S = _drive(kstep, _pack(f, X, Y, Z), T // substeps,
+                   X * Y * Z, per_cell=0.35 * substeps)
+        f = _unpack(S, X, Y, Z)
+    else:
+        f = _drive(step, f, T, X * Y * Z, mesh_shape=mesh_shape)
+
+    rho = d3q19.calc_rho(f)
+    u = d3q19.calc_u(f, rho)
+    return ThreeDResult(f=f, rho=rho, u=u, steps=T)

@@ -419,9 +419,30 @@ def shan_chen():
     check("sc_cs_rho_liquid_vs_maxwell", cs.rho_l / rl, 0.98, 1.02)
 
 
+def cavity3d():
+    """3-D lid-driven cavity on the fused D3Q19 kernel (y/z wall masks
+    + moving lid + x end walls), production f32: primary vortex
+    structure and the x mirror symmetry (f64 CPU reference is exact;
+    f32 accumulates rounding asymmetry only)."""
+    import numpy as np
+
+    from lbm_tpu.scenes.three_d import lid_cavity_3d
+
+    r = lid_cavity_3d(X=8, Y=64, Z=128, T=20000, Re=100.0, u_lid=0.05,
+                      x_walls=True, fused=True, substeps=2)
+    u = np.asarray(r.u)
+    check("cavity3d_finite", float(np.isfinite(u).all()), 1.0, 1.0)
+    uz_mid = u[2, 4]                     # mid-depth (Y, Z) slice
+    check("cavity3d_lid_drag", float(uz_mid[-2].mean()), 0.01, 0.05)
+    check("cavity3d_return_flow", float(uz_mid[16].mean()), -0.05, -1e-3)
+    check("cavity3d_umax_bounded", float(np.abs(u).max()), 0.0, 0.06)
+    check("cavity3d_x_mirror_dev",
+          float(np.abs(u[2] - u[2, ::-1]).max()), 0.0, 1e-3)
+
+
 QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",
-         "les", "trt", "shan_chen"]
+         "les", "trt", "shan_chen", "cavity3d"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
         "ellipse"]
 

@@ -140,3 +140,72 @@ def test_fused_3d_matches_jnp():
     S3 = k3(_pack(f, X, Y, Z))
     np.testing.assert_allclose(np.asarray(S3), np.asarray(S), rtol=0,
                                atol=1e-13)
+
+
+def test_lid_cavity_3d_quasi2d_invariance_and_physics():
+    """x-periodic 3-D lid cavity: the flow stays exactly x-invariant
+    (every depth slice identical — the wall machinery introduces no
+    x-dependence), a primary vortex forms (forward flow under the lid,
+    return flow below), and mass is conserved."""
+    from lbm_tpu.scenes.three_d import lid_cavity_3d
+
+    r = lid_cavity_3d(X=4, Y=48, Z=48, T=3000, Re=100.0, u_lid=0.05,
+                      x_walls=False, fused=False, dtype=jnp.float64)
+    f = np.asarray(r.f)
+    assert np.isfinite(f).all()
+    # exact x-invariance of every population
+    assert np.abs(f - f[:, :1]).max() < 1e-13
+    assert abs(float(np.asarray(r.rho).sum()) / (4 * 48 * 48) - 1.0) < 1e-12
+    uz = np.asarray(r.u[2, 0])           # (Y, Z) slice
+    assert uz[-2].mean() > 0.01          # dragged along under the lid
+    assert uz[12].mean() < -1e-3         # return flow in the lower half
+    assert np.abs(np.asarray(r.u)).max() < 1.2 * 0.05
+
+
+def test_lid_cavity_3d_x_mirror_symmetry():
+    """With end walls on, the cavity dynamics are mirror-symmetric in x
+    (symmetric geometry + BCs): f(x) equals its x-reflection with the
+    x-reversed populations swapped, at machine precision."""
+    from lbm_tpu.ops.d3q19 import C3
+    from lbm_tpu.scenes.three_d import lid_cavity_3d
+
+    r = lid_cavity_3d(X=8, Y=24, Z=24, T=1500, Re=50.0, u_lid=0.05,
+                      x_walls=True, fused=False, dtype=jnp.float64)
+    f = np.asarray(r.f)
+    # mirror map: k -> k' with c_k' = (-cx, cy, cz)
+    mirror = []
+    for k in range(19):
+        tgt = (-C3[0, k], C3[1, k], C3[2, k])
+        mirror.append(next(j for j in range(19)
+                           if tuple(C3[:, j]) == tgt))
+    assert np.abs(f - f[mirror, ::-1]).max() < 1e-12
+
+
+def test_lid_cavity_3d_fused_matches_jnp():
+    """The fused kernel's y/z-wall + moving-lid masks equal the jnp
+    oracle at 1e-13 in f64 (interpret), substeps 1 and 2, with and
+    without x end walls."""
+    from lbm_tpu.kernels.d3q19_pallas import make_d3q19_fused_step
+    from lbm_tpu.ops import d3q19
+    from lbm_tpu.scenes.three_d import _pack, _unpack, lid_cavity_3d
+
+    X, Y, Z = 2, 32, 128
+    for x_walls in (False, True):
+        want = lid_cavity_3d(X=X, Y=Y, Z=Z, T=4, Re=100.0, u_lid=0.05,
+                             x_walls=x_walls, fused=False,
+                             dtype=jnp.float64).f
+        for substeps in (1, 2):
+            nu = 0.05 * Z / 100.0
+            step = make_d3q19_fused_step(
+                X, Y, Z, omega=1.0 / (3.0 * nu + 0.5), x_walls=x_walls,
+                y_walls=True, z_walls=True, lid_u=0.05,
+                substeps=substeps, dtype=jnp.float64, block_rows=8,
+                interpret=True)
+            S = _pack(d3q19.equilibrium(
+                jnp.zeros((3, X, Y, Z), jnp.float64),
+                jnp.ones((X, Y, Z), jnp.float64)), X, Y, Z)
+            for _ in range(4 // substeps):
+                S = step(S)
+            got = _unpack(S, X, Y, Z)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=0, atol=1e-13)
