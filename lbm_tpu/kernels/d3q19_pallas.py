@@ -144,13 +144,41 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
             f"D3Q19 slab needs {need >> 20} MiB VMEM (X={X}, Z={Z}, "
             f"block_rows={block_rows}); reduce X*Z below "
             f"~{budget_eff // ((2 * (8 + 2 * HALO) + 2 * 8) * Q * itemsize)}")
+    run = make_d3q19_body(X, Y, Z, omega=omega, force_z=force_z,
+                          x_walls=x_walls, y_walls=y_walls,
+                          z_walls=z_walls, lid_u=lid_u,
+                          substeps=substeps)
+
+    def body(block, abs_iota, i):
+        return run(block, abs_iota, True)
+
+    return make_block_pipeline(P, Y, Z, body, dtype=dtype,
+                               block_rows=block_rows,
+                               vmem_budget=budget,
+                               flops_per_cell=140 * X * substeps,
+                               allow_row_alias=not y_walls,
+                               interpret=interpret)
+
+
+def make_d3q19_body(X: int, Y: int, Z: int, *, omega: float,
+                    force_z: float = 0.0, x_walls: bool = False,
+                    y_walls: bool = False, z_walls: bool = False,
+                    lid_u: float = 0.0, substeps: int = 1):
+    """The per-slab D3Q19 step body on the flattened (19 X, rows, Z)
+    state: ``run(block, abs_iota, row_edges) -> (19 X, rows - 16, Z)``
+    — the generic body contract, shared by the single-chip pipeline and
+    the row-sharded halo-input wrapper (sharded_pallas.
+    make_sharded_body_step, which shards the y/row axis; abs_iota then
+    carries GLOBAL rows via scalar prefetch so the y-face masks fire on
+    the right ranks; ``row_edges=False`` skips them on interior
+    ranks)."""
     gz = float(force_z)
     y_out_lo = tuple(k for k in range(1, Q) if CY[k] < 0)
     y_out_hi = tuple(k for k in range(1, Q) if CY[k] > 0)
     z_out_lo = tuple(k for k in range(1, Q) if CZ[k] < 0)
     z_out_hi = tuple(k for k in range(1, Q) if CZ[k] > 0)
 
-    def body(block, abs_iota, i):
+    def run(block, abs_iota, row_edges):
         rows = block.shape[1]
         width = block.shape[2]
         f = [[block[Q * x + k] for k in range(Q)] for x in range(X)]
@@ -180,7 +208,7 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
             # standard 6 w_k c.u_w correction) at y = Y - 1/2; applied
             # every sweep so the masks cut the cross-wall dependency
             # (temporal-blocking validity, thermal-kernel argument)
-            if y_walls:
+            if y_walls and row_edges:
                 for x in range(X):
                     for k in y_out_lo:
                         new[x][OPP[k]] = jnp.where(
@@ -207,9 +235,4 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
         out = [f[x][k] for x in range(X) for k in range(Q)]
         return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
 
-    return make_block_pipeline(P, Y, Z, body, dtype=dtype,
-                               block_rows=block_rows,
-                               vmem_budget=budget,
-                               flops_per_cell=140 * X * substeps,
-                               allow_row_alias=not y_walls,
-                               interpret=interpret)
+    return run

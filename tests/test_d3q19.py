@@ -209,3 +209,41 @@ def test_lid_cavity_3d_fused_matches_jnp():
             got = _unpack(S, X, Y, Z)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=0, atol=1e-13)
+
+
+def test_sharded_d3q19_lid_cavity_matches_single_chip():
+    """The depth-as-planes body rides the generic row-sharded wrapper
+    (sharding the y axis over 8 ranks, ppermute halos): equal to the
+    single-chip fused kernel at 1e-13 in f64, full cavity BC stack
+    (x end walls + y walls + moving lid + z walls), substeps=2."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lbm_tpu.kernels.d3q19_pallas import (
+        make_d3q19_body, make_d3q19_fused_step)
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_body_step
+    from lbm_tpu.ops import d3q19
+    from lbm_tpu.parallel import mesh as meshmod
+    from lbm_tpu.scenes.three_d import _pack
+
+    X, Y, Z = 2, 192, 128
+    kw = dict(omega=1.0 / 0.8, x_walls=True, y_walls=True, z_walls=True,
+              lid_u=0.05, substeps=2)
+    single = make_d3q19_fused_step(X, Y, Z, dtype=jnp.float64,
+                                   block_rows=8, interpret=True, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    run = make_d3q19_body(X, Y, Z, **kw)
+    sharded = make_sharded_body_step(m, 19 * X, Y, Z, run,
+                                     dtype=jnp.float64, block_rows=8,
+                                     interpret=True)
+    S0 = _pack(d3q19.equilibrium(
+        jnp.zeros((3, X, Y, Z), jnp.float64),
+        jnp.ones((X, Y, Z), jnp.float64)
+        + 0.01 * jnp.cos(jnp.arange(Y, dtype=jnp.float64)
+                         * (2 * np.pi / Y))[None, :, None]), X, Y, Z)
+    want = single(single(S0))
+    got = sharded(meshmod.shard_state(m, S0))
+    got = sharded(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-13)
