@@ -245,6 +245,15 @@ def build_step(args, H, W):
                                                 (H, W), dtype)
         f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho_sc)
         impl = "pallas"
+    elif args.model == "plaw":
+        from lbm_tpu.kernels.power_law_pallas import make_power_law_fused_step
+        from lbm_tpu.scenes.ulbm import double_shear_init
+
+        step = make_power_law_fused_step(H, W, cons_K=0.01, n=0.5,
+                                         substeps=args.substeps, dtype=dtype)
+        m0, us = double_shear_init(H, W, 0.05, dtype=dtype)
+        f = d2q9.equilibrium(us, m0)
+        impl = "pallas"
     elif args.model == "trt":
         from lbm_tpu.kernels.trt_pallas import make_trt_fused_step
         from lbm_tpu.models.trt import omega_minus_from_magic
@@ -405,7 +414,8 @@ def main():
                     choices=["bgk", "kbc", "mrtcg", "mrtcg_full",
                              "csf", "csf_full", "rk", "sc",
                              "cavity", "cylinder", "falling", "sediment",
-                             "thermal", "thermal5", "les", "trt", "d3q19"],
+                             "thermal", "thermal5", "les", "trt", "plaw",
+                             "d3q19"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],

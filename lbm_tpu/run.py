@@ -35,6 +35,7 @@ def _register_all():
         "gravity_channel": channel.gravity_channel,
         "specular_channel": channel.specular_channel,
         "trt_poiseuille": channel.trt_poiseuille,
+        "power_law_channel": channel.power_law_channel,
         "free_stream": channel.free_stream,
         "ulbm_poiseuille": ulbm.ulbm_poiseuille,
         "ulbm_double_shear": ulbm.ulbm_double_shear,

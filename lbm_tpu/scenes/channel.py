@@ -617,3 +617,88 @@ def horizontal_poiseuille_df64(H: int = 21, W: int = 21, T: int = 8301,
     l2 = poiseuille_l2(u[0], u_max)
     return ChannelResult(f=f, rho=jnp.asarray(rho), u=jnp.asarray(u),
                          steps=T, l2=l2)
+
+
+def power_law_analytic_profile(y: np.ndarray, h: float, cons_K: float,
+                               n: float, g: float) -> np.ndarray:
+    """Steady force-driven planar Poiseuille of a power-law fluid:
+    u(y) = n/(n+1) (G/K)^(1/n) (h^((n+1)/n) - |y|^((n+1)/n)), y from the
+    centerline, walls at |y| = h (halfway bounce-back plane)."""
+    e = (n + 1.0) / n
+    return (n / (n + 1.0)) * (g / cons_K) ** (1.0 / n) * (
+        h ** e - np.abs(y) ** e)
+
+
+def bingham_analytic_profile(y: np.ndarray, h: float, cons_K: float,
+                             sigma_y: float, g: float) -> np.ndarray:
+    """Steady force-driven planar Poiseuille of a Bingham plastic: a
+    rigid plug inside the yield surface |y| <= y_p = sigma_y/g, the
+    shifted parabola outside."""
+    y_p = sigma_y / g
+    ya = np.minimum(np.abs(y), h)
+    outer = g / (2.0 * cons_K) * (h * h - ya * ya) \
+        - sigma_y / cons_K * (h - ya)
+    plug = g / (2.0 * cons_K) * (h - y_p) ** 2
+    return np.where(np.abs(y) <= y_p, plug, outer)
+
+
+def power_law_channel(H: int = 8, W: int = 41, T: int = 60000,
+                      n: float = 0.5, cons_K: float = 0.01,
+                      fg: float = 4.2e-5,
+                      tau_min: float = 0.52, tau_max: float = 50.0,
+                      iters: int = 8, sigma_y: float = 0.0,
+                      m_pap: float = 1e4, tolerance: float = 1e-12,
+                      dtype=None) -> ChannelResult:
+    """Body-force-driven channel of a truncated power-law fluid (a
+    Herschel-Bulkley / Bingham plastic when ``sigma_y > 0``) — BEYOND
+    THE REFERENCE (models.power_law; the reference is Newtonian-only,
+    src/solver.cpp:65-74).  Periodic along rows, halfway bounce-back
+    side walls, STANDARD Guo forcing (u* = u + F/2rho, full-strength
+    ics2=3/ics4=9 coefficients — not the reference drivers' weak
+    variant) with the per-cell omega in both the relaxation and the
+    source prefactor.  Converges on mean(u_x) like _converged_run and
+    returns the per-cell tau field in ``snapshots['tau']``."""
+    from ..models.power_law import apparent_tau
+
+    dtype = default_float(dtype)
+    fgv = jnp.asarray([fg, 0.0], dtype)[:, None, None]
+
+    def tau_of(f, f_eq, rho):
+        return apparent_tau(f, f_eq, rho, cons_K, n, tau_min, tau_max,
+                            iters, sigma_y, m_pap)
+
+    def macro(f):
+        rho = d2q9.calc_rho(f)
+        u = d2q9.calc_u(f, rho) + 0.5 * fgv / rho
+        return rho, u
+
+    def step(f):
+        rho, u = macro(f)
+        f_eq = d2q9.equilibrium(u, rho)
+        om = 1.0 / tau_of(f, f_eq, rho)
+        f_coll = d2q9.bgk_collision(f, f_eq, om) \
+            + d2q9.guo_source(u, fgv, om, ics2=3.0, ics4=9.0)
+        f_new = d2q9.stream(f_coll)
+        f_new = bc.bounce_back(f_new, f_coll, "colN")
+        f_new = bc.bounce_back(f_new, f_coll, "col0")
+        return f_new
+
+    f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype),
+                         jnp.ones((H, W), dtype))
+    chunk = jax.jit(lambda g, k: jax.lax.fori_loop(
+        0, k, lambda _, x: step(x), g), static_argnums=1)
+    mean_ux = jax.jit(lambda g: jnp.mean(macro(g)[1][0]))
+    f = chunk(f, 1)
+    steps, old_mean = 1, 1.0
+    while steps < T:
+        mean = float(mean_ux(f))
+        if old_mean != 0.0 and abs(mean / old_mean - 1.0) < tolerance:
+            break
+        old_mean = mean
+        k = min(200, T - steps)
+        f = chunk(f, k)
+        steps += k
+    rho, u = macro(f)
+    tau = tau_of(f, d2q9.equilibrium(u, rho), rho)
+    return ChannelResult(f=f, rho=rho, u=u, steps=steps,
+                         snapshots={"tau": np.asarray(tau)})

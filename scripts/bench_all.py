@@ -45,6 +45,8 @@ CONFIGS = {
             "--steps", "800"],
     "sc": ["--model", "sc", "--rows", "1024", "--cols", "512",
            "--steps", "800"],
+    "plaw": ["--model", "plaw", "--rows", "1024", "--cols", "512",
+             "--steps", "800"],
     "d3q19": ["--model", "d3q19", "--rows", "512", "--cols", "512",
               "--steps", "200"],
     "bgk_sharded": ["--model", "bgk", "--sharded", "--rows", "4096",
