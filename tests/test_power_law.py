@@ -81,7 +81,7 @@ def test_tau_monotone_with_shear_thinning():
 
 
 def _channel_params(n, cons_K, u_max, W):
-    """Force G and wall shear rate for a target centerline u_max."""
+    """Force G for a target centerline u_max (via the wall shear rate)."""
     h = W / 2.0
     gdot_w = (n + 1.0) / n * u_max / h
     return cons_K * gdot_w ** n / h
