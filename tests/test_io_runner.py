@@ -109,6 +109,32 @@ def test_cli_runner_end_to_end(tmp_path):
     assert np.isfinite(u).all()
 
 
+def test_cli_from_foreign_cwd(tmp_path):
+    """Packaging gate: the installed package (pip install -e .) must run
+    from ANY working directory — `python -m lbm_tpu.run` and, when on
+    PATH, the `lbm-tpu` console script (pyproject [project.scripts])."""
+    import shutil
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = str(tmp_path / "hp")
+    argv = ["horizontal_poiseuille", "--x64", "--set", "T=20",
+            "--set", "H=9", "--set", "W=9", "--out", out]
+    r = subprocess.run([sys.executable, "-m", "lbm_tpu.run"] + argv,
+                       capture_output=True, text=True, env=env,
+                       cwd=str(tmp_path))
+    if r.returncode != 0 and "No module named" in r.stderr:
+        pytest.skip("lbm_tpu not installed (run: pip install -e .)")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert np.isfinite(np.load(out + "-u.npy")).all()
+    script = shutil.which("lbm-tpu")
+    if script:
+        r = subprocess.run([script] + argv, capture_output=True, text=True,
+                           env=env, cwd=str(tmp_path))
+        assert r.returncode == 0, r.stderr[-2000:]
+
+
 def test_ibm_from_toml():
     from lbm_tpu.ops.ibm import IBM
 
