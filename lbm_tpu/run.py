@@ -124,6 +124,15 @@ def main(argv=None):
     ap.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="override a scene keyword, e.g. --set T=1000")
     ap.add_argument("--out", default=None, help="output prefix for .npy dumps")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="enable periodic checkpoint/resume (scenes that "
+                    "support it): checkpoints land here, and a run started "
+                    "with a non-empty dir resumes from its newest checkpoint")
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    metavar="N", help="checkpoint cadence in steps")
+    ap.add_argument("--resume", action="store_true",
+                    help="require an existing checkpoint in --checkpoint-dir "
+                    "(fail fast instead of silently starting fresh)")
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (the reference's precision)")
@@ -152,6 +161,20 @@ def main(argv=None):
             kwargs["markers_path"] = args.markers
         else:
             ap.error(f"scene {args.scene} does not take --markers")
+    if args.checkpoint_dir:
+        if "checkpoint_dir" not in params:
+            ap.error(f"scene {args.scene} does not support --checkpoint-dir")
+        kwargs["checkpoint_dir"] = args.checkpoint_dir
+        if args.checkpoint_every is not None:
+            kwargs["checkpoint_every"] = args.checkpoint_every
+        if args.resume:
+            from .io.checkpoint import latest
+
+            if latest(args.checkpoint_dir) is None:
+                ap.error(f"--resume: no checkpoint found in "
+                         f"{args.checkpoint_dir}")
+    elif args.resume:
+        ap.error("--resume requires --checkpoint-dir")
     for item in args.set:
         key, _, val = item.partition("=")
         try:

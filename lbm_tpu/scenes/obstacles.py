@@ -545,6 +545,8 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
                       zeta: float = 2.0, eps: float = 50.0,
                       row_slack: int | None = None,
                       fused: bool | None = None, interpret: bool = False,
+                      checkpoint_dir: str | None = None,
+                      checkpoint_every: int = 10000,
                       dtype=None) -> FallingCylindersResult:
     """B rigid cylinders sedimenting in a closed channel — the classic
     drafting-kissing-tumbling (DKT) configuration with the default two
@@ -656,7 +658,8 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
                  pack_states(cen0, dtype=dtype))
         carry, trajectory = _drive_rigid(
             fused_step, carry, T, record_every, H * W, _FUSED_NS,
-            lambda c: c[2][:B, :6])
+            lambda c: c[2][:B, :6],
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
         f, _F, st = carry
         return _finish(f, st[:B, :2], st[:B, 2:4], trajectory)
 
@@ -706,7 +709,8 @@ def falling_cylinders(H: int = 800, W: int = 128, T: int = 40000,
              jnp.zeros((B, 2), dtype))
     carry, trajectory = _drive_rigid(
         step, carry, T, record_every, H * W, _JNP_NS,
-        lambda c: jnp.concatenate([c[1], c[2], c[3]], axis=1))
+        lambda c: jnp.concatenate([c[1], c[2], c[3]], axis=1),
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
     f, cen, ub, _ = carry
     return _finish(f, cen, ub, trajectory)
 
@@ -791,6 +795,8 @@ def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
                     gravity: float = 2e-4, omega: float = 1.0 / 0.6,
                     m_max: int = 5, record_every: int = 10,
                     fused: bool | None = None, interpret: bool = False,
+                    checkpoint_dir: str | None = None,
+                    checkpoint_every: int = 10000,
                     dtype=None) -> FallingEllipseResult:
     """Sedimenting rigid ELLIPSE with full translation + ROTATION
     coupling — torque exchange beyond falling_cylinder's symmetric
@@ -867,7 +873,8 @@ def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
                  pack_state_rot(center, cs0, dtype=dtype))
         carry, trajectory = _drive_rigid(
             fused_step, carry, T, record_every, H * W, _FUSED_NS,
-            lambda c: c[2][0, :10])
+            lambda c: c[2][0, :10],
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
         f, _F, st = carry
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
@@ -888,7 +895,8 @@ def falling_ellipse(H: int = 800, W: int = 256, T: int = 40000,
     carry, trajectory = _drive_rigid(
         step, carry, T, record_every, H * W, _JNP_NS,
         lambda c: jnp.concatenate([c[1], c[2], c[5], c[3], c[4][None],
-                                   c[6][None]]))
+                                   c[6][None]]),
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
     f, cen, ub, cs, w, _, _ = carry
     rho = d2q9.calc_rho(f)
     u = d2q9.calc_u(f, rho)
@@ -914,6 +922,8 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
                      gravity: float = 5e-5, omega: float = 1.0 / 0.6,
                      m_max: int = 5, record_every: int = 10,
                      fused: bool | None = None, interpret: bool = False,
+                     checkpoint_dir: str | None = None,
+                     checkpoint_every: int = 10000,
                      dtype=None) -> FallingCylinderResult:
     """Sedimenting rigid cylinder via moving-marker IBM — fluid-structure
     coupling beyond the reference's static markers (src/ibm.cpp:15-191
@@ -1007,7 +1017,8 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
         carry = (f, jnp.zeros((2, H, W), dtype), pack_state(center, dtype=dtype))
         carry, trajectory = _drive_rigid(
             fused_step, carry, T, record_every, H * W, _FUSED_NS,
-            lambda c: c[2][0, :6])
+            lambda c: c[2][0, :6],
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
         f, _F, st = carry
         rho = d2q9.calc_rho(f)
         u = d2q9.calc_u(f, rho)
@@ -1054,7 +1065,8 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
              jnp.zeros((2,), dtype))
     carry, trajectory = _drive_rigid(
         step, carry, T, record_every, H * W, _JNP_NS,
-        lambda c: jnp.concatenate([c[1], c[2], c[3]]))
+        lambda c: jnp.concatenate([c[1], c[2], c[3]]),
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
     f, cen, ub, _ = carry
     rho = d2q9.calc_rho(f)
     u = d2q9.calc_u(f, rho)

@@ -33,7 +33,7 @@ import numpy as np
 from ..models import shan_chen as sc
 from ..ops import d2q9
 from ..utils import observe
-from ..utils.xmath import default_float, launch_cap, resolve_fused
+from ..utils.xmath import default_float, resolve_fused
 
 
 @dataclass
@@ -53,7 +53,9 @@ class SCResult:
 def _drive(f, T: int, omega: float, G: float, substeps: int,
            fused: bool, interpret: bool, H: int, W: int,
            eos: str = "sc", T_eos: float | None = None,
-           forcing: str | None = None):
+           forcing: str | None = None,
+           checkpoint_dir: str | None = None,
+           checkpoint_every: int = 10000):
     if fused:
         from ..kernels.shan_chen_pallas import make_sc_fused_step
 
@@ -73,18 +75,11 @@ def _drive(f, T: int, omega: float, G: float, substeps: int,
         def step(x):
             return sc.step(x, omega, G_r, psi_fn, forcing_r)
 
-    chunk = jax.jit(
-        lambda x, n: jax.lax.fori_loop(0, n, lambda _, y: step(y), x),
-        static_argnums=1)
-    done = 0
-    calls = T // substeps
     per_cell = 0.15 * substeps if fused else 0.8
-    while done < calls:
-        n = min(launch_cap(f.shape[1] * f.shape[2], per_cell),
-                calls - done)
-        f = chunk(f, n)
-        done += n
-        observe.check_finite(f, done * substeps)
+    f, _ = observe.drive_chunked(
+        step, f, T // substeps, 0, H * W, per_cell, None,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=max(1, checkpoint_every // substeps))
     return f
 
 
@@ -93,7 +88,10 @@ def sc_phase_separation(H: int = 128, W: int = 128, T: int = 4000,
                         rho_mean: float = 0.7, noise: float = 0.02,
                         seed: int = 0, substeps: int = 1,
                         fused: bool | None = None,
-                        interpret: bool = False, dtype=None) -> SCResult:
+                        interpret: bool = False,
+                        checkpoint_dir: str | None = None,
+                        checkpoint_every: int = 10000,
+                        dtype=None) -> SCResult:
     """Spinodal decomposition: uniform rho near the critical density
     (ln 2) + noise separates into liquid/vapor for G < -4 and stays
     mixed for G > -4 (tests/test_shan_chen.py gates both)."""
@@ -102,7 +100,9 @@ def sc_phase_separation(H: int = 128, W: int = 128, T: int = 4000,
     key = jax.random.PRNGKey(seed)
     rho0 = rho_mean + noise * jax.random.normal(key, (H, W), dtype)
     f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho0)
-    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W)
+    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W,
+               checkpoint_dir=checkpoint_dir,
+               checkpoint_every=checkpoint_every)
     rho, u, _ = sc.macroscopics(f, G)
     return SCResult(f=f, rho=rho, u=u, steps=T,
                     rho_l=float(rho.max()), rho_v=float(rho.min()))
@@ -119,6 +119,8 @@ def sc_static_droplet(H: int = 128, W: int = 128, T: int = 10000,
                       radius: float = 25.0, G: float = -5.0,
                       tau: float = 1.0, substeps: int = 1,
                       fused: bool | None = None, interpret: bool = False,
+                      checkpoint_dir: str | None = None,
+                      checkpoint_every: int = 10000,
                       dtype=None) -> SCResult:
     """Liquid droplet in vapor: relax a tanh disk and measure the bulk
     EOS pressure jump dP = P(center) - P(corner); the Laplace law
@@ -130,7 +132,9 @@ def sc_static_droplet(H: int = 128, W: int = 128, T: int = 10000,
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
     rho0 = _tanh_disk(H, W, radius, 1.93, 0.16, 3.0, dtype)
     f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho0)
-    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W)
+    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W,
+               checkpoint_dir=checkpoint_dir,
+               checkpoint_every=checkpoint_every)
     rho, u, _ = sc.macroscopics(f, G)
     p_c = sc.pressure(rho[H // 2, W // 2], G)
     p_far = sc.pressure(rho[0, 0], G)
@@ -143,7 +147,10 @@ def sc_static_droplet(H: int = 128, W: int = 128, T: int = 10000,
 def sc_flat_interface(H: int = 256, W: int = 128, T: int = 20000,
                       G: float = -5.0, tau: float = 1.0,
                       substeps: int = 1, fused: bool | None = None,
-                      interpret: bool = False, dtype=None) -> SCResult:
+                      interpret: bool = False,
+                      checkpoint_dir: str | None = None,
+                      checkpoint_every: int = 10000,
+                      dtype=None) -> SCResult:
     """1-D liquid slab (rows [H/4, 3H/4)) between vapor: coexistence
     densities and mechanical equilibrium.  Gates: bulk EOS pressures
     equal across the flat interface (no curvature -> no Laplace jump)
@@ -156,7 +163,9 @@ def sc_flat_interface(H: int = 256, W: int = 128, T: int = 20000,
         * (1.0 + jnp.tanh((3.0 * H / 4.0 - x) / 3.0)))
     rho0 = prof * jnp.ones((1, W), dtype)
     f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype), rho0)
-    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W)
+    f = _drive(f, T, 1.0 / tau, G, substeps, fused, interpret, H, W,
+               checkpoint_dir=checkpoint_dir,
+               checkpoint_every=checkpoint_every)
     rho, u, _ = sc.macroscopics(f, G)
     rho_l = float(rho[H // 2].mean())
     rho_v = float(rho[0].mean())
@@ -169,7 +178,10 @@ def sc_flat_interface(H: int = 256, W: int = 128, T: int = 20000,
 def sc_cs_interface(H: int = 128, W: int = 128, T: int = 20000,
                     T_red: float = 0.7, tau: float = 1.0,
                     substeps: int = 1, fused: bool | None = None,
-                    interpret: bool = False, dtype=None) -> SCResult:
+                    interpret: bool = False,
+                    checkpoint_dir: str | None = None,
+                    checkpoint_every: int = 10000,
+                    dtype=None) -> SCResult:
     """Carnahan-Starling liquid slab at reduced temperature
     ``T_red = T/T_c``: HIGH-density-ratio coexistence (measured ratios
     65 at T_red = 0.7, 870 at 0.6 in f64 — far beyond the exponential
@@ -190,7 +202,8 @@ def sc_cs_interface(H: int = 128, W: int = 128, T: int = 20000,
     f = d2q9.equilibrium(jnp.zeros((2, H, W), dtype),
                          prof * jnp.ones((1, W), dtype))
     f = _drive(f, T, 1.0 / tau, None, substeps, fused, interpret, H, W,
-               eos="cs", T_eos=T_eos)
+               eos="cs", T_eos=T_eos, checkpoint_dir=checkpoint_dir,
+               checkpoint_every=checkpoint_every)
     from ..kernels.shan_chen_pallas import resolve_eos
 
     psi_fn, G_r, _ = resolve_eos("cs", None, T_eos, None)

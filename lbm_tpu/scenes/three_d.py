@@ -27,8 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import d3q19
-from ..utils.observe import check_finite
-from ..utils.xmath import default_float, launch_cap
+from ..utils.xmath import default_float
 
 
 @dataclass
@@ -67,7 +66,8 @@ def _resolve_fused3(fused, dtype, X, Y, Z, substeps):
     return fused
 
 
-def _drive(step, f, T, n_cells, per_cell=1.2, mesh_shape=None):
+def _drive(step, f, T, n_cells, per_cell=1.2, mesh_shape=None,
+           checkpoint_dir=None, checkpoint_every=10000):
     if mesh_shape is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -77,15 +77,11 @@ def _drive(step, f, T, n_cells, per_cell=1.2, mesh_shape=None):
         m = meshmod.make_mesh(shape=(ny, nz))
         f = jax.device_put(
             f, NamedSharding(m, P(None, None, "x", "y")))
-    chunk = jax.jit(
-        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
-        static_argnums=1)
-    done = 0
-    while done < T:
-        n = min(launch_cap(n_cells, per_cell), T - done)
-        f = chunk(f, n)
-        done += n
-        check_finite(f, done)
+    from ..utils.observe import drive_chunked
+
+    f, _ = drive_chunked(step, f, T, 0, n_cells, per_cell, None,
+                         checkpoint_dir=checkpoint_dir,
+                         checkpoint_every=checkpoint_every)
     return f
 
 
@@ -94,6 +90,8 @@ def poiseuille_3d(X: int = 24, Y: int = 8, Z: int = 8, T: int = 20000,
                   mesh_shape: tuple[int, int] | None = None,
                   fused: bool | None = None, substeps: int = 1,
                   interpret: bool = False,
+                  checkpoint_dir: str | None = None,
+                  checkpoint_every: int = 10000,
                   dtype=None) -> ThreeDResult:
     """Body-forced plane Poiseuille: no-slip walls on the x faces,
     periodic y/z, Guo force along z.  Steady analytic profile between
@@ -141,10 +139,14 @@ def poiseuille_3d(X: int = 24, Y: int = 8, Z: int = 8, T: int = 20000,
             X, Y, Z, omega=omega, force_z=force, x_walls=True,
             substeps=substeps, dtype=dtype, interpret=interpret)
         S = _drive(kstep, _pack(f, X, Y, Z), T // substeps,
-                   X * Y * Z, per_cell=0.3 * substeps)
+                   X * Y * Z, per_cell=0.3 * substeps,
+                   checkpoint_dir=checkpoint_dir,
+                   checkpoint_every=max(1, checkpoint_every // substeps))
         f = _unpack(S, X, Y, Z)
     else:
-        f = _drive(step, f, T, X * Y * Z, mesh_shape=mesh_shape)
+        f = _drive(step, f, T, X * Y * Z, mesh_shape=mesh_shape,
+                   checkpoint_dir=checkpoint_dir,
+                   checkpoint_every=checkpoint_every)
 
     rho = d3q19.calc_rho(f)
     u = d3q19.calc_u(f, rho)
@@ -161,6 +163,8 @@ def taylor_green_3d(N: int = 32, T: int = 400, tau: float = 0.8,
                     mesh_shape: tuple[int, int] | None = None,
                     fused: bool | None = None, substeps: int = 1,
                     interpret: bool = False,
+                    checkpoint_dir: str | None = None,
+                    checkpoint_every: int = 10000,
                     dtype=None) -> ThreeDResult:
     """z-invariant Taylor-Green vortex on a triply periodic N^3 box —
     an exact 3-D Navier-Stokes solution with uniform decay
@@ -202,10 +206,14 @@ def taylor_green_3d(N: int = 32, T: int = 400, tau: float = 0.8,
             N, N, N, omega=omega, substeps=substeps, dtype=dtype,
             interpret=interpret)
         S = _drive(kstep, _pack(f, N, N, N), T // substeps, N ** 3,
-                   per_cell=0.3 * substeps)
+                   per_cell=0.3 * substeps,
+                   checkpoint_dir=checkpoint_dir,
+                   checkpoint_every=max(1, checkpoint_every // substeps))
         f = _unpack(S, N, N, N)
     else:
-        f = _drive(step, f, T, N ** 3, mesh_shape=mesh_shape)
+        f = _drive(step, f, T, N ** 3, mesh_shape=mesh_shape,
+                   checkpoint_dir=checkpoint_dir,
+                   checkpoint_every=checkpoint_every)
 
     rho = d3q19.calc_rho(f)
     u = d3q19.calc_u(f, rho)
@@ -223,6 +231,8 @@ def lid_cavity_3d(X: int = 8, Y: int = 64, Z: int = 128, T: int = 20000,
                   mesh_shape: tuple[int, int] | None = None,
                   fused: bool | None = None, substeps: int = 1,
                   interpret: bool = False,
+                  checkpoint_dir: str | None = None,
+                  checkpoint_every: int = 10000,
                   dtype=None) -> ThreeDResult:
     """3-D lid-driven cavity: no-slip on every face except the
     y = Y - 1/2 lid sliding along +z at ``u_lid``; viscosity from
@@ -273,10 +283,14 @@ def lid_cavity_3d(X: int = 8, Y: int = 64, Z: int = 128, T: int = 20000,
             z_walls=True, lid_u=u_lid, substeps=substeps, dtype=dtype,
             interpret=interpret)
         S = _drive(kstep, _pack(f, X, Y, Z), T // substeps,
-                   X * Y * Z, per_cell=0.35 * substeps)
+                   X * Y * Z, per_cell=0.35 * substeps,
+                   checkpoint_dir=checkpoint_dir,
+                   checkpoint_every=max(1, checkpoint_every // substeps))
         f = _unpack(S, X, Y, Z)
     else:
-        f = _drive(step, f, T, X * Y * Z, mesh_shape=mesh_shape)
+        f = _drive(step, f, T, X * Y * Z, mesh_shape=mesh_shape,
+                   checkpoint_dir=checkpoint_dir,
+                   checkpoint_every=checkpoint_every)
 
     rho = d3q19.calc_rho(f)
     u = d3q19.calc_u(f, rho)

@@ -25,16 +25,40 @@ class ULBMResult:
     m0: jnp.ndarray
     m1: jnp.ndarray
     steps: int
+    l2: float | None = None  # vs the analytic parabola (poiseuille only)
+
+
+def _ulbm_l2(u_x, u_max: float) -> float:
+    """Reference's row-averaged relative L2 vs the analytic parabola —
+    same metric as the hard horizontal_poiseuille gate
+    (horizontal_poiseuille_test.cpp:163-173), applied to the KBC
+    channel's cross-channel (columns) profile."""
+    from .channel import poiseuille_l2
+
+    return poiseuille_l2(np.asarray(u_x), u_max)
 
 
 def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
                     nu: float = 1e-4, u_max: float = 0.05,
                     fused: bool | None = None,
+                    tolerance: float | None = None,
+                    t_interval: int = 100,
+                    checkpoint_dir: str | None = None,
+                    checkpoint_every: int = 10000,
                     dtype=None) -> ULBMResult:
     """KBC channel with pressure-periodic inlet/outlet and no-slip side
     walls.  Parameters cite /root/reference/test/ulbm_poiseuille.cpp:64-85.
     ``fused=True`` runs the whole step (BCs included) as one Pallas kernel
-    (f32, W%128==0, H%8==0)."""
+    (f32, W%128==0, H%8==0).
+
+    The reference driver runs a FLAT 300k steps (ulbm_poiseuille.cpp:
+    105-147, no stop test); ``tolerance`` optionally adds the 1e-12
+    relative-mean-ux convergence watcher its single-phase siblings use
+    (horizontal_poiseuille_test.cpp:95,112-120) at the same ``t_interval``
+    = 100 cadence, so long-horizon steady-state studies stop when
+    converged.  ``l2`` on the result is the reference's row-averaged
+    relative L2 of u_x vs the analytic parabola.  ``checkpoint_dir``
+    enables uniform checkpoint/resume (utils.observe.drive_chunked)."""
     dtype = default_float(dtype)
     fused = resolve_fused(fused, dtype, rows=H, cols=W)
     omega = 1.0 / (0.5 + 3.0 * nu)
@@ -42,6 +66,23 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
     rho_outlet = 1.0
     rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
     model = kbc.KBCModel(s2=omega)
+
+    def watched_drive(step_or_chunk, carry, mean_ux):
+        """Convergence-watched loop (tolerance mode): chunked at
+        ``t_interval`` so the stop step matches the reference cadence."""
+        steps, old_mean = 0, 1.0
+        carry = step_or_chunk(carry, 1)
+        steps += 1
+        while steps < T:
+            mean = float(mean_ux(carry))
+            if old_mean != 0.0 and abs(mean / old_mean - 1.0) < tolerance:
+                break
+            old_mean = mean
+            n = min(t_interval, T - steps)
+            carry = step_or_chunk(carry, n)
+            steps += n
+            observe.check_finite(carry, steps)
+        return carry, steps
 
     if fused:
         from ..kernels.channel_pallas import make_channel_fused_step
@@ -53,16 +94,18 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
-        done = 0
-        meter = observe.StepMeter(H * W, total_steps=T)
-        while done < T:
-            n = min(launch_cap(H * W, 0.12), T - done)
-            f = chunk(f, n)
-            float(f[0, 0, 0])  # keep launches under the relay's ~2s ceiling
-            done += n
-            meter.update(n)
+        if tolerance is not None:
+            mean_ux = jax.jit(lambda g: jnp.mean(d2q9.calc_momentum(g)[0]))
+            f, steps = watched_drive(chunk, f, mean_ux)
+        else:
+            f, _ = observe.drive_chunked(
+                step, f, T, 0, H * W, 0.12, None,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every)
+            steps = T
         m0, u = model.macroscopics(f)
-        return ULBMResult(f=f, m0=m0, m1=u, steps=T)
+        return ULBMResult(f=f, m0=m0, m1=u, steps=steps,
+                          l2=_ulbm_l2(u[0], u_max))
 
     def step(carry):
         f, m0, u = carry
@@ -88,20 +131,22 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
     # first collide rebuilds f from moments).
     f = model.equilibrium(m0, u)
 
-    chunk = jax.jit(
-        lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
-        static_argnums=1,
-    )
     carry = (f, m0, u)
-    done = 0
-    meter = observe.StepMeter(H * W, total_steps=T)
-    while done < T:
-        n = min(10000, T - done)
-        carry = chunk(carry, n)
-        done += n
-        meter.update(n)
+    if tolerance is not None:
+        chunk = jax.jit(
+            lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
+            static_argnums=1)
+        mean_ux = jax.jit(lambda c: jnp.mean(c[2][0]))
+        carry, steps = watched_drive(chunk, carry, mean_ux)
+    else:
+        carry, _ = observe.drive_chunked(
+            step, carry, T, 0, H * W, 0.8, None,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every)
+        steps = T
     f, m0, u = carry
-    return ULBMResult(f=f, m0=m0, m1=u, steps=T)
+    return ULBMResult(f=f, m0=m0, m1=u, steps=steps,
+                      l2=_ulbm_l2(u[0], u_max))
 
 
 def double_shear_init(H: int, W: int, u_max: float, alpha: float = 80.0,

@@ -121,33 +121,81 @@ def check_finite(state, step_count: int) -> None:
 
 
 def drive_chunked(step, carry, T: int, record_every: int, n_cells: int,
-                  per_cell_ns: float, record_fn):
-    """Chunked host loop for scene time-stepping (falling-body and
-    thermal scenes).
+                  per_cell_ns: float, record_fn,
+                  checkpoint_dir: str | None = None,
+                  checkpoint_every: int = 10000):
+    """Chunked host loop for scene time-stepping (falling-body, thermal,
+    shan_chen, channel and 3-D scenes).
 
     Bounds every launch below the axon relay's ~2 s single-launch hang
     ceiling (utils.xmath.launch_cap with the chain's measured per-cell
     cost) and runs the NaN watchdog on every chunk boundary, in BOTH
     the recording and non-recording modes.  ``record_fn(carry)`` maps
     the carry to the row recorded every ``record_every`` steps; carry[0]
-    must be the population array (watchdog target).  Returns
-    ``(carry, series | None)`` with ``series`` stacked along axis 0.
-    """
+    (or the carry itself when it is a single array) is the watchdog
+    target.  Returns ``(carry, series | None)`` with ``series`` stacked
+    along axis 0.
+
+    ``checkpoint_dir`` turns on uniform checkpoint/resume (the reference
+    has no restart path at all, SURVEY.md section 5.4): the carry — and,
+    in recording mode, the series recorded so far — is written atomically
+    every >=``checkpoint_every`` steps via io.checkpoint.Checkpointer,
+    and a pre-existing checkpoint in the directory resumes the run from
+    its step, reproducing the uninterrupted result exactly (same chunk
+    boundaries are NOT required: the step function is a pure map, so only
+    the carry matters)."""
     import jax
     import numpy as np
 
     from .xmath import launch_cap
 
+    watchdog = (lambda c: c[0]) if isinstance(carry, (tuple, list)) \
+        else (lambda c: c)
+    ckpt, done, series = None, 0, []
+    if checkpoint_dir:
+        from ..io.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(checkpoint_dir, every=checkpoint_every)
+        restored, at_step = ckpt.restore_latest(
+            (carry, np.zeros((0,), np.float64)))
+        if restored is not None:
+            import jax.numpy as jnp
+
+            saved_carry, saved_series = restored
+
+            def _restore(like, leaf):
+                leaf = jnp.asarray(leaf, like.dtype)
+                if getattr(like, "sharding", None) is not None:
+                    leaf = jax.device_put(leaf, like.sharding)
+                return leaf
+
+            carry = jax.tree.map(_restore, carry, saved_carry)
+            done = int(at_step)
+            if record_every and saved_series.size:
+                series = [np.asarray(saved_series)]
+            logger.info(f"resumed from {checkpoint_dir} at step {done}")
+    last_ckpt = done
+    meter = StepMeter(n_cells, total_steps=T, start_steps=done)
+
+    def maybe_checkpoint(done):
+        nonlocal last_ckpt
+        if ckpt is not None and done - last_ckpt >= checkpoint_every:
+            stacked = np.concatenate(series) if series \
+                else np.zeros((0,), np.float64)
+            ckpt.force_save(done, (jax.tree.map(np.asarray, carry), stacked))
+            last_ckpt = done
+
     if not record_every:
         chunk = jax.jit(
             lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
             static_argnums=1)
-        done = 0
         while done < T:
             n = min(launch_cap(n_cells, per_cell_ns), T - done)
             carry = chunk(carry, n)
             done += n
-            check_finite(carry[0], done)
+            meter.update(n)
+            check_finite(watchdog(carry), done)
+            maybe_checkpoint(done)
         return carry, None
     if T % record_every:
         raise ValueError("T must be a multiple of record_every")
@@ -158,13 +206,13 @@ def drive_chunked(step, carry, T: int, record_every: int, n_cells: int,
 
     scan = jax.jit(lambda c, n: jax.lax.scan(outer, c, None, length=n),
                    static_argnums=1)
-    series = []
-    done = 0
     while done < T:
         n = min(launch_cap(n_cells, per_cell_ns) // record_every or 1,
                 (T - done) // record_every)
         carry, tr = scan(carry, n)
         series.append(np.asarray(tr))
         done += n * record_every
-        check_finite(carry[0], done)
+        meter.update(n * record_every)
+        check_finite(watchdog(carry), done)
+        maybe_checkpoint(done)
     return carry, np.concatenate(series)
