@@ -66,10 +66,12 @@ def build_step(args, H, W):
         from lbm_tpu.models.mrt_cg import MRTCGModel
         from lbm_tpu.scenes.multiphase import mrtcg_boundary
 
-        if args.substeps != 1:
-            log("mrtcg kernel runs substeps=1 (gradient stencils consume "
-                "3 halo rows/sweep)")
-        kw = dict(dtype=dtype)
+        if args.substeps > 5:
+            log("mrtcg kernel caps substeps at 5 (3 halo rows/sweep on a "
+                "16-row slab halo)")
+            args.substeps = 5  # keep the MLUPS accounting honest
+        kw = dict(dtype=dtype, block_rows=args.block_rows,
+                  substeps=args.substeps)
         model = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
                            gravity=(6.25e-7, 0.0), boundary=mrtcg_boundary)
         st = model.init_state(init_rho_cosine(H, W, 3.0, True, -1.0),
@@ -102,15 +104,21 @@ def build_step(args, H, W):
                           dtype=dtype)
         f = jnp.concatenate([st.red.f, st.blue.f,
                              jnp.zeros((2, H, W), dtype)], axis=0)
+        if args.substeps > 3:
+            log("csf kernel caps substeps at 3 (5 halo rows/sweep on a "
+                "16-row slab halo)")
+            args.substeps = 3  # keep the MLUPS accounting honest
         if args.model == "csf_full":
             step = make_csf_fused_step(
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
-                dtype=dtype)
+                dtype=dtype, block_rows=args.block_rows,
+                substeps=args.substeps)
         else:
             # production path: reduced 12-plane CSF state
             step = make_mrtcg_reduced_step(
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
-                dtype=dtype, surface_tension="csf")
+                dtype=dtype, surface_tension="csf",
+                block_rows=args.block_rows, substeps=args.substeps)
             f = reduce_mrtcg_state(f, surface_tension="csf")
         impl = "pallas"
     elif args.model == "rk":
@@ -320,7 +328,9 @@ def build_step(args, H, W):
                                  and args.model in ("bgk", "kbc", "thermal",
                                                     "thermal5", "sediment",
                                                     "cavity", "les", "trt",
-                                                    "d3q19", "sc")) else 1
+                                                    "d3q19", "sc", "mrtcg",
+                                                    "mrtcg_full", "csf",
+                                                    "csf_full")) else 1
     return step, f, impl, substeps, H, W
 
 
@@ -420,6 +430,9 @@ def main():
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],
                     help="step implementation: XLA-fused jnp or Pallas kernel")
+    ap.add_argument("--block-rows", type=int, default=None,
+                    help="override the kernel's auto row-block pick "
+                    "(mrtcg/csf/rk models)")
     ap.add_argument("--substeps", type=int, default=8,
                     help="LBM steps per kernel launch (temporal blocking; "
                          "pallas impl only, 1..8)")

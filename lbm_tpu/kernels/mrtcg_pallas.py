@@ -536,10 +536,10 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                     apply_gravity_source: bool = True, dtype=jnp.float32,
                     surface_tension: str = "perturbation",
                     substeps: int = 1, reduced: bool = False,
-                    split_out: bool = False):
+                    split_out: bool = False, halo: int = HALO):
     """The per-slab MRT-CG step body, shared by the single-chip pipeline
     and the sharded halo-input kernel: ``run(block (P, rows, C),
-    abs_iota, row_edges) -> (P_out, rows - 2*HALO, C)`` where abs_iota
+    abs_iota, row_edges) -> (P_out, rows - 2*halo, C)`` where abs_iota
     holds GLOBAL row indices (the row masks and replicate extractions are
     position-based, so the same body works on any shard given its
     offset).  P = 18 for the perturbation mode; the CSF mode carries the
@@ -556,15 +556,24 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
     exactly at any step with ``split_out=True`` (reduced input, full
     18/20-plane output: the same collide + per-colour streaming).
 
-    ``substeps`` > 1 (perturbation mode only) applies that many full
-    collide-stream-BC sweeps per slab pass — communication-avoiding
-    temporal blocking for the sharded kernel (each sweep consumes 3 of
-    the 8 halo rows, so substeps <= 2)."""
+    ``substeps`` > 1 applies that many full collide-stream-BC sweeps per
+    slab pass — communication-avoiding temporal blocking (one HBM
+    round-trip / one ICI exchange per ``substeps`` steps).  Each sweep
+    consumes 3 halo rows (2 for the 5x5 gradients + 1 for streaming) in
+    perturbation mode and 5 in CSF mode (the chained curvature
+    stencils), so ``substeps <= halo // rows_per_sweep``; the kept
+    interior never reads a wall-stale halo row because the bounce-back
+    masks and the replicate-pad gradient extractions cut every
+    cross-wall dependency on every sweep (same validity argument as
+    kernels.thermal_pallas).  In CSF mode the fst carry is threaded
+    sweep-to-sweep (sweep k+1's carried-u shift uses sweep k's force,
+    exactly the jnp model's dataflow)."""
     csf = surface_tension == "csf"
-    if not 1 <= substeps <= 2:
-        raise ValueError("substeps must be 1 or 2 (3 halo rows/sweep)")
-    if csf and substeps != 1:
-        raise ValueError("csf mode supports substeps=1 (5 halo rows/sweep)")
+    rows_per_sweep = 5 if csf else 3
+    if not 1 <= substeps <= halo // rows_per_sweep:
+        raise ValueError(
+            f"substeps must be in [1, {halo // rows_per_sweep}] "
+            f"({rows_per_sweep} halo rows/sweep, halo={halo})")
     if split_out and (reduced or substeps != 1):
         raise ValueError("split_out takes the reduced layout in and "
                          "supports substeps=1")
@@ -631,7 +640,7 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                     b_rho = b_rho + bf[k]
                 rho = r_rho + b_rho
                 fsum = [rf[k] + bf[k] for k in range(9)]
-            new_a, new_b, fst_new = sweep(fsum, rho, r_rho, b_rho, None,
+            new_a, new_b, fst_new = sweep(fsum, rho, r_rho, b_rho, fst_new,
                                           abs_iota, row_edges, col_iota)
         if reduced:
             # collapse the streamed red planes to the next red density
@@ -644,14 +653,44 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
         if csf:
             planes = planes + [fst_new[0], fst_new[1]]  # carried, unstreamed
         if col_iota is None:
-            return jnp.stack([p[HALO:rows - HALO] for p in planes], axis=0)
+            return jnp.stack([p[halo:rows - halo] for p in planes], axis=0)
         # 2-D sharded mode: trim the lane-aligned column halos too
         width = planes[0].shape[1]
         return jnp.stack(
-            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in planes],
+            [p[halo:rows - halo, CHALO:width - CHALO] for p in planes],
             axis=0)
 
     return run
+
+
+def halo_for(substeps: int, rows_per_sweep: int) -> int:
+    """Smallest 8-aligned slab halo admitting ``substeps`` sweeps that
+    each consume ``rows_per_sweep`` halo rows."""
+    return max(HALO, -(-substeps * rows_per_sweep // 8) * 8)
+
+
+def _edge_gated(run, n_blocks: int, block_rows: int, reach: int):
+    """Per-block body with the masked/mask-free edge gate: blocks whose
+    kept interior can transitively read a global wall row within
+    ``reach = substeps * rows_per_sweep`` rows run the masked body (the
+    global-position masks are correct everywhere — the fast path is an
+    optimisation worth ~19% per the module-docstring ablation); interior
+    blocks take the mask-free path.  ``n_edge`` counts blocks whose
+    reach-window [i*B - reach, (i+1)*B + reach) contains row 0 / R-1 —
+    more than one block per side when reach >= B."""
+    n_edge = reach // block_rows + 1
+
+    def body(block, abs_iota, i):
+        if n_blocks <= 2 * n_edge:
+            return run(block, abs_iota, True)
+        edge = (i < n_edge) | (i >= n_blocks - n_edge)
+        return jax.lax.cond(
+            edge,
+            lambda b, a: run(b, a, True),
+            lambda b, a: run(b, a, False),
+            block, abs_iota)
+
+    return body
 
 
 def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
@@ -659,39 +698,30 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
                           gravity=(0.0, 0.0), delta: float = 0.1,
                           apply_gravity_source: bool = True,
                           dtype=jnp.float32, block_rows: int | None = None,
+                          substeps: int = 1,
                           interpret: bool = False):
     """Fused MRT-CG two-phase step: F (2, 9, R, C) -> (2, 9, R, C)
-    (index 0 = red, 1 = blue).  Built on kernels.pipeline; the state is
-    viewed as 18 planes for the block pipeline (a free reshape)."""
-    from .pipeline import make_block_pipeline
+    (index 0 = red, 1 = blue), advanced ``substeps`` steps per launch
+    (temporal blocking; the slab halo deepens to 3*substeps rows).
+    Built on kernels.pipeline; the state is viewed as 18 planes for the
+    block pipeline (a free reshape)."""
+    from .pipeline import make_block_pipeline, resolve_block_rows
 
-    from .pipeline import resolve_block_rows
-
+    halo = halo_for(substeps, 3)
     block_rows = resolve_block_rows(
-        (18,), 18, R, C, dtype, 6 * 2 ** 20, block_rows, False)
+        (18,), 18, R, C, dtype, 6 * 2 ** 20, block_rows, False, halo=halo)
     n_blocks = R // block_rows
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
-                          apply_gravity_source, dtype)
-
-    def body(block, abs_iota, i):
-        # only the first/last blocks can see global rows 0..1 / R-2..R-1
-        # (B >= 8 and the kept interior reads at most 3 rows into the halo);
-        # interior blocks take the mask-free fast path (~19% of kernel time
-        # per the ablation in the module docstring)
-        if n_blocks <= 2:
-            return run(block, abs_iota, True)
-        edge = (i == 0) | (i == n_blocks - 1)
-        return jax.lax.cond(
-            edge,
-            lambda b, a: run(b, a, True),
-            lambda b, a: run(b, a, False),
-            block, abs_iota)
+                          apply_gravity_source, dtype, substeps=substeps,
+                          halo=halo)
+    body = _edge_gated(run, n_blocks, block_rows, 3 * substeps)
 
     step = make_block_pipeline(18, R, C, body, dtype=dtype,
                                block_rows=block_rows,
-                               vmem_budget=6 * 2 ** 20,
-                               flops_per_cell=2000, interpret=interpret)
+                               vmem_budget=6 * 2 ** 20, halo=halo,
+                               flops_per_cell=2000 * substeps,
+                               interpret=interpret)
 
     def wrapped(F):
         return step(F.reshape(18, R, C)).reshape(2, 9, R, C)
@@ -704,40 +734,35 @@ def make_csf_fused_step(R: int, C: int, red: ColourParams,
                         gravity=(0.0, 0.0), delta: float = 0.1,
                         apply_gravity_source: bool = True,
                         dtype=jnp.float32, block_rows: int | None = None,
+                        substeps: int = 1,
                         interpret: bool = False):
     """Fused MRT-CSF two-phase step: S (20, R, C) -> (20, R, C) with
     S = [red f (9), blue f (9), fst (2)] — the CSF surface-force carry
     makes the fused step exactly the jnp model's dataflow (the carried u
-    equals calc_u + 0.5 (Fg + fst_prev)/rho).  Validity: the chained
-    curvature stencils consume 4 halo rows + 1 for streaming of the 8
-    available."""
+    equals calc_u + 0.5 (Fg + fst_prev)/rho).  Validity: one sweep
+    consumes 5 halo rows (4 for the chained curvature stencils + 1 for
+    streaming); ``substeps`` sweeps deepen the halo to 5*substeps."""
     from .pipeline import make_block_pipeline, resolve_block_rows
 
+    halo = halo_for(substeps, 5)
     # lift=False — CSF prefers the default-scope pick (see
     # _make_reduced_pipeline)
     block_rows = resolve_block_rows(
         (20,), 20, R, C, dtype, 6 * 2 ** 20, block_rows, False,
-        lift=False)
+        lift=False, halo=halo)
     n_blocks = R // block_rows
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
                           apply_gravity_source, dtype,
-                          surface_tension="csf")
-
-    def body(block, abs_iota, i):
-        if n_blocks <= 2:
-            return run(block, abs_iota, True)
-        edge = (i == 0) | (i == n_blocks - 1)
-        return jax.lax.cond(
-            edge,
-            lambda bl, a: run(bl, a, True),
-            lambda bl, a: run(bl, a, False),
-            block, abs_iota)
+                          surface_tension="csf", substeps=substeps,
+                          halo=halo)
+    body = _edge_gated(run, n_blocks, block_rows, 5 * substeps)
 
     return make_block_pipeline(20, R, C, body, dtype=dtype,
                                block_rows=block_rows,
-                               vmem_budget=6 * 2 ** 20,
-                               flops_per_cell=2600, interpret=interpret)
+                               vmem_budget=6 * 2 ** 20, halo=halo,
+                               flops_per_cell=2600 * substeps,
+                               interpret=interpret)
 
 
 def reduce_mrtcg_state(F, surface_tension: str = "perturbation"):
@@ -754,10 +779,13 @@ def reduce_mrtcg_state(F, surface_tension: str = "perturbation"):
 
 def _make_reduced_pipeline(R, C, red, blue, sigma, gravity, delta,
                            apply_gravity_source, dtype, block_rows,
-                           interpret, surface_tension, split_out):
+                           interpret, surface_tension, split_out,
+                           substeps: int = 1):
     from .pipeline import make_block_pipeline, resolve_block_rows
 
     csf = surface_tension == "csf"
+    rps = 5 if csf else 3
+    halo = halo_for(substeps, rps)
     p_in = reduced_planes(surface_tension)
     p_out = (20 if csf else 18) if split_out else p_in
     # lift=False: both colour-gradient bodies measured FASTER at the
@@ -767,28 +795,21 @@ def _make_reduced_pipeline(R, C, red, blue, sigma, gravity, delta,
     # the lift was within relay noise)
     block_rows = resolve_block_rows(
         (p_in,), p_out, R, C, dtype, 6 * 2 ** 20, block_rows, False,
-        lift=False)
+        lift=False, halo=halo)
     n_blocks = R // block_rows
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
                           apply_gravity_source, dtype,
                           surface_tension=surface_tension,
-                          reduced=not split_out, split_out=split_out)
-
-    def body(block, abs_iota, i):
-        if n_blocks <= 2:
-            return run(block, abs_iota, True)
-        edge = (i == 0) | (i == n_blocks - 1)
-        return jax.lax.cond(
-            edge,
-            lambda b, a: run(b, a, True),
-            lambda b, a: run(b, a, False),
-            block, abs_iota)
+                          reduced=not split_out, split_out=split_out,
+                          substeps=substeps, halo=halo)
+    body = _edge_gated(run, n_blocks, block_rows, rps * substeps)
 
     return make_block_pipeline(p_in, R, C, body, planes_out=p_out,
                                dtype=dtype, block_rows=block_rows,
-                               vmem_budget=6 * 2 ** 20,
-                               flops_per_cell=2600 if csf else 2000,
+                               vmem_budget=6 * 2 ** 20, halo=halo,
+                               flops_per_cell=(2600 if csf else 2000)
+                               * substeps,
                                interpret=interpret)
 
 
@@ -799,15 +820,20 @@ def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
                             dtype=jnp.float32,
                             block_rows: int | None = None,
                             surface_tension: str = "perturbation",
+                            substeps: int = 1,
                             interpret: bool = False):
     """Reduced-state fused MRT-CG step: G (10, R, C) -> (10, R, C)
-    (12 planes in CSF mode, fst carried in planes 10-11).  Same physics
-    as make_mrtcg_fused_step on 10/18ths of the HBM traffic — the
-    memory-optimal layout for long production runs; convert with
+    (12 planes in CSF mode, fst carried in planes 10-11), advanced
+    ``substeps`` steps per launch (temporal blocking: one HBM round-trip
+    per substeps steps; measured +13% at substeps=2, 1024x512 — the
+    kernel is largely compute-bound, see the module docstring).  Same
+    physics as make_mrtcg_fused_step on 10/18ths of the HBM traffic —
+    the memory-optimal layout for long production runs; convert with
     reduce_mrtcg_state / make_mrtcg_split_step."""
     return _make_reduced_pipeline(
         R, C, red, blue, sigma, gravity, delta, apply_gravity_source,
-        dtype, block_rows, interpret, surface_tension, split_out=False)
+        dtype, block_rows, interpret, surface_tension, split_out=False,
+        substeps=substeps)
 
 
 def make_mrtcg_split_step(R: int, C: int, red: ColourParams,

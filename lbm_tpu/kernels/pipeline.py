@@ -61,9 +61,9 @@ _BUDGET_SCALE = SAFE_SCOPE / DEFAULT_SCOPE
 
 
 def slab_bytes(planes_tup, planes_out: int, block_rows: int, C: int,
-               dtype) -> int:
+               dtype, halo: int = HALO) -> int:
     """Accounted VMEM for the double-buffered in-slabs + out-blocks."""
-    return (2 * sum(planes_tup) * (block_rows + 2 * HALO)
+    return (2 * sum(planes_tup) * (block_rows + 2 * halo)
             + 2 * planes_out * block_rows) * C * jnp.dtype(dtype).itemsize
 
 
@@ -77,30 +77,32 @@ def vmem_limit_for(need_bytes: int, vmem_budget: int) -> int:
     return int(max(DEFAULT_SCOPE, min(VMEM_LIMIT, lim)))
 
 
-def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
+def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype,
+            halo):
     ins, out_hbm = refs[:-1], refs[-1]
     B = block_rows
+    H = halo
     n_in = len(ins)
 
     def scoped(slabs, obuf, in_sems, out_sems):
         def dma_in(slot, i):
             start = pl.multiple_of(i * B, 8)
-            top = pl.multiple_of((start - HALO) % R, 8)
+            top = pl.multiple_of((start - H) % R, 8)
             bot = pl.multiple_of((start + B) % R, 8)
             cps = []
             for j, src in enumerate(ins):
                 slab = slabs[j]
                 cps += [
                     pltpu.make_async_copy(
-                        src.at[:, pl.ds(top, HALO), :],
-                        slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 3 * j]),
+                        src.at[:, pl.ds(top, H), :],
+                        slab.at[slot, :, 0:H, :], in_sems.at[slot, 3 * j]),
                     pltpu.make_async_copy(
                         src.at[:, pl.ds(start, B), :],
-                        slab.at[slot, :, HALO:HALO + B, :],
+                        slab.at[slot, :, H:H + B, :],
                         in_sems.at[slot, 3 * j + 1]),
                     pltpu.make_async_copy(
-                        src.at[:, pl.ds(bot, HALO), :],
-                        slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                        src.at[:, pl.ds(bot, H), :],
+                        slab.at[slot, :, H + B:H + 2 * H + B, :],
                         in_sems.at[slot, 3 * j + 2]),
                 ]
             return cps
@@ -129,9 +131,9 @@ def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
             def _():
                 dma_out(slot, i - 2).wait()
 
-            shape = (B + 2 * HALO, C)
+            shape = (B + 2 * H, C)
             abs_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0) \
-                + (i * B - HALO)
+                + (i * B - H)
             blocks = tuple(slabs[j][slot] for j in range(n_in))
             obuf[slot] = body(*blocks, abs_iota, i)
 
@@ -148,7 +150,7 @@ def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
     pl.run_scoped(
         scoped,
         slabs=tuple(
-            pltpu.VMEM((2, src.shape[0], block_rows + 2 * HALO, C), dtype)
+            pltpu.VMEM((2, src.shape[0], block_rows + 2 * H, C), dtype)
             for src in ins),
         obuf=pltpu.VMEM((2, planes_out, block_rows, C), dtype),
         in_sems=pltpu.SemaphoreType.DMA((2, 3 * n_in)),
@@ -158,7 +160,8 @@ def _kernel(*refs, body, planes_out, block_rows, n_blocks, R, C, dtype):
 
 def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
                        vmem_budget: int, block_rows: int | None,
-                       allow_row_alias: bool, lift: bool = True) -> int:
+                       allow_row_alias: bool, lift: bool = True,
+                       halo: int = HALO) -> int:
     """Auto-pick (or validate) the row-block size: largest multiple of 8
     (DMA alignment) dividing R whose double-buffered slabs fit the VMEM
     budget (scaled by _BUDGET_SCALE — callers' budgets are ratios of the
@@ -173,9 +176,15 @@ def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
     (and hence the free 16 MiB request) for those.  Exposed so kernels
     that branch on the block index can learn the pick up front."""
     budget = int(vmem_budget * _BUDGET_SCALE) if lift else vmem_budget
+    if halo % 8 != 0 or halo < 8:
+        raise ValueError(f"halo must be a positive multiple of 8 ({halo})")
+    # the halo DMAs fetch [i*B - halo, i*B) (mod R) as ONE contiguous
+    # copy — legal only while no strip straddles the array boundary,
+    # i.e. block_rows >= halo (block 1's top strip starts at B - halo)
+    b_floor = halo
 
     def need(b):
-        return slab_bytes(planes_tup, planes_out, b, C, dtype)
+        return slab_bytes(planes_tup, planes_out, b, C, dtype, halo)
 
     if block_rows is None:
         b_max = 512
@@ -183,29 +192,34 @@ def resolve_block_rows(planes_tup, planes_out: int, R: int, C: int, dtype,
             # a slab must not contain any global row twice (wrapped halo
             # rows overlapping the interior would double-count the
             # absolute-row masked extractions) — cap candidates so every
-            # pick honours B + 2*HALO <= R.  Every candidate stays a
+            # pick honours B + 2*halo <= R.  Every candidate stays a
             # multiple of 8: halving a pick after the fact can break the
             # pl.multiple_of(i*B, 8) DMA alignment promise.
-            b_max = min(b_max, R - 2 * HALO)
+            b_max = min(b_max, R - 2 * halo)
         b_max -= b_max % 8
-        if b_max < 8:
+        if b_max < b_floor:
             raise ValueError(
-                f"no legal block: need R >= {3 * HALO} (R={R}) "
-                f"for an alias-free slab")
+                f"no legal block: need R >= {2 * halo + b_floor} (R={R}) "
+                f"for an alias-free slab with {halo}-row halo strips")
         b = b_max
-        while b > 8 and not (need(b) <= budget and R % b == 0):
+        while b > b_floor and not (need(b) <= budget and R % b == 0):
             b -= 8
         if need(b) > budget:
             raise ValueError(
-                f"no legal block: even B=8 slabs need {need(8)} bytes "
-                f"> budget {budget} (planes={sum(planes_tup)}, C={C}, "
+                f"no legal block: even B={b_floor} slabs need "
+                f"{need(b_floor)} bytes > budget {budget} "
+                f"(planes={sum(planes_tup)}, C={C}, "
                 f"{jnp.dtype(dtype).name})")
         block_rows = b
     if R % block_rows != 0:
         raise ValueError(f"rows {R} not divisible by block {block_rows}")
-    if not allow_row_alias and block_rows + 2 * HALO > R:
+    if block_rows < b_floor:
         raise ValueError(
-            f"need R >= block_rows + {2 * HALO} (R={R}, block={block_rows})")
+            f"block_rows {block_rows} < halo {halo}: the [i*B - halo, "
+            f"i*B) strip DMA would straddle the array boundary")
+    if not allow_row_alias and block_rows + 2 * halo > R:
+        raise ValueError(
+            f"need R >= block_rows + {2 * halo} (R={R}, block={block_rows})")
     if C % 128 != 0:
         raise ValueError(f"cols {C} must be a multiple of 128")
     return block_rows
@@ -219,13 +233,19 @@ def make_block_pipeline(planes, R: int, C: int, body,
                         allow_row_alias: bool = False,
                         vmem_limit_bytes: int | None = None,
                         lift: bool = True,
+                        halo: int = HALO,
                         interpret: bool = False):
     """Fused step over one or more (P_j, R, C) inputs: one launch per call.
 
-    ``allow_row_alias=True`` skips the ``R >= B + 2*HALO`` guard — safe
+    ``allow_row_alias=True`` skips the ``R >= B + 2*halo`` guard — safe
     ONLY for purely periodic bodies with no absolute-row masks or masked
     row extractions (wrapped halo rows then legitimately duplicate
     interior rows).
+
+    ``halo`` deepens the slab halo beyond the default 8 rows (multiples
+    of 8 — DMA alignment) so stencil bodies can temporally block: a body
+    consuming r halo rows per sweep may run ``substeps <= halo // r``
+    sweeps per slab pass, amortising the HBM round-trip.
 
     ``planes`` is an int (single input) or a tuple of ints (one per input
     array, each halo-slabbed independently — e.g. the cylinder kernel's
@@ -237,10 +257,11 @@ def make_block_pipeline(planes, R: int, C: int, body,
     p_sum = sum(planes_tup)
     block_rows = resolve_block_rows(planes_tup, planes_out, R, C, dtype,
                                     vmem_budget, block_rows,
-                                    allow_row_alias, lift)
+                                    allow_row_alias, lift, halo)
     kernel = functools.partial(
         _kernel, body=body, planes_out=planes_out, block_rows=block_rows,
-        n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type)
+        n_blocks=R // block_rows, R=R, C=C, dtype=jnp.dtype(dtype).type,
+        halo=halo)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((planes_out, R, C), dtype),
@@ -249,7 +270,8 @@ def make_block_pipeline(planes, R: int, C: int, body,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=vmem_limit_for(
-                slab_bytes(planes_tup, planes_out, block_rows, C, dtype),
+                slab_bytes(planes_tup, planes_out, block_rows, C, dtype,
+                           halo),
                 vmem_budget) if vmem_limit_bytes is None
             else vmem_limit_bytes),
         cost_estimate=pl.CostEstimate(

@@ -64,12 +64,15 @@ def make_local_halo_step(R_loc: int, C: int, collide_fn, dtype=jnp.float32,
 
 
 def _halo_body_kernel(off_ref, f_hbm, top_hbm, bot_hbm, out_hbm, *, body_fn,
-                      planes, block_rows, n_blocks, C, dtype, row_edges):
+                      planes, block_rows, n_blocks, C, dtype, row_edges,
+                      halo):
     """Generic halo-input slab kernel: like _halo_kernel but with an
     arbitrary body(block, abs_iota, row_edges) and a scalar-prefetched
     GLOBAL row offset, so position-based BC masks and replicate
-    extractions see true global coordinates on any shard."""
+    extractions see true global coordinates on any shard.  ``halo`` sets
+    the slab halo depth (= the exchanged strip height; multiples of 8)."""
     B = block_rows
+    H = halo
 
     def scoped(slab, obuf, in_sems, out_sems):
         def start_in(slot, i):
@@ -78,42 +81,42 @@ def _halo_body_kernel(off_ref, f_hbm, top_hbm, bot_hbm, out_hbm, *, body_fn,
             @pl.when(i == 0)
             def _():
                 pltpu.make_async_copy(
-                    top_hbm, slab.at[slot, :, 0:HALO, :],
+                    top_hbm, slab.at[slot, :, 0:H, :],
                     in_sems.at[slot, 0]).start()
 
             @pl.when(i != 0)
             def _():
                 pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(pl.multiple_of(start - HALO, 8), HALO), :],
-                    slab.at[slot, :, 0:HALO, :], in_sems.at[slot, 0]).start()
+                    f_hbm.at[:, pl.ds(pl.multiple_of(start - H, 8), H), :],
+                    slab.at[slot, :, 0:H, :], in_sems.at[slot, 0]).start()
 
             pltpu.make_async_copy(
                 f_hbm.at[:, pl.ds(start, B), :],
-                slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]).start()
+                slab.at[slot, :, H:H + B, :], in_sems.at[slot, 1]).start()
 
             @pl.when(i == n_blocks - 1)
             def _():
                 pltpu.make_async_copy(
-                    bot_hbm, slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                    bot_hbm, slab.at[slot, :, H + B:H + 2 * H + B, :],
                     in_sems.at[slot, 2]).start()
 
             @pl.when(i != n_blocks - 1)
             def _():
                 pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(pl.multiple_of(start + B, 8), HALO), :],
-                    slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                    f_hbm.at[:, pl.ds(pl.multiple_of(start + B, 8), H), :],
+                    slab.at[slot, :, H + B:H + 2 * H + B, :],
                     in_sems.at[slot, 2]).start()
 
         def wait_in(slot):
             pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(0, HALO), :], slab.at[slot, :, 0:HALO, :],
+                f_hbm.at[:, pl.ds(0, H), :], slab.at[slot, :, 0:H, :],
                 in_sems.at[slot, 0]).wait()
             pltpu.make_async_copy(
                 f_hbm.at[:, pl.ds(0, B), :],
-                slab.at[slot, :, HALO:HALO + B, :], in_sems.at[slot, 1]).wait()
+                slab.at[slot, :, H:H + B, :], in_sems.at[slot, 1]).wait()
             pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(0, HALO), :],
-                slab.at[slot, :, HALO + B:HALO + 2 * HALO + B, :],
+                f_hbm.at[:, pl.ds(0, H), :],
+                slab.at[slot, :, H + B:H + 2 * H + B, :],
                 in_sems.at[slot, 2]).wait()
 
         def dma_out(slot, i):
@@ -137,9 +140,9 @@ def _halo_body_kernel(off_ref, f_hbm, top_hbm, bot_hbm, out_hbm, *, body_fn,
             def _():
                 dma_out(slot, i - 2).wait()
 
-            shape = (B + 2 * HALO, C)
+            shape = (B + 2 * H, C)
             abs_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0) \
-                + (i * B - HALO) + off_ref[0]
+                + (i * B - H) + off_ref[0]
             obuf[slot] = body_fn(slab[slot], abs_iota, row_edges)
 
             dma_out(slot, i).start()
@@ -154,7 +157,7 @@ def _halo_body_kernel(off_ref, f_hbm, top_hbm, bot_hbm, out_hbm, *, body_fn,
 
     pl.run_scoped(
         scoped,
-        slab=pltpu.VMEM((2, planes, block_rows + 2 * HALO, C), dtype),
+        slab=pltpu.VMEM((2, planes, block_rows + 2 * H, C), dtype),
         obuf=pltpu.VMEM((2, planes, block_rows, C), dtype),
         in_sems=pltpu.SemaphoreType.DMA((2, 3)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
@@ -165,17 +168,20 @@ def make_local_halo_body_step(planes: int, R_loc: int, C: int, body_fn,
                               dtype=jnp.float32, block_rows: int = 8,
                               row_edges: bool = True,
                               flops_per_cell: int = 2000,
+                              halo: int = HALO,
                               interpret: bool = False):
     """Fused sweep over a local (planes, R_loc, C) shard with explicit
-    halo inputs and a global-row offset: ``(off (1,) i32, f_local,
-    halo_top, halo_bot) -> f_local'`` where the body receives
-    ``abs_iota = local row + off`` (global coordinates)."""
+    (planes, halo, C) halo inputs and a global-row offset: ``(off (1,)
+    i32, f_local, halo_top, halo_bot) -> f_local'`` where the body
+    receives ``abs_iota = local row + off`` (global coordinates)."""
     if R_loc % block_rows != 0:
         raise ValueError(f"local rows {R_loc} not divisible by {block_rows}")
+    if halo % 8 != 0 or halo < 8:
+        raise ValueError(f"halo must be a positive multiple of 8 ({halo})")
     kernel = functools.partial(
         _halo_body_kernel, body_fn=body_fn, planes=planes,
         block_rows=block_rows, n_blocks=R_loc // block_rows, C=C,
-        dtype=jnp.dtype(dtype).type, row_edges=row_edges)
+        dtype=jnp.dtype(dtype).type, row_edges=row_edges, halo=halo)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -189,7 +195,8 @@ def make_local_halo_body_step(planes: int, R_loc: int, C: int, body_fn,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=vmem_limit_for(
-                slab_bytes((planes,), planes, block_rows, C, dtype),
+                slab_bytes((planes,), planes, block_rows, C, dtype,
+                           halo),
                 10 * 2 ** 20)),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * R_loc * C,
@@ -201,30 +208,42 @@ def make_local_halo_body_step(planes: int, R_loc: int, C: int, body_fn,
 
 def make_sharded_body_step(mesh: Mesh, planes: int, R: int, C: int, run,
                            dtype=jnp.float32, block_rows: int | None = None,
+                           halo: int = HALO,
                            interpret: bool = False):
     """Row-shard an arbitrary position-masked slab body over mesh axis
     'x': (planes, R, C) -> (planes, R, C) with ppermute halo exchange.
     ``run(block, abs_iota, row_edges)`` must use GLOBAL-row masks only
     (abs_iota carries global coordinates via scalar prefetch).  Edge
-    ranks run the masked body; interior ranks the mask-free fast path."""
+    ranks run the masked body; interior ranks the mask-free fast path.
+
+    ``halo`` sets the exchanged strip depth (multiples of 8).  Deeper
+    halos buy temporal blocking for stencil bodies: a body consuming r
+    halo rows per sweep amortises ONE ICI exchange over ``halo // r``
+    sweeps (pass a multi-substep body and the matching halo — see
+    make_sharded_mrtcg_step)."""
     from .pipeline import resolve_block_rows
 
     nx = mesh.shape["x"]
     if R % nx != 0:
         raise ValueError(f"rows {R} not divisible by mesh x={nx}")
     R_loc = R // nx
+    if R_loc < halo:
+        raise ValueError(
+            f"local shard rows {R_loc} shallower than the {halo}-row "
+            f"exchange strip")
     block_rows = resolve_block_rows((planes,), planes, R_loc, C, dtype,
-                                    6 * 2 ** 20, block_rows, False)
+                                    6 * 2 ** 20, block_rows, False,
+                                    halo=halo)
     mk = functools.partial(
         make_local_halo_body_step, planes, R_loc, C, run, dtype=dtype,
-        block_rows=block_rows, interpret=interpret)
+        block_rows=block_rows, halo=halo, interpret=interpret)
     inner_edge = mk(row_edges=True)
     inner_int = mk(row_edges=False) if nx > 2 else None
 
     def local_step(F_loc):
         n = lax.axis_size("x")
-        top_edge = F_loc[:, :HALO]
-        bot_edge = F_loc[:, -HALO:]
+        top_edge = F_loc[:, :halo]
+        bot_edge = F_loc[:, -halo:]
         if n == 1:
             halo_top, halo_bot = bot_edge, top_edge
         else:
@@ -259,24 +278,29 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                             substeps: int = 1):
     """The flagship MRT colour-gradient two-phase step, row-sharded over
     mesh axis 'x' with ppermute halo exchange feeding the fused kernel.
-    Perturbation mode (default): F (2, 9, R, C) -> (2, 9, R, C), one ICI
-    exchange per step (3 of the 8 halo rows consumed: 2 for the 5x5
-    gradients + 1 for streaming); ``substeps=2`` amortises one exchange
-    over two steps (communication-avoiding, 6 of 8 halo rows).  ``surface_tension='csf'`` instead
-    steps the 20-plane state S (20, R, C) = [red f, blue f, fst carry]
-    of kernels.mrtcg_pallas.make_csf_fused_step (5 halo rows: the
-    chained curvature stencils).  Matches the single-chip kernels
-    exactly: the body is shared (make_mrtcg_body) and all masks are
+    Perturbation mode (default): F (2, 9, R, C) -> (2, 9, R, C),
+    advanced ``substeps`` steps per ONE ICI exchange
+    (communication-avoiding temporal blocking: each sweep consumes 3
+    halo rows — 2 for the 5x5 gradients + 1 for streaming — and the
+    exchanged strip deepens to the smallest 8-aligned halo covering
+    3*substeps rows, so substeps=2 rides the default 8-row strip and
+    substeps up to 5 a 16-row strip).  ``surface_tension='csf'``
+    instead steps the 20-plane state S (20, R, C) = [red f, blue f,
+    fst carry] of kernels.mrtcg_pallas.make_csf_fused_step (5 halo
+    rows/sweep: the chained curvature stencils — substeps=2/3 on a
+    16-row strip).  Matches the single-chip kernels exactly: the body
+    is shared (make_mrtcg_body) and all masks are
     global-position-based."""
-    from .mrtcg_pallas import make_mrtcg_body
+    from .mrtcg_pallas import halo_for, make_mrtcg_body
 
     planes = 20 if surface_tension == "csf" else 18
+    halo = halo_for(substeps, 5 if surface_tension == "csf" else 3)
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
                           apply_gravity_source, dtype,
                           surface_tension=surface_tension,
-                          substeps=substeps)
+                          substeps=substeps, halo=halo)
     sharded = make_sharded_body_step(mesh, planes, R, C, run, dtype=dtype,
-                                     block_rows=block_rows,
+                                     block_rows=block_rows, halo=halo,
                                      interpret=interpret)
     if planes == 20:
         return sharded  # (20, R, C) incl. the fst carry planes

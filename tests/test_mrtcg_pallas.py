@@ -204,3 +204,62 @@ def test_csf_reduced_matches_full_interpret():
     S_next = full(S)
     np.testing.assert_allclose(np.asarray(S_split), np.asarray(S_next),
                                rtol=0, atol=1e-6)
+
+
+def test_mrtcg_fused_substeps_matches_plain():
+    """Single-chip temporal blocking: one substeps=3 launch (16-row slab
+    halo, 3 collide-stream-BC sweeps in VMEM) equals three substeps=1
+    launches bit-for-bit in f64 — the sweeps are the same arithmetic,
+    sweep k+1 merely reads sweep k's in-slab halo rows instead of HBM."""
+    R, C = 64, 128
+    model, state = _setup(R, C)
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64,
+              block_rows=8, interpret=True)
+    step1 = make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw)
+    # the 16-row halo needs block_rows >= 16 (strip-DMA contiguity)
+    step3 = make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                  substeps=3, **{**kw, "block_rows": 16})
+    F = jnp.stack([state.red.f, state.blue.f])
+    got = step3(F)
+    want = step1(step1(step1(F)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-13)
+
+
+def test_mrtcg_reduced_substeps_matches_plain():
+    """Reduced-state (production-path) temporal blocking: substeps=2
+    equals two plain launches (f64)."""
+    from lbm_tpu.kernels.mrtcg_pallas import (
+        make_mrtcg_reduced_step, reduce_mrtcg_state)
+
+    R, C = 64, 128
+    model, state = _setup(R, C)
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64,
+              block_rows=8, interpret=True)
+    red1 = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw)
+    red2 = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   substeps=2, **kw)
+    G = reduce_mrtcg_state(jnp.stack([state.red.f, state.blue.f]))
+    np.testing.assert_allclose(np.asarray(red2(G)),
+                               np.asarray(red1(red1(G))),
+                               rtol=0, atol=1e-13)
+
+
+def test_csf_fused_substeps_matches_plain():
+    """CSF temporal blocking: one substeps=2 launch (16-row halo, 5 halo
+    rows/sweep, fst carry threaded sweep-to-sweep) equals two plain
+    launches (f64)."""
+    from lbm_tpu.kernels.mrtcg_pallas import make_csf_fused_step
+
+    R, C = 64, 128
+    model, state = _setup(R, C)
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64,
+              block_rows=8, interpret=True)
+    csf1 = make_csf_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE, **kw)
+    csf2 = make_csf_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                               substeps=2, **{**kw, "block_rows": 16})
+    S = jnp.concatenate([state.red.f, state.blue.f,
+                         jnp.zeros((2, R, C), jnp.float64)], axis=0)
+    np.testing.assert_allclose(np.asarray(csf2(S)),
+                               np.asarray(csf1(csf1(S))),
+                               rtol=0, atol=1e-13)

@@ -309,3 +309,71 @@ def test_sharded_thermal_substeps():
         S = single(S)
     np.testing.assert_allclose(np.asarray(Ss), np.asarray(S), rtol=0,
                                atol=1e-13)
+
+
+@needs_8
+def test_sharded_mrtcg_deep_temporal_blocking():
+    """substeps=4 per halo exchange on a 16-row exchanged strip equals
+    four plain single-chip steps: the deep-halo communication-avoiding
+    mode lifted from the old substeps<=2 ceiling (VERDICT r2 item 2)."""
+    from lbm_tpu.kernels.mrtcg_pallas import make_mrtcg_fused_step
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_mrtcg_step
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+
+    R, C = 384, 128   # R_loc = 48 admits 16-row blocks + 16-row strips
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64)
+    single = make_mrtcg_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   interpret=True, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded4 = make_sharded_mrtcg_step(m, R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                       interpret=True, substeps=4, **kw)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64),
+                           jnp.ones((R, C)))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    F = jnp.stack([r0[None] * feq / tot, b0[None] * feq / tot])
+    Fs = jax.device_put(
+        F, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, None, "x", None)))
+    got = sharded4(Fs)                        # 1 exchange, 4 steps
+    want = F
+    for _ in range(4):
+        want = single(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                               atol=1e-13)
+
+
+@needs_8
+def test_sharded_csf_temporal_blocking():
+    """CSF substeps=2 per halo exchange (16-row strip; 5 halo rows/sweep
+    + the sweep-threaded fst carry) equals two plain single-chip CSF
+    steps."""
+    from lbm_tpu.kernels.mrtcg_pallas import make_csf_fused_step
+    from lbm_tpu.kernels.sharded_pallas import make_sharded_mrtcg_step
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+
+    R, C = 384, 128
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64)
+    single = make_csf_fused_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                 interpret=True, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded2 = make_sharded_mrtcg_step(m, R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                       interpret=True, substeps=2,
+                                       surface_tension="csf", **kw)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, 1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, 1.0)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64),
+                           jnp.ones((R, C)))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    S = jnp.concatenate([r0[None] * feq / tot, b0[None] * feq / tot,
+                         jnp.zeros((2, R, C), jnp.float64)], axis=0)
+    Ss = jax.device_put(
+        S, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", None)))
+    got = sharded2(Ss)                        # 1 exchange, 2 steps
+    want = single(single(S))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                               atol=1e-13)
