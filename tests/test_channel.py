@@ -73,14 +73,44 @@ def test_free_stream_preserved():
     assert abs(ux[0, 0] - 0.1) < 5e-3
 
 
+def test_free_stream_corner_consistent_exact():
+    """Non-quirk mode: ABB-owned corners + the quadratic equilibrium the
+    ABB coefficient is exact against make the uniform stream an exact
+    fixed point of the whole BC stack (the faithful mode's ~15% drift
+    is entirely the reference's corner overwrite + linearised-
+    equilibrium/quadratic-ABB mismatch).  Gated at f64 roundoff: the
+    fixed point is analytically exact (bit-identical under this
+    conftest; ~2e-13 under other XLA op orderings)."""
+    res = channel.free_stream(H=30, W=24, T=500, corner_consistent=True)
+    u = np.asarray(res.u)           # compressible: u = j/rho
+    assert np.abs(u[0] - 0.1).max() < 1e-12
+    assert np.abs(u[1]).max() < 1e-12
+    assert np.abs(np.asarray(res.rho) - 1.0).max() < 1e-12
+
+
 def test_vertical_poiseuille_profile():
-    res = channel.vertical_poiseuille(H=31, W=31, T=6000, u_max=0.05)
-    # flow along cols; profile across rows should be close to parabolic
-    W = 31
-    uy = np.asarray(res.u[1] / res.rho)
-    mid = uy[:, 15]
-    ua = channel.poiseuille_analytic(W, 0.05)
-    np.testing.assert_allclose(mid, ua, rtol=0.1, atol=2e-3)
+    """Faithful (compressible-equilibrium) mode, converged: the L2 floor
+    is set by the O(delta_rho) streamwise modulation of u = j/rho
+    (measured 1.281e-2 at this geometry; gated at 1.5x)."""
+    res = channel.vertical_poiseuille(H=31, W=31, T=30000, u_max=0.05,
+                                      tolerance=1e-12)
+    assert res.steps < 30000  # the 1e-12 watcher actually stopped it
+    assert res.l2 < 2e-2, f"L2={res.l2}"
+    # macroscopics already returns u = j/rho for the compressible model
+    mid = np.asarray(res.u[1])[:, 15]
+    ua = channel.poiseuille_analytic(31, 0.05)
+    np.testing.assert_allclose(mid, ua, rtol=0.05, atol=4e-4)
+
+
+def test_vertical_poiseuille_incompressible_l2_gate():
+    """Non-quirk mode (He-Luo incompressible equilibrium, the horizontal
+    driver's): the reference's 1e-11 L2 gate holds in the vertical
+    geometry too (measured 2.05e-12 converged at 8301 steps — the same
+    step count as the horizontal driver's magic-tau run)."""
+    res = channel.vertical_poiseuille(H=21, W=21, T=20000,
+                                      u_max=1.030985714e-1,
+                                      tolerance=1e-12, incompressible=True)
+    assert res.l2 <= 1e-11, f"L2={res.l2} (gate 1e-11)"
 
 
 def test_channel_scene_fused_paths_match_jnp():
