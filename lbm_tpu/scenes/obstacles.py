@@ -924,6 +924,7 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
                      fused: bool | None = None, interpret: bool = False,
                      checkpoint_dir: str | None = None,
                      checkpoint_every: int = 10000,
+                     mesh=None,
                      dtype=None) -> FallingCylinderResult:
     """Sedimenting rigid cylinder via moving-marker IBM — fluid-structure
     coupling beyond the reference's static markers (src/ibm.cpp:15-191
@@ -964,11 +965,21 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
     update) and kernels.cylinder_pallas.make_box_fused_step does the
     grid-wide collide/Guo/stream/4-wall bounce-back.  Measured 12.2
     us/step vs 55.4 jnp at 400x256 (4.5x); equal to the jnp path at
-    1e-12 in f64 (test_falling_cylinder_fused_matches_jnp)."""
+    1e-12 in f64 (test_falling_cylinder_fused_matches_jnp).
+
+    ``mesh`` (a jax.sharding.Mesh with axis 'x') row-shards the GSPMD
+    jnp path: f is placed P(None, 'x', None) and the rigid-body state
+    replicated, XLA inserting the window gathers/scatters and the
+    replicated rigid update — the multi-chip moving-IBM path (the
+    fused two-launch kernels stay single-chip; forces fused=False).
+    Virtual-mesh equality vs the single-device path is gated at 1e-12
+    (test_moving_ibm::test_falling_cylinder_gspmd_matches_single)."""
     from ..ops.moving_ibm import circle_markers, forcing_window, \
         window_factors
 
     dtype = default_float(dtype)
+    if mesh is not None:
+        fused = False  # the SMEM-state kernels are single-chip
     if center is None:
         center = (0.25 * H, 0.5 * W)
     if not (radius + 3 <= center[0] <= H - radius - 3
@@ -1061,8 +1072,18 @@ def falling_cylinder(H: int = 400, W: int = 256, T: int = 2000,
 
     u0 = jnp.zeros((2, H, W), dtype)
     f = d2q9.incomp_equilibrium(u0, jnp.ones((H, W), dtype))
-    carry = (f, jnp.asarray(center, dtype), jnp.zeros((2,), dtype),
-             jnp.zeros((2,), dtype))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        f = jax.device_put(f, NamedSharding(mesh, P(None, "x", None)))
+        rep = NamedSharding(mesh, P())
+        carry = (f,
+                 jax.device_put(jnp.asarray(center, dtype), rep),
+                 jax.device_put(jnp.zeros((2,), dtype), rep),
+                 jax.device_put(jnp.zeros((2,), dtype), rep))
+    else:
+        carry = (f, jnp.asarray(center, dtype), jnp.zeros((2,), dtype),
+                 jnp.zeros((2,), dtype))
     carry, trajectory = _drive_rigid(
         step, carry, T, record_every, H * W, _JNP_NS,
         lambda c: jnp.concatenate([c[1], c[2], c[3]]),

@@ -395,3 +395,30 @@ def test_falling_ellipse_fused_matches_jnp():
                                np.asarray(ref.orientation), atol=1e-12)
     np.testing.assert_allclose(float(got.omega_body),
                                float(ref.omega_body), atol=1e-13)
+
+
+def test_falling_cylinder_gspmd_matches_single():
+    """The GSPMD multi-chip moving-IBM path (mesh=...: f row-sharded
+    P(None,'x',None), rigid-body state replicated, XLA inserting the
+    window gathers/scatters) equals the single-device jnp path at 1e-12
+    over a real falling segment on the 8-virtual-device mesh —
+    VERDICT r2 item 10."""
+    from lbm_tpu.parallel import mesh as meshmod
+    from lbm_tpu.scenes.obstacles import falling_cylinder
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(H=96, W=64, T=60, center=(30.0, 32.0), radius=6.0,
+              rho_s=1.5, gravity=1e-4, record_every=20,
+              dtype=jnp.float64, fused=False)
+    ref = falling_cylinder(**kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    got = falling_cylinder(mesh=m, **kw)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.center),
+                               np.asarray(ref.center), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.velocity),
+                               np.asarray(ref.velocity), atol=1e-12)
+    np.testing.assert_allclose(got.trajectory, ref.trajectory,
+                               rtol=1e-9, atol=1e-12)
