@@ -31,6 +31,42 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .collide_stream import HALO, _stream_slab, pick_block_rows
 from .pipeline import slab_bytes, vmem_limit_for
 
+# Measured exchange-cadence model (scripts/exchange_cadence.py on one
+# real v5e chip, 2026-08-19; docs/BENCHMARKS.md "Exchange cadence"):
+# effective MLUPS of the sharded step vs substeps (steps per ICI
+# exchange).  The single-chip emulation lower-bounds the real-mesh
+# optimum: the measured per-launch exchange-skeleton overhead is <1 us
+# for BGK (the gain is launch amortisation, not the skeleton), and on a
+# real mesh the ppermute's ICI term only strengthens the case for the
+# deepest valid cadence.  mrtcg's substeps=4 runs a 16-row-halo body
+# whose extra redundant stencil work outweighs the saved launches, so
+# its optimum is 2.
+_CADENCE_MLUPS = {
+    "bgk": {1: 26100, 2: 29253, 4: 31130, 8: 32459},      # 2048x512
+    "mrtcg": {1: 4425, 2: 4731, 4: 4137},                  # 1024x512
+    "csf": {1: 3406, 2: 3407},                             # 1024x512
+}
+
+
+def default_substeps(family: str) -> int:
+    """Data-driven default exchange cadence for a sharded family: the
+    substeps value with the highest measured effective MLUPS
+    (_CADENCE_MLUPS).  Stencil-free wall-BC bodies (thermal/cavity/
+    sediment class) consume 1 halo row per sweep like BGK and share its
+    optimum; stencil families fall back to the mrtcg row.  Returns a
+    value the caller must still pass explicitly — the returned step
+    function advances `substeps` steps per call, so an implicit default
+    would silently change step semantics."""
+    if family in _CADENCE_MLUPS:
+        table = _CADENCE_MLUPS[family]
+        return max(table, key=table.get)
+    if family == "sc":  # 2 halo rows/sweep -> deepest valid cadence is 4
+        return 4
+    if family in ("thermal", "cavity", "sediment", "les", "trt", "plaw",
+                  "d3q19"):  # 1 halo row/sweep, BGK-class body
+        return max(_CADENCE_MLUPS["bgk"], key=_CADENCE_MLUPS["bgk"].get)
+    return max(_CADENCE_MLUPS["mrtcg"], key=_CADENCE_MLUPS["mrtcg"].get)
+
 
 def make_local_halo_step(R_loc: int, C: int, collide_fn, dtype=jnp.float32,
                          block_rows: int | None = None, substeps: int = 1,
