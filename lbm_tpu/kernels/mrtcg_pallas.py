@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import lattice as lat
 from ..core.params import ColourParams
 from ..ops.gradients import KERNEL_X5, KERNEL_Y5
-from .collide_stream import CHALO, HALO
+from .collide_stream import CHALO, HALO, PAIR_KS
 
 CX = tuple(int(v) for v in lat.C[0])
 CY = tuple(int(v) for v in lat.C[1])
@@ -214,38 +214,71 @@ def _corr5(x, kern, abs_iota, R: int, C: int):
     return _corr5_multi(x, (kern,), abs_iota, R, C)[0]
 
 
-def _mrt_omega1(df, c1, c7, s_nu):
-    """Mi (s * (M df) + C) with scalar-coefficient unrolled matmuls."""
-    m = []
-    for row in range(9):
+def _mrt_omega1(f0, fs_p, fd_p, m_eq, c1, c7, s_nu):
+    """Mi (s * (M (feq - f)) + C), moment-space + pair-factored.
+
+    Only moments 1,2,4,6,7,8 relax (S_BASE zeroes rows 0,3,5), and the
+    surviving basis rows split by parity under k -> opp(k): rows 1,2,7,8
+    of M are EVEN (M[row,kp] == M[row,km] for every opposite pair) and
+    rows 4,6 are ODD (M[row,kp] == -M[row,km], zero at k=0).  So the
+    forward map rides the 4 population pair sums ``fs_p`` / diffs
+    ``fd_p`` (+ the rest plane ``f0``) instead of 9 planes, the
+    equilibrium enters as its closed-form moments ``m_eq`` (a dict over
+    the 6 relaxed rows — the 9 equilibrium planes are never built; see
+    the caller), and the back map shares each pair's even part:
+    Mi[km,j] equals Mi[kp,j] on even columns and -Mi[kp,j] on odd ones,
+    giving o1[kp], o1[km] = even +/- odd.  ~60 vs 262 vector ops/cell
+    by the jaxpr count (docs/BENCHMARKS.md multiphase roofline); the
+    coefficients are read from the same M_MRT/MI_MRT tables as before
+    (mrtcg_static_droplet.cpp:130-156), so the algebra is exact up to
+    summation order."""
+    EVEN, ODD = (1, 2, 7, 8), (4, 6)
+
+    def mrow(row, parts, with_k0):
         acc = None
-        for q in range(9):
-            w = M_ROWS[row][q]
+        if with_k0:
+            w0 = M_ROWS[row][0]
+            if w0 == 1.0:
+                acc = f0
+            elif w0 != 0.0:
+                acc = w0 * f0
+        for i, (kp, _) in enumerate(PAIR_KS):
+            w = M_ROWS[row][kp]
             if w == 0.0:
                 continue
-            term = df[q] if w == 1.0 else w * df[q]
+            term = parts[i] if w == 1.0 else w * parts[i]
             acc = term if acc is None else acc + term
-        m.append(acc)
-    # diagonal relaxation + correction moments (rows 1 and 7)
-    out_m = []
-    for row in range(9):
+        return acc
+
+    v = {}
+    for row in EVEN:
         s = S_BASE[row]
-        v = m[row] * s_nu if s is None else (m[row] * s if s else None)
-        if row == 1:
-            v = (v if v is not None else 0.0) + c1
-        if row == 7:
-            v = (v if v is not None else 0.0) + c7
-        out_m.append(v)
-    o1 = []
-    for row in range(9):
+        m = m_eq[row] - mrow(row, fs_p, True)
+        v[row] = m * s_nu if s is None else m * s
+    for row in ODD:
+        s = S_BASE[row]
+        m = m_eq[row] - mrow(row, fd_p, False)
+        v[row] = m * s_nu if s is None else m * s
+    v[1] = v[1] + c1
+    v[7] = v[7] + c7
+
+    def midot(k, rows):
         acc = None
-        for q in range(9):
-            w = MI_ROWS[row][q]
-            if w == 0.0 or out_m[q] is None:
+        for j in rows:
+            w = MI_ROWS[k][j]
+            if w == 0.0:
                 continue
-            term = out_m[q] if w == 1.0 else w * out_m[q]
+            term = v[j] if w == 1.0 else w * v[j]
             acc = term if acc is None else acc + term
-        o1.append(acc)
+        return acc
+
+    o1 = [None] * 9
+    o1[0] = midot(0, EVEN)
+    for kp, km in PAIR_KS:
+        even = midot(kp, EVEN)
+        odd = midot(kp, ODD)
+        o1[kp] = even + odd
+        o1[km] = even - odd
     return o1
 
 
@@ -297,8 +330,12 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         advance the reduced state (the next step's b planes are never
         needed individually, only b_rho = rho - r_rho)."""
         inv_rho = 1.0 / rho
-        mom_x = fsum[1] - fsum[3] + fsum[5] - fsum[6] - fsum[7] + fsum[8]
-        mom_y = fsum[2] - fsum[4] + fsum[5] + fsum[6] - fsum[7] - fsum[8]
+        # population pair sums/diffs: the momenta are combinations of the
+        # diffs, and the MRT forward map rides both (see _mrt_omega1)
+        fs_p = [fsum[kp] + fsum[km] for kp, km in PAIRS]
+        fd_p = [fsum[kp] - fsum[km] for kp, km in PAIRS]
+        mom_x = fd_p[0] + fd_p[2] + fd_p[3]   # pairs (1,3),(5,7),(8,6)
+        mom_y = fd_p[1] + fd_p[2] - fd_p[3]
         if csf:
             # the carried-u shift includes the PREVIOUS step's surface
             # force (models.mrt_cg step tail: u += 0.5 (Fg + fst)/rho)
@@ -307,9 +344,9 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         else:
             ux = (mom_x + 0.5 * gx) * inv_rho
             uy = (mom_y + 0.5 * gy) * inv_rho
-        uu = ux * ux + uy * uy
+        x2, y2 = ux * ux, uy * uy
+        uu = x2 + y2
         cu_p = pair_cu(ux, uy)
-        cc_p = {kp: cu_p[kp] * cu_p[kp] for kp, _ in PAIRS}
 
         a = r_rho * (1.0 / r0)
         b = b_rho * (1.0 / b0)
@@ -334,22 +371,35 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         # |c| class), and the correction gradients act on
         # (c_r rho_r + c_b rho_b) u — 2 stencil applications instead of 4
         # and one MRT chain instead of two.
-        uu3 = 3.0 * uu
         ab = {}
         ee = {}
         for cls in (0, 1, 5):   # class representatives: rest, axis, diag
             ab[cls] = r_phi[cls] * r_rho + b_phi[cls] * b_rho
             if cls:              # k=0 has no odd (eta) term
                 ee[cls] = r_eta[cls] * r_rho + b_eta[cls] * b_rho
-        eqs = [None] * 9
-        eqs[0] = ab[0] - (WQ[0] * uu3) * rho
-        for kp, km in PAIRS:
-            cls = 1 if kp in (1, 2) else 5
-            even = ab[cls] + WQ[kp] * ((9.0 * cc_p[kp] - uu3) * rho)
-            odd = (3.0 * WQ[kp]) * (ee[cls] * cu_p[kp])
-            eqs[kp] = even + odd
-            eqs[km] = even - odd
-        dfs = [eqs[k] - fsum[k] for k in range(9)]
+        # the equilibria enter the step ONLY through the moment-space
+        # differences m_eq - M f (they were materialized solely to form
+        # feq - f for the MRT chain), and the CG equilibrium's relaxed
+        # MRT moments have closed forms in the class fields — exact sums
+        # of the per-direction equilibria (mrtcg_static_droplet.cpp:
+        # 233-247) over the M rows, using W0=4/9, W_ax=1/9, W_dg=1/36
+        # and phi/eta constant per |c| class — so the 9 equilibrium
+        # planes are never built:
+        #   e:   -4 ab0 - 4 ab1 + 8 ab5 + 6 rho u^2
+        #   eps:  4 ab0 - 8 ab1 + 4 ab5 - 6 rho u^2
+        #   qx/qy: (ee5/3 - 4 ee1/3) * u        (jx/jy/rho never relax)
+        #   pxx:  2 rho (ux^2 - uy^2),  pxy: 2 rho ux uy
+        uu_rho6 = 6.0 * (uu * rho)
+        rho2 = rho + rho
+        gq = (1.0 / 3.0) * ee[5] - (4.0 / 3.0) * ee[1]
+        m_eq = {
+            1: 8.0 * ab[5] - 4.0 * (ab[0] + ab[1]) + uu_rho6,
+            2: 4.0 * (ab[0] + ab[5]) - 8.0 * ab[1] - uu_rho6,
+            4: ux * gq,
+            6: uy * gq,
+            7: rho2 * (x2 - y2),
+            8: rho2 * (ux * uy),
+        }
         q_c = r_alpha_c * r_rho + b_alpha_c * b_rho
         dxqx = _corr5_multi(q_c * ux, (KX5,), abs_iota, R, C,
                             row_edges=row_edges, col_iota=col_iota)[0]
@@ -357,7 +407,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
                             row_edges=row_edges, col_iota=col_iota)[0]
         c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
         c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
-        o1s = _mrt_omega1(dfs, c1, c7, s_nu)
+        o1s = _mrt_omega1(fsum[0], fs_p, fd_p, m_eq, c1, c7, s_nu)
 
         gc_p = pair_cu(gpx, gpy)         # {kp: c_kp . grad(psi)}
         fst_new = None
