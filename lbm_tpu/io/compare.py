@@ -14,6 +14,15 @@ Accepted file types: .pt (torch, either save flavour), .npy, .npz
 (first array or --key).  Layout is auto-detected by default: an array
 whose LAST axis is a known direction count (2/5/9/19) while the first is
 not is treated as reference layout and rolled to planes.
+
+Caveat (honest limitation): the C++ ``torch::save`` jit-archive branch of
+``load_torch`` is verified only against a PYTHON-SYNTHESIZED archive
+(tests/test_compare.py::test_load_cpp_style_jit_archive builds a scripted
+module carrying the tensor), not a genuine libtorch artifact — libtorch
+cannot run in this environment.  The attribute-discovery heuristics
+("0"/parameters/buffers/named attributes) cover the formats
+``torch.jit.load`` documents for C++ archives, but remain unverified
+against a real ``torch::save`` dump until one exists.
 """
 
 from __future__ import annotations

@@ -124,8 +124,7 @@ def test_cli_from_foreign_cwd(tmp_path):
     r = subprocess.run([sys.executable, "-m", "lbm_tpu.run"] + argv,
                        capture_output=True, text=True, env=env,
                        cwd=str(tmp_path))
-    if r.returncode != 0 and "No module named" in r.stderr:
-        pytest.skip("lbm_tpu not installed (run: pip install -e .)")
+    # no skip: conftest.py self-installs the package in fresh environments
     assert r.returncode == 0, r.stderr[-2000:]
     assert np.isfinite(np.load(out + "-u.npy")).all()
     script = shutil.which("lbm-tpu")
