@@ -284,7 +284,8 @@ def _mrt_omega1(f0, fs_p, fd_p, m_eq, c1, c7, s_nu):
 
 def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
                   delta, apply_gravity_source, R, C, dtype,
-                  surface_tension: str = "perturbation"):
+                  surface_tension: str = "perturbation",
+                  _ablate: frozenset = frozenset()):
     from ..models.mrt_cg import RelaxationFunction
 
     if surface_tension not in ("perturbation", "csf"):
@@ -354,8 +355,11 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         s_nu = relax(psi)
 
         # gradients: phase field + colour-combined correction field
-        gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C,
-                                row_edges=row_edges, col_iota=col_iota)
+        if "grad" in _ablate:  # measurement-only stage stub (NOT physics)
+            gpx, gpy = 0.01 * psi, 0.02 * psi
+        else:
+            gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C,
+                                    row_edges=row_edges, col_iota=col_iota)
         gn = jnp.sqrt(gpx * gpx + gpy * gpy)
         inv_gn = 1.0 / (1e-20 + gn)
 
@@ -401,13 +405,19 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             8: rho2 * (ux * uy),
         }
         q_c = r_alpha_c * r_rho + b_alpha_c * b_rho
-        dxqx = _corr5_multi(q_c * ux, (KX5,), abs_iota, R, C,
-                            row_edges=row_edges, col_iota=col_iota)[0]
-        dyqy = _corr5_multi(q_c * uy, (KY5,), abs_iota, R, C,
-                            row_edges=row_edges, col_iota=col_iota)[0]
+        if "grad" in _ablate:  # measurement-only stage stub (NOT physics)
+            dxqx, dyqy = 0.01 * (q_c * ux), 0.01 * (q_c * uy)
+        else:
+            dxqx = _corr5_multi(q_c * ux, (KX5,), abs_iota, R, C,
+                                row_edges=row_edges, col_iota=col_iota)[0]
+            dyqy = _corr5_multi(q_c * uy, (KY5,), abs_iota, R, C,
+                                row_edges=row_edges, col_iota=col_iota)[0]
         c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
         c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
-        o1s = _mrt_omega1(fsum[0], fs_p, fd_p, m_eq, c1, c7, s_nu)
+        if "mrt" in _ablate:  # measurement-only stage stub (NOT physics)
+            o1s = [0.001 * f for f in fsum]
+        else:
+            o1s = _mrt_omega1(fsum[0], fs_p, fd_p, m_eq, c1, c7, s_nu)
 
         gc_p = pair_cu(gpx, gpy)         # {kp: c_kp . grad(psi)}
         fst_new = None
@@ -532,7 +542,7 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
 
 
 def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True,
-                     col_iota=None):
+                     col_iota=None, _skip_masks: bool = False):
     """Periodic streaming + the multiphase drivers' wall rules:
     cols periodic WITHOUT the diagonal row offset (rows 1..R-2), rows
     bounce-back.  cites mrtcg_rayleigh_taylor.cpp:495-533.
@@ -559,6 +569,8 @@ def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True,
         if CX[k] != 0:
             t = pltpu.roll(t, CX[k] % rows, axis=0)
         out[k] = t
+    if _skip_masks:  # measurement-only ablation (NOT physics)
+        return out
     # periodic col repair without diagonal offset, interior rows only
     for k in (2, 5, 6):  # entering through col 0
         out[k] = jnp.where((ci == 0) & interior, col_rolled[k], out[k])
@@ -586,7 +598,8 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                     apply_gravity_source: bool = True, dtype=jnp.float32,
                     surface_tension: str = "perturbation",
                     substeps: int = 1, reduced: bool = False,
-                    split_out: bool = False, halo: int = HALO):
+                    split_out: bool = False, halo: int = HALO,
+                    _ablate: frozenset = frozenset()):
     """The per-slab MRT-CG step body, shared by the single-chip pipeline
     and the sharded halo-input kernel: ``run(block (P, rows, C),
     abs_iota, row_edges) -> (P_out, rows - 2*halo, C)`` where abs_iota
@@ -629,8 +642,10 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                          "supports substeps=1")
     collide = _make_collide(red, blue, sigma, gravity, delta,
                             apply_gravity_source, R, C, dtype,
-                            surface_tension=surface_tension)
+                            surface_tension=surface_tension,
+                            _ablate=_ablate)
     reduced_in = reduced or split_out
+    skip_bc = "bc" in _ablate
 
     def macros(block):
         """(fsum, rho, r_rho, b_rho, fst) from either state layout."""
@@ -662,9 +677,11 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                       reduced=reduced)
         fst_new = out[2] if csf else None
         new_a = _stream_with_bcs(out[0], abs_iota, R, C,
-                                 row_edges=row_edges, col_iota=col_iota)
+                                 row_edges=row_edges, col_iota=col_iota,
+                                 _skip_masks=skip_bc)
         new_b = _stream_with_bcs(out[1], abs_iota, R, C,
-                                 row_edges=row_edges, col_iota=col_iota)
+                                 row_edges=row_edges, col_iota=col_iota,
+                                 _skip_masks=skip_bc)
         return new_a, new_b, fst_new
 
     def run(block, abs_iota, row_edges, col_iota=None):
@@ -704,10 +721,11 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
             planes = planes + [fst_new[0], fst_new[1]]  # carried, unstreamed
         if col_iota is None:
             return jnp.stack([p[halo:rows - halo] for p in planes], axis=0)
-        # 2-D sharded mode: trim the lane-aligned column halos too
+        # 2-D sharded mode: drop the trailing combined column-halo tile
+        # (interior lanes lead — kernels.sharded2d_pallas layout)
         width = planes[0].shape[1]
         return jnp.stack(
-            [p[halo:rows - halo, CHALO:width - CHALO] for p in planes],
+            [p[halo:rows - halo, 0:width - CHALO] for p in planes],
             axis=0)
 
     return run
@@ -830,7 +848,9 @@ def reduce_mrtcg_state(F, surface_tension: str = "perturbation"):
 def _make_reduced_pipeline(R, C, red, blue, sigma, gravity, delta,
                            apply_gravity_source, dtype, block_rows,
                            interpret, surface_tension, split_out,
-                           substeps: int = 1):
+                           substeps: int = 1,
+                           _ablate: frozenset = frozenset(),
+                           lift: bool = False):
     from .pipeline import make_block_pipeline, resolve_block_rows
 
     csf = surface_tension == "csf"
@@ -845,14 +865,14 @@ def _make_reduced_pipeline(R, C, red, blue, sigma, gravity, delta,
     # the lift was within relay noise)
     block_rows = resolve_block_rows(
         (p_in,), p_out, R, C, dtype, 6 * 2 ** 20, block_rows, False,
-        lift=False, halo=halo)
+        lift=lift, halo=halo)
     n_blocks = R // block_rows
 
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
                           apply_gravity_source, dtype,
                           surface_tension=surface_tension,
                           reduced=not split_out, split_out=split_out,
-                          substeps=substeps, halo=halo)
+                          substeps=substeps, halo=halo, _ablate=_ablate)
     body = _edge_gated(run, n_blocks, block_rows, rps * substeps)
 
     return make_block_pipeline(p_in, R, C, body, planes_out=p_out,
@@ -871,7 +891,9 @@ def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
                             block_rows: int | None = None,
                             surface_tension: str = "perturbation",
                             substeps: int = 1,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            _ablate: frozenset = frozenset(),
+                            lift: bool = False):
     """Reduced-state fused MRT-CG step: G (10, R, C) -> (10, R, C)
     (12 planes in CSF mode, fst carried in planes 10-11), advanced
     ``substeps`` steps per launch (temporal blocking: one HBM round-trip
@@ -883,7 +905,7 @@ def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
     return _make_reduced_pipeline(
         R, C, red, blue, sigma, gravity, delta, apply_gravity_source,
         dtype, block_rows, interpret, surface_tension, split_out=False,
-        substeps=substeps)
+        substeps=substeps, _ablate=_ablate, lift=lift)
 
 
 def make_mrtcg_split_step(R: int, C: int, red: ColourParams,

@@ -155,7 +155,7 @@ def make_rk_body(R: int, C: int, *, r_alpha, b_alpha, r_nu, b_nu, sigma,
             return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
         width = out[0].shape[1]
         return jnp.stack(
-            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in out], axis=0)
+            [p[HALO:rows - HALO, 0:width - CHALO] for p in out], axis=0)
 
     return run
 

@@ -163,7 +163,7 @@ def make_sc_body(R: int, C: int, *, omega: float, G: float | None = None,
         if col_iota is None:
             return jnp.stack([p[HALO:rows - HALO] for p in f], axis=0)
         return jnp.stack(
-            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in f],
+            [p[HALO:rows - HALO, 0:width - CHALO] for p in f],
             axis=0)
 
     return run

@@ -190,7 +190,7 @@ def make_thermal_body(R: int, C: int, *, omega_f: float, omega_g: float,
         if col_iota is None:
             return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
         return jnp.stack(
-            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in out],
+            [p[HALO:rows - HALO, 0:width - CHALO] for p in out],
             axis=0)
 
     return run
@@ -236,7 +236,7 @@ def make_thermal5_body(R: int, C: int, *, omega_f: float, omega_g: float,
         if col_iota is None:
             return jnp.stack([p[HALO:rows - HALO] for p in out], axis=0)
         return jnp.stack(
-            [p[HALO:rows - HALO, CHALO:width - CHALO] for p in out],
+            [p[HALO:rows - HALO, 0:width - CHALO] for p in out],
             axis=0)
 
     return run

@@ -29,12 +29,14 @@ def test_local_2d_step_self_halos_match_periodic():
     omega = 1.0 / 0.8
     rng = np.random.default_rng(11)
     f = jnp.asarray(rng.uniform(0.05, 0.3, (9, R, C)), jnp.float32)
-    rowpad = jnp.concatenate([f[:, -8:], f, f[:, :8]], axis=1)
-    left = rowpad[:, :, -128:]
-    right = rowpad[:, :, :128]
+    top, bot = f[:, -8:], f[:, :8]
+    rowpad = jnp.concatenate([top, f, bot], axis=1)
+    # combined tile: right halo (own leading 64 cols, periodic) then left
+    combined = jnp.concatenate([rowpad[:, :, :64], rowpad[:, :, -64:]],
+                               axis=2)
     step = make_local_2d_step(R, C, bgk_collide_fn(omega, jnp.float32),
                               block_rows=8, interpret=True)
-    got = step(rowpad, left, right)
+    got = step(f, top, bot, combined)
     want = _oracle(f.astype(jnp.float64), omega).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
