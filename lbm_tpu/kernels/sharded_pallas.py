@@ -46,26 +46,101 @@ _CADENCE_MLUPS = {
     "mrtcg": {1: 4425, 2: 4731, 4: 4137},                  # 1024x512
     "csf": {1: 3406, 2: 3407},                             # 1024x512
 }
+#: measurement grids of _CADENCE_MLUPS (cells per launch)
+_CADENCE_CELLS = {"bgk": 2048 * 512, "mrtcg": 1024 * 512,
+                  "csf": 1024 * 512}
+#: halo rows one sweep consumes (streaming + gradient stencils)
+_ROWS_PER_SWEEP = {"bgk": 1, "thermal": 1, "cavity": 1, "sediment": 1,
+                   "les": 1, "trt": 1, "plaw": 1, "d3q19": 1, "sc": 2,
+                   "mrtcg": 3, "rk": 3, "csf": 5}
+#: state planes carried per family (exchange payload = planes x halo x C)
+_PLANES = {"bgk": 9, "thermal": 18, "cavity": 9, "sediment": 18, "les": 9,
+           "trt": 9, "plaw": 9, "d3q19": 19, "sc": 9, "mrtcg": 18,
+           "rk": 11, "csf": 20}
+
+# ICI constants (public figures, jax-ml.github.io/scaling-book): one-way
+# per-link bandwidth and a per-collective latency floor.  The halo rides
+# ONE mesh axis (a ring over 'x'), so the per-exchange cost is the strip
+# payload over one link plus two ppermute latencies (both directions
+# overlap on the bidirectional links, so bandwidth is NOT halved; the two
+# collectives still each pay the launch/latency floor).
+ICI = {
+    "v5e": {"bw_oneway": 4.5e10, "latency": 1e-6},
+    "v5p": {"bw_oneway": 9.0e10, "latency": 1e-6},
+    "v4": {"bw_oneway": 4.5e10, "latency": 1e-6},
+}
 
 
-def default_substeps(family: str) -> int:
+def _halo_rows(substeps: int, rows_per_sweep: int) -> int:
+    """Exchanged strip depth (8-aligned; mirrors mrtcg_pallas.halo_for)."""
+    return max(HALO, -(-substeps * rows_per_sweep // 8) * 8)
+
+
+def exchange_seconds(substeps: int, family: str, C: int,
+                     itemsize: int = 4, generation: str = "v5e") -> float:
+    """Analytic per-exchange ICI cost of one halo exchange at cadence
+    ``substeps``: strip bytes / one-way bandwidth + 2 ppermute latencies.
+    Deeper cadences exchange DEEPER strips (halo_for), so the payload
+    term grows with substeps while its amortisation (1/substeps) shrinks
+    faster — the net per-step exchange cost is monotonically decreasing
+    in substeps."""
+    ici = ICI[generation]
+    rows = _halo_rows(substeps, _ROWS_PER_SWEEP.get(family, 3))
+    payload = rows * C * _PLANES.get(family, 18) * itemsize
+    return payload / ici["bw_oneway"] + 2.0 * ici["latency"]
+
+
+def pick_substeps(family: str, C: int | None = None,
+                  cells: int | None = None, itemsize: int = 4,
+                  generation: str = "v5e") -> int:
+    """ICI-aware exchange-cadence picker: argmax over the measured
+    single-chip effective-MLUPS table (_CADENCE_MLUPS — launch
+    amortisation + redundant halo recompute, measured on one real v5e
+    chip) of
+
+        eff(s) = cells / (cells / MLUPS(s) + exchange_seconds(s) / s)
+
+    i.e. the measured per-step compute time plus the analytic per-step
+    share of one ICI exchange (docs/BENCHMARKS.md "Exchange cadence").
+    Monotone by construction: growing the latency or shrinking the
+    bandwidth only ever moves the pick to DEEPER cadences (the exchange
+    term is amortised by 1/s).  ``C``/``cells`` default to the table's
+    measurement grid; families without their own table map to the
+    structurally matching row (1 halo row/sweep -> bgk, stencil bodies
+    -> mrtcg) with their own payload constants."""
+    key = family if family in _CADENCE_MLUPS else (
+        "bgk" if _ROWS_PER_SWEEP.get(family, 3) <= 2 else "mrtcg")
+    table = _CADENCE_MLUPS[key]
+    cells = cells if cells is not None else _CADENCE_CELLS[key]
+    C = C if C is not None else 512
+    # structural cap: the deepest cadence whose halo the body admits
+    # (sc's 2 rows/sweep caps at 4 on the 8-row strip; deeper halos are
+    # legal for mrtcg-class bodies via halo_for, already in the table)
+    cap = 8 // _ROWS_PER_SWEEP.get(family, 3) if family == "sc" else None
+
+    def eff(s):
+        t_step = cells / (table[s] * 1e6)
+        t_exch = exchange_seconds(s, family, C, itemsize, generation) / s
+        return cells / (t_step + t_exch)
+
+    candidates = [s for s in table if cap is None or s <= cap]
+    return max(candidates, key=eff)
+
+
+def default_substeps(family: str, C: int | None = None,
+                     generation: str = "v5e") -> int:
     """Data-driven default exchange cadence for a sharded family: the
-    substeps value with the highest measured effective MLUPS
-    (_CADENCE_MLUPS).  Stencil-free wall-BC bodies (thermal/cavity/
-    sediment class) consume 1 halo row per sweep like BGK and share its
-    optimum; stencil families fall back to the mrtcg row.  Returns a
-    value the caller must still pass explicitly — the returned step
-    function advances `substeps` steps per call, so an implicit default
-    would silently change step semantics."""
-    if family in _CADENCE_MLUPS:
-        table = _CADENCE_MLUPS[family]
-        return max(table, key=table.get)
+    measured single-chip cadence table (_CADENCE_MLUPS) combined with
+    the analytic ICI exchange term (pick_substeps).  Stencil-free
+    wall-BC bodies (thermal/cavity/sediment class) consume 1 halo row
+    per sweep like BGK and share its table; stencil families fall back
+    to the mrtcg row.  Returns a value the caller must still pass
+    explicitly — the returned step function advances `substeps` steps
+    per call, so an implicit default would silently change step
+    semantics."""
     if family == "sc":  # 2 halo rows/sweep -> deepest valid cadence is 4
         return 4
-    if family in ("thermal", "cavity", "sediment", "les", "trt", "plaw",
-                  "d3q19"):  # 1 halo row/sweep, BGK-class body
-        return max(_CADENCE_MLUPS["bgk"], key=_CADENCE_MLUPS["bgk"].get)
-    return max(_CADENCE_MLUPS["mrtcg"], key=_CADENCE_MLUPS["mrtcg"].get)
+    return pick_substeps(family, C=C, generation=generation)
 
 
 def make_local_halo_step(R_loc: int, C: int, collide_fn, dtype=jnp.float32,

@@ -377,3 +377,63 @@ def test_sharded_csf_temporal_blocking():
     want = single(single(S))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
                                atol=1e-13)
+
+
+def test_cadence_picker_ici_monotone():
+    """ICI-aware cadence picker (VERDICT r3 item 5): the analytic
+    exchange term only ever pushes the pick to DEEPER cadences as the
+    collective latency grows or the link bandwidth shrinks, and the
+    zero-cost limit reproduces the bare measured-table argmax."""
+    from lbm_tpu.kernels import sharded_pallas as sp
+
+    base = dict(sp.ICI)
+    try:
+        # zero-cost ICI == measured-table argmax
+        sp.ICI["test0"] = {"bw_oneway": 1e30, "latency": 0.0}
+        for fam, table in sp._CADENCE_MLUPS.items():
+            assert sp.pick_substeps(fam, generation="test0") == \
+                max(table, key=table.get)
+
+        # cadence is non-decreasing in latency ...
+        lats = [0.0, 1e-6, 1e-5, 1e-4, 1e-3, 1e-2]
+        for fam in ("bgk", "mrtcg", "csf", "thermal", "sediment", "rk"):
+            picks = []
+            for i, lat in enumerate(lats):
+                sp.ICI[f"lat{i}"] = {"bw_oneway": 4.5e10, "latency": lat}
+                picks.append(sp.pick_substeps(fam, generation=f"lat{i}"))
+            assert picks == sorted(picks), (fam, picks)
+            # ... and saturates at the deepest measured cadence
+            key = fam if fam in sp._CADENCE_MLUPS else (
+                "bgk" if sp._ROWS_PER_SWEEP[fam] <= 2 else "mrtcg")
+            assert picks[-1] == max(sp._CADENCE_MLUPS[key]), (fam, picks)
+
+        # ... and non-decreasing as bandwidth shrinks
+        for i, bw in enumerate([1e30, 4.5e10, 4.5e9, 4.5e8, 4.5e7]):
+            sp.ICI[f"bw{i}"] = {"bw_oneway": bw, "latency": 1e-6}
+        for fam in ("bgk", "mrtcg"):
+            picks = [sp.pick_substeps(fam, generation=f"bw{i}")
+                     for i in range(5)]
+            assert picks == sorted(picks), (fam, picks)
+
+        # structural caps survive any ICI pressure
+        sp.ICI["harsh"] = {"bw_oneway": 4.5e7, "latency": 1e-2}
+        assert sp.default_substeps("sc") == 4      # 2 rows/sweep cap
+        # deeper strips cost more once the cadence outgrows the 8-row
+        # minimum (mrtcg: 3 rows/sweep -> 16-row strip at substeps=4)
+        assert sp.exchange_seconds(4, "mrtcg", 512) > \
+            sp.exchange_seconds(1, "mrtcg", 512)
+    finally:
+        sp.ICI.clear()
+        sp.ICI.update(base)
+
+
+def test_default_substeps_families():
+    """Every sharded family resolves to a legal cadence for its body."""
+    from lbm_tpu.kernels.sharded_pallas import default_substeps
+
+    for fam, cap in [("bgk", 8), ("thermal", 8), ("cavity", 8),
+                     ("sediment", 8), ("les", 8), ("trt", 8), ("plaw", 8),
+                     ("d3q19", 8), ("sc", 4), ("mrtcg", 5), ("rk", 5),
+                     ("csf", 3)]:
+        s = default_substeps(fam)
+        assert 1 <= s <= cap, (fam, s)
