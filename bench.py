@@ -66,10 +66,10 @@ def build_step(args, H, W):
         from lbm_tpu.models.mrt_cg import MRTCGModel
         from lbm_tpu.scenes.multiphase import mrtcg_boundary
 
-        if args.substeps > 5:
-            log("mrtcg kernel caps substeps at 5 (3 halo rows/sweep on a "
-                "16-row slab halo)")
-            args.substeps = 5  # keep the MLUPS accounting honest
+        if args.substeps > 8:
+            log("mrtcg kernel caps substeps at 8 (3 halo rows/sweep on a "
+                "24-row slab halo)")
+            args.substeps = 8  # keep the MLUPS accounting honest
         kw = dict(dtype=dtype, block_rows=args.block_rows,
                   substeps=args.substeps)
         model = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
@@ -104,10 +104,10 @@ def build_step(args, H, W):
                           dtype=dtype)
         f = jnp.concatenate([st.red.f, st.blue.f,
                              jnp.zeros((2, H, W), dtype)], axis=0)
-        if args.substeps > 3:
-            log("csf kernel caps substeps at 3 (5 halo rows/sweep on a "
-                "16-row slab halo)")
-            args.substeps = 3  # keep the MLUPS accounting honest
+        if args.substeps > 4:
+            log("csf kernel caps substeps at 4 (5 halo rows/sweep on a "
+                "24-row slab halo)")
+            args.substeps = 4  # keep the MLUPS accounting honest
         if args.model == "csf_full":
             step = make_csf_fused_step(
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),

@@ -26,6 +26,9 @@ class ULBMResult:
     m1: jnp.ndarray
     steps: int
     l2: float | None = None  # vs the analytic parabola (poiseuille only)
+    #: (step, |mean/old_mean - 1|) samples from the convergence watcher
+    #: (tolerance mode only) — the long-horizon f32 floor diagnostic
+    watch: list | None = None
 
 
 def _ulbm_l2(u_x, u_max: float) -> float:
@@ -71,18 +74,21 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
         """Convergence-watched loop (tolerance mode): chunked at
         ``t_interval`` so the stop step matches the reference cadence."""
         steps, old_mean = 0, 1.0
+        watch = []
         carry = step_or_chunk(carry, 1)
         steps += 1
         while steps < T:
             mean = float(mean_ux(carry))
-            if old_mean != 0.0 and abs(mean / old_mean - 1.0) < tolerance:
+            rel = abs(mean / old_mean - 1.0) if old_mean != 0.0 else np.inf
+            watch.append((steps, rel))
+            if rel < tolerance:
                 break
             old_mean = mean
             n = min(t_interval, T - steps)
             carry = step_or_chunk(carry, n)
             steps += n
             observe.check_finite(carry, steps)
-        return carry, steps
+        return carry, steps, watch
 
     if fused:
         from ..kernels.channel_pallas import make_channel_fused_step
@@ -94,9 +100,10 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
         chunk = jax.jit(
             lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
             static_argnums=1)
+        watch = None
         if tolerance is not None:
             mean_ux = jax.jit(lambda g: jnp.mean(d2q9.calc_momentum(g)[0]))
-            f, steps = watched_drive(chunk, f, mean_ux)
+            f, steps, watch = watched_drive(chunk, f, mean_ux)
         else:
             f, _ = observe.drive_chunked(
                 step, f, T, 0, H * W, 0.12, None,
@@ -105,7 +112,7 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
             steps = T
         m0, u = model.macroscopics(f)
         return ULBMResult(f=f, m0=m0, m1=u, steps=steps,
-                          l2=_ulbm_l2(u[0], u_max))
+                          l2=_ulbm_l2(u[0], u_max), watch=watch)
 
     def step(carry):
         f, m0, u = carry
@@ -132,12 +139,13 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
     f = model.equilibrium(m0, u)
 
     carry = (f, m0, u)
+    watch = None
     if tolerance is not None:
         chunk = jax.jit(
             lambda c, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), c),
             static_argnums=1)
         mean_ux = jax.jit(lambda c: jnp.mean(c[2][0]))
-        carry, steps = watched_drive(chunk, carry, mean_ux)
+        carry, steps, watch = watched_drive(chunk, carry, mean_ux)
     else:
         carry, _ = observe.drive_chunked(
             step, carry, T, 0, H * W, 0.8, None,
@@ -146,7 +154,7 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
         steps = T
     f, m0, u = carry
     return ULBMResult(f=f, m0=m0, m1=u, steps=steps,
-                      l2=_ulbm_l2(u[0], u_max))
+                      l2=_ulbm_l2(u[0], u_max), watch=watch)
 
 
 def double_shear_init(H: int, W: int, u_max: float, alpha: float = 80.0,

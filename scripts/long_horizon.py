@@ -1,0 +1,187 @@
+"""Long-horizon f32 error budget at the reference's own workloads
+(VERDICT r3 item 3; SURVEY.md section 7 "hard parts": f64 vs TPU).
+
+Workload A — MRT-CG Rayleigh-Taylor at the reference's own shape and
+horizon: 256x128 x 100k steps (mrtcg-rayleigh-taylor-gamma3.toml:4-7,
+rk_rayleigh_taylor_test.cpp:81-87).  The f32 fused reduced kernel runs
+on the TPU; the f64 oracle is the SAME-physics jnp model on CPU
+(pinned to the fused kernel at 1e-12 by tests/test_mrtcg_pallas.py).
+Both legs checkpoint macroscopic fields (psi, rho, ux, uy) at the same
+steps; `rtcmp` prints the drift curve (L2/Linf vs step).
+
+Workload B — ULBM/KBC Poiseuille at the reference's flat 300k-step
+horizon (ulbm_poiseuille.cpp:64-69: 128x128, nu=1e-4), f32 fused on
+chip under the 1e-12 relative-mean-ux convergence watcher: records
+where the f32 watcher PLATEAUS (its precision floor) and the L2 shape
+error vs the analytic parabola at the end of the horizon.
+
+Usage:
+  python scripts/long_horizon.py rt32  [outdir]   # TPU, ~minutes
+  python scripts/long_horizon.py rt64  [outdir]   # CPU f64 oracle, HOURS
+  python scripts/long_horizon.py rtcmp [outdir]   # drift table (JSON)
+  python scripts/long_horizon.py ulbm300k         # TPU, ~minutes
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CHECKPOINTS = (1000, 2000, 5000, 10000, 20000, 50000, 100000)
+R, C = 256, 128
+SIGMA, GRAV = 1e-4, 6.25e-7
+OUTDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/long_horizon"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _init_state(dtype):
+    import jax.numpy as jnp
+
+    from lbm_tpu.models.mrt_cg import MRTCGModel
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine, mrtcg_boundary)
+
+    model = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=SIGMA,
+                       gravity=(GRAV, 0.0), apply_gravity_source=True,
+                       boundary=mrtcg_boundary)
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0)
+    return model, model.init_state(r0, b0, dtype=dtype)
+
+
+def _macros_from_reduced(G):
+    """(psi, rho, ux, uy) from the reduced 10-plane state, f64 host."""
+    from lbm_tpu.scenes.multiphase import DEFAULT_BLUE, DEFAULT_RED
+
+    mom = np.asarray(G[:9], np.float64)
+    r_rho = np.asarray(G[9], np.float64)
+    rho = mom.sum(0)
+    b_rho = rho - r_rho
+    a = r_rho / DEFAULT_RED.rho_0
+    b = b_rho / DEFAULT_BLUE.rho_0
+    psi = (a - b) / (a + b)
+    ux = (mom[1] - mom[3] + mom[5] - mom[6] - mom[7] + mom[8]
+          + 0.5 * GRAV) / rho
+    uy = (mom[2] - mom[4] + mom[5] + mom[6] - mom[7] - mom[8]) / rho
+    return dict(psi=psi, rho=rho, ux=ux, uy=uy)
+
+
+def _macros_from_state(state):
+    from lbm_tpu.kernels.mrtcg_pallas import reduce_mrtcg_state
+    import jax.numpy as jnp
+
+    F = jnp.stack([state.red.f, state.blue.f])
+    return _macros_from_reduced(reduce_mrtcg_state(F))
+
+
+def rt32():
+    """f32 fused reduced kernel on the TPU, checkpointing macro fields."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.kernels.mrtcg_pallas import (
+        make_mrtcg_reduced_step, reduce_mrtcg_state)
+    from lbm_tpu.scenes.multiphase import DEFAULT_BLUE, DEFAULT_RED
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    model, state = _init_state(jnp.float32)
+    F = jnp.stack([state.red.f, state.blue.f]).astype(jnp.float32)
+    G = reduce_mrtcg_state(F)
+    step = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   sigma=SIGMA, gravity=(GRAV, 0.0),
+                                   dtype=jnp.float32)
+    chunk = jax.jit(
+        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+        static_argnums=1)
+    done = 0
+    t0 = time.perf_counter()
+    for target in CHECKPOINTS:
+        while done < target:
+            n = min(2000, target - done)  # axon: cap device time/launch
+            G = chunk(G, n)
+            done += n
+        float(G.sum())
+        np.savez(os.path.join(OUTDIR, f"f32-{done}.npz"),
+                 **_macros_from_reduced(G))
+        log(f"f32 step {done} ({time.perf_counter() - t0:.1f}s)")
+    log("rt32 done")
+
+
+def rt64():
+    """f64 jnp-model oracle on CPU (the slow leg — run in background)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    model, state = _init_state(jnp.float64)
+    step = jax.jit(model.step)
+    chunk = jax.jit(
+        lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), s),
+        static_argnums=1)
+    done = 0
+    t0 = time.perf_counter()
+    for target in CHECKPOINTS:
+        while done < target:
+            n = min(1000, target - done)
+            state = chunk(state, n)
+            done += n
+            if done % 5000 == 0:
+                el = time.perf_counter() - t0
+                log(f"f64 step {done} ({el:.0f}s, "
+                    f"{1e3 * el / done:.1f} ms/step)")
+        jax.block_until_ready(state)
+        np.savez(os.path.join(OUTDIR, f"f64-{done}.npz"),
+                 **_macros_from_state(state))
+        log(f"f64 checkpoint {done}")
+    log("rt64 done")
+
+
+def rtcmp():
+    rows = []
+    for step in CHECKPOINTS:
+        p32 = os.path.join(OUTDIR, f"f32-{step}.npz")
+        p64 = os.path.join(OUTDIR, f"f64-{step}.npz")
+        if not (os.path.exists(p32) and os.path.exists(p64)):
+            continue
+        a, b = np.load(p32), np.load(p64)
+        row = {"step": step}
+        for k in ("psi", "rho", "ux", "uy"):
+            d = a[k] - b[k]
+            scale = max(np.abs(b[k]).max(), 1e-30)
+            row[f"{k}_l2"] = float(np.sqrt((d * d).mean()))
+            row[f"{k}_linf_rel"] = float(np.abs(d).max() / scale)
+        rows.append(row)
+        log(f"step {step:>7d}  psi_l2 {row['psi_l2']:.3e}  "
+            f"ux_linf_rel {row['ux_linf_rel']:.3e}")
+    print(json.dumps(rows))
+
+
+def ulbm300k():
+    """The reference's flat 300k-step ULBM Poiseuille (128x128, nu=1e-4)
+    f32 fused on chip with the 1e-12 convergence watcher: where does the
+    f32 watcher floor out, and what is the final parabola L2?"""
+    from lbm_tpu.scenes import ulbm
+
+    res = ulbm.ulbm_poiseuille(tolerance=1e-12)
+    out = {"steps_run": int(res.steps), "l2_parabola": float(res.l2)}
+    if res.watch:
+        w = res.watch
+        out["watch_floor"] = float(min(r for _, r in w if np.isfinite(r)))
+        out["watch_tail"] = [[int(s), float(r)] for s, r in w[-5:]]
+        # decade-crossing steps: when did the watcher first dip below 1e-k?
+        out["first_below"] = {
+            f"1e-{k}": next((int(s) for s, r in w if r < 10.0 ** -k), None)
+            for k in (4, 5, 6, 7, 8, 9, 10, 11, 12)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    {"rt32": rt32, "rt64": rt64, "rtcmp": rtcmp,
+     "ulbm300k": ulbm300k}[sys.argv[1]]()
