@@ -42,6 +42,22 @@ def build_step(args, H, W):
         feq = d2q9.equilibrium(u, rho)
         return d2q9.stream(d2q9.bgk_collision(f, feq, omega))
 
+    if args.substeps is None:
+        # data-driven defaults: the colour-gradient families take the
+        # measured wide-shape optimum (mrtcg_pallas.default_geometry,
+        # round-4 sweep in docs/BENCHMARKS.md); everything else keeps
+        # the deepest generic cadence
+        if args.model in ("mrtcg", "mrtcg_full", "csf", "csf_full"):
+            from lbm_tpu.kernels.mrtcg_pallas import default_geometry
+
+            st = "csf" if args.model.startswith("csf") else "perturbation"
+            ss, bb = default_geometry(st, R=H)
+            args.substeps = ss
+            if args.block_rows is None:
+                args.block_rows = bb
+        else:
+            args.substeps = 8
+
     impl = args.impl
     step = jnp_step
 
@@ -433,9 +449,10 @@ def main():
     ap.add_argument("--block-rows", type=int, default=None,
                     help="override the kernel's auto row-block pick "
                     "(mrtcg/csf/rk models)")
-    ap.add_argument("--substeps", type=int, default=8,
+    ap.add_argument("--substeps", type=int, default=None,
                     help="LBM steps per kernel launch (temporal blocking; "
-                         "pallas impl only, 1..8)")
+                         "pallas impl only, 1..8; default: 8, or the "
+                         "measured wide-shape optimum for mrtcg/csf)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the grid over all devices via the "
                          "production ppermute+Pallas kernel (or the GSPMD "

@@ -101,7 +101,8 @@ def _abs_col_val(x, col_iota, abs_col: int):
 
 
 def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
-                 row_edges: bool = True, col_iota=None):
+                 row_edges: bool = True, col_iota=None,
+                 _col_edges: bool = True):
     """5x5 cross-correlations of ``x`` with each kernel in ``kerns``, with
     replicate padding on all four global edges, on a slab whose absolute row
     index is ``abs_iota`` (rows beyond the validity margin produce garbage
@@ -152,7 +153,7 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
     # ---- hoisted column shifts with column-replicate fixup
     used_db = sorted({b - 2 for base in bases for b in range(5) if base[b]})
     xs = {}
-    if used_db != [0]:
+    if used_db != [0] and _col_edges:
         if local_cols:
             left = _edge_col(x, 0, C)
             right = _edge_col(x, C - 1, C)
@@ -164,6 +165,9 @@ def _corr5_multi(x, kerns, abs_iota, R: int, C: int,
             xs[0] = x
         else:
             t = pltpu.roll(x, (-db) % width, axis=1)
+            if not _col_edges:  # measurement-only ablation (NOT physics)
+                xs[db] = t
+                continue
             xs[db] = jnp.where(ci < -db, left, t) if db < 0 \
                 else jnp.where(ci >= C - db, right, t)
 
@@ -359,7 +363,8 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
             gpx, gpy = 0.01 * psi, 0.02 * psi
         else:
             gpx, gpy = _corr5_multi(psi, (KX5, KY5), abs_iota, R, C,
-                                    row_edges=row_edges, col_iota=col_iota)
+                                    row_edges=row_edges, col_iota=col_iota,
+                                    _col_edges="fixups" not in _ablate)
         gn = jnp.sqrt(gpx * gpx + gpy * gpy)
         inv_gn = 1.0 / (1e-20 + gn)
 
@@ -408,10 +413,13 @@ def _make_collide(red: ColourParams, blue: ColourParams, sigma, gravity,
         if "grad" in _ablate:  # measurement-only stage stub (NOT physics)
             dxqx, dyqy = 0.01 * (q_c * ux), 0.01 * (q_c * uy)
         else:
+            ce = "fixups" not in _ablate
             dxqx = _corr5_multi(q_c * ux, (KX5,), abs_iota, R, C,
-                                row_edges=row_edges, col_iota=col_iota)[0]
+                                row_edges=row_edges, col_iota=col_iota,
+                                _col_edges=ce)[0]
             dyqy = _corr5_multi(q_c * uy, (KY5,), abs_iota, R, C,
-                                row_edges=row_edges, col_iota=col_iota)[0]
+                                row_edges=row_edges, col_iota=col_iota,
+                                _col_edges=ce)[0]
         c1 = 3.0 * (1.0 - 0.5 * 1.25) * (dxqx + dyqy)
         c7 = (1.0 - 0.5 * s_nu) * (dxqx - dyqy)
         if "mrt" in _ablate:  # measurement-only stage stub (NOT physics)
@@ -587,6 +595,46 @@ def _stream_with_bcs(coll, abs_iota, R, C, row_edges: bool = True,
     return out
 
 
+def _stream_sum_with_bcs(coll, abs_iota, R, C, row_edges: bool = True,
+                         col_iota=None, _skip_masks: bool = False):
+    """``sum_k _stream_with_bcs(coll)[k]`` without materialising the 9
+    streamed planes: the reduced state consumes the streamed red
+    populations ONLY through their sum (= the next red density), so each
+    plane's final value is computed in one expression and folded into a
+    single accumulator — 1 live temporary instead of 9 in the kernel's
+    port/VMEM-bound epilogue.  Exact: the per-plane finals match
+    _stream_with_bcs (its col-repair and bounce-back writes touch
+    disjoint masks per plane, so the overwrite order collapses into
+    nested selects) and the accumulation runs in the same ascending-k
+    order the callers used on the materialised planes."""
+    rows, width = coll[0].shape
+    ci = _col_iota(coll[0].shape) if col_iota is None else col_iota
+    interior = ((abs_iota >= 1) & (abs_iota <= R - 2)) if row_edges else True
+    bottom = (abs_iota == R - 1) if row_edges else None
+    top = (abs_iota == 0) if row_edges else None
+    acc = None
+    for k in range(9):
+        t = coll[k]
+        if CY[k] != 0:
+            t = pltpu.roll(t, CY[k] % width, axis=1)
+        col_rolled = t
+        if CX[k] != 0:
+            t = pltpu.roll(t, CX[k] % rows, axis=0)
+        v = t
+        if not _skip_masks:
+            if k in (2, 5, 6):     # entering through col 0
+                v = jnp.where((ci == 0) & interior, col_rolled, v)
+            elif k in (4, 7, 8):   # entering through col C-1
+                v = jnp.where((ci == C - 1) & interior, col_rolled, v)
+            if row_edges:
+                if k in (3, 6, 7):     # targets of the bottom bounce-back
+                    v = jnp.where(bottom, coll[lat.OPP[k]], v)
+                elif k in (1, 5, 8):   # targets of the top bounce-back
+                    v = jnp.where(top, coll[lat.OPP[k]], v)
+        acc = v if acc is None else acc + v
+    return acc
+
+
 def reduced_planes(surface_tension: str = "perturbation") -> int:
     """Plane count of the reduced state: 9 colour-summed populations +
     1 red density (+ 2 surface-force carries in CSF mode)."""
@@ -676,12 +724,28 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                       row_edges=row_edges, fst=fst, col_iota=col_iota,
                       reduced=reduced)
         fst_new = out[2] if csf else None
+        if "stream" in _ablate:  # measurement-only (NOT physics)
+            if reduced:
+                s = out[1][0]
+                for k in range(1, 9):
+                    s = s + out[1][k]
+                return list(out[0]), s, fst_new
+            return list(out[0]), list(out[1]), fst_new
         new_a = _stream_with_bcs(out[0], abs_iota, R, C,
                                  row_edges=row_edges, col_iota=col_iota,
                                  _skip_masks=skip_bc)
-        new_b = _stream_with_bcs(out[1], abs_iota, R, C,
-                                 row_edges=row_edges, col_iota=col_iota,
-                                 _skip_masks=skip_bc)
+        if reduced:
+            # the streamed red planes are only ever consumed through
+            # their sum — fold streaming + sum into one accumulator
+            new_b = _stream_sum_with_bcs(out[1], abs_iota, R, C,
+                                         row_edges=row_edges,
+                                         col_iota=col_iota,
+                                         _skip_masks=skip_bc)
+        else:
+            new_b = _stream_with_bcs(out[1], abs_iota, R, C,
+                                     row_edges=row_edges,
+                                     col_iota=col_iota,
+                                     _skip_masks=skip_bc)
         return new_a, new_b, fst_new
 
     def run(block, abs_iota, row_edges, col_iota=None):
@@ -695,9 +759,7 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
                 rho = fsum[0]
                 for k in range(1, 9):
                     rho = rho + fsum[k]
-                r_rho = new_b[0]
-                for k in range(1, 9):
-                    r_rho = r_rho + new_b[k]
+                r_rho = new_b   # already the streamed-red sum
                 b_rho = rho - r_rho
             else:
                 rf, bf = new_a, new_b
@@ -710,11 +772,8 @@ def make_mrtcg_body(R: int, C: int, red: ColourParams, blue: ColourParams,
             new_a, new_b, fst_new = sweep(fsum, rho, r_rho, b_rho, fst_new,
                                           abs_iota, row_edges, col_iota)
         if reduced:
-            # collapse the streamed red planes to the next red density
-            r_next = new_b[0]
-            for k in range(1, 9):
-                r_next = r_next + new_b[k]
-            planes = new_a + [r_next]
+            # new_b IS the next red density (streamed-red sum)
+            planes = new_a + [new_b]
         else:
             planes = new_a + new_b
         if csf:
@@ -735,6 +794,32 @@ def halo_for(substeps: int, rows_per_sweep: int) -> int:
     """Smallest 8-aligned slab halo admitting ``substeps`` sweeps that
     each consume ``rows_per_sweep`` halo rows."""
     return max(HALO, -(-substeps * rows_per_sweep // 8) * 8)
+
+
+#: Measured wide-shape optima for the reduced colour-gradient kernels
+#: (one v5e chip, 1024x512 f32, docs/BENCHMARKS.md "Multiphase
+#: cadence/geometry optimum", round 4): family -> (substeps, block_rows).
+#: Deep cadences only win at tall blocks — the auto-picked B=64 pays
+#: (64+32)/64 = 1.5x redundant halo sweeps at halo=16 vs 1.125x at
+#: B=256 (mrtcg ss=4: 3,766 at B=128 vs 4,574 at B=256); B=512 and
+#: substeps=8 exceed the Mosaic scoped-VMEM temporaries ceiling
+#: (~100 MB measured for the 12-plane CSF body at B=512).
+_WIDE_OPT = {"perturbation": (5, 256), "csf": (4, 256)}
+
+
+def default_geometry(surface_tension: str = "perturbation",
+                     R: int | None = None) -> tuple[int, int | None]:
+    """Measured-optimal ``(substeps, block_rows)`` for the reduced
+    colour-gradient kernels (_WIDE_OPT).  When ``R`` is given and does
+    not admit the tall alias-free block (R % 256 != 0 or
+    R < 256 + 2*halo), falls back to ``(2, None)`` — the round-3
+    shallow-cadence default with the auto block pick."""
+    ss, B = _WIDE_OPT["csf" if surface_tension == "csf" else "perturbation"]
+    if R is not None:
+        halo = halo_for(ss, 5 if surface_tension == "csf" else 3)
+        if R % B != 0 or R < B + 2 * halo:
+            return 2, None
+    return ss, B
 
 
 def _edge_gated(run, n_blocks: int, block_rows: int, reach: int):

@@ -31,20 +31,23 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .collide_stream import HALO, _stream_slab, pick_block_rows
 from .pipeline import slab_bytes, vmem_limit_for
 
-# Measured exchange-cadence model (scripts/exchange_cadence.py on one
-# real v5e chip, 2026-08-19; docs/BENCHMARKS.md "Exchange cadence"):
-# effective MLUPS of the sharded step vs substeps (steps per ICI
-# exchange).  The single-chip emulation lower-bounds the real-mesh
-# optimum: the measured per-launch exchange-skeleton overhead is <1 us
-# for BGK (the gain is launch amortisation, not the skeleton), and on a
-# real mesh the ppermute's ICI term only strengthens the case for the
-# deepest valid cadence.  mrtcg's substeps=4 runs a 16-row-halo body
-# whose extra redundant stencil work outweighs the saved launches, so
-# its optimum is 2.
+# Measured exchange-cadence model (one real v5e chip; docs/BENCHMARKS.md
+# "Exchange cadence" + the round-4 "Multiphase cadence/geometry optimum"
+# sweep): effective MLUPS of the fused step vs substeps (steps per ICI
+# exchange).  The single-chip numbers lower-bound the real-mesh optimum:
+# the measured per-launch exchange-skeleton overhead is <1 us for BGK
+# (the gain is launch amortisation, not the skeleton), and on a real
+# mesh the ppermute's ICI term only strengthens the case for the
+# deepest valid cadence.  The colour-gradient rows are the REDUCED
+# kernels at block_rows=256 (mrtcg_pallas.default_geometry) — the
+# round-3 "substeps=4 regresses" entry was a block-geometry artifact of
+# the auto-picked B=64, whose 16-row halo pays 1.5x redundant sweeps vs
+# 1.125x at B=256; at the tall block the cadence gain is monotone up to
+# the Mosaic scoped-VMEM ceiling (ss=8 / B=512 OOM).
 _CADENCE_MLUPS = {
     "bgk": {1: 26100, 2: 29253, 4: 31130, 8: 32459},      # 2048x512
-    "mrtcg": {1: 4425, 2: 4731, 4: 4137},                  # 1024x512
-    "csf": {1: 3406, 2: 3407},                             # 1024x512
+    "mrtcg": {1: 3079, 2: 3854, 4: 4574, 5: 4720},         # 1024x512 B=256
+    "csf": {1: 2418, 2: 3061, 3: 3313, 4: 3336},           # 1024x512 B=256
 }
 #: measurement grids of _CADENCE_MLUPS (cells per launch)
 _CADENCE_CELLS = {"bgk": 2048 * 512, "mrtcg": 1024 * 512,
@@ -420,6 +423,36 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
         return sharded(F.reshape(18, R, C)).reshape(2, 9, R, C)
 
     return wrapped
+
+
+def make_sharded_mrtcg_reduced_step(mesh: Mesh, R: int, C: int, red, blue,
+                                    sigma: float, gravity=(0.0, 0.0),
+                                    delta: float = 0.1,
+                                    apply_gravity_source: bool = True,
+                                    dtype=jnp.float32,
+                                    block_rows: int | None = None,
+                                    interpret: bool = False,
+                                    surface_tension: str = "perturbation",
+                                    substeps: int = 1):
+    """Row-sharded REDUCED-state MRT colour-gradient step: G (10, R, C)
+    -> (10, R, C) (12 planes in CSF mode, fst carried in planes 10-11) —
+    the production multi-chip flagship path.  Identical physics to
+    make_sharded_mrtcg_step (same make_mrtcg_body), but the state, the
+    HBM traffic AND the ICI halo payload shrink to 10/18ths (12/20ths
+    CSF): the exchanged strip is planes x halo x C, so the reduced
+    layout cuts the per-exchange ICI bytes by the same ratio.  Convert
+    with mrtcg_pallas.reduce_mrtcg_state / make_mrtcg_split_step."""
+    from .mrtcg_pallas import halo_for, make_mrtcg_body, reduced_planes
+
+    planes = reduced_planes(surface_tension)
+    halo = halo_for(substeps, 5 if surface_tension == "csf" else 3)
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype,
+                          surface_tension=surface_tension, reduced=True,
+                          substeps=substeps, halo=halo)
+    return make_sharded_body_step(mesh, planes, R, C, run, dtype=dtype,
+                                  block_rows=block_rows, halo=halo,
+                                  interpret=interpret)
 
 
 def make_sharded_rk_step(mesh: Mesh, R: int, C: int, *, r_alpha, b_alpha,

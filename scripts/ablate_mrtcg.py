@@ -129,7 +129,9 @@ def main():
     for name, ab in [("full", frozenset()),
                      ("grad_stub", frozenset({"grad"})),
                      ("mrt_stub", frozenset({"mrt"})),
-                     ("bc_stub", frozenset({"bc"}))]:
+                     ("bc_stub", frozenset({"bc"})),
+                     ("fixups_stub", frozenset({"fixups"})),
+                     ("stream_stub", frozenset({"stream"}))]:
         step = make_mrtcg_reduced_step(
             H, W, DEFAULT_RED, DEFAULT_BLUE, **kw, dtype=dtype,
             block_rows=block, substeps=substeps, _ablate=ab)

@@ -108,6 +108,57 @@ def test_sharded_mrtcg_matches_single_chip():
 
 
 @needs_8
+@pytest.mark.parametrize("surface_tension,substeps",
+                         [("perturbation", 1), ("perturbation", 2),
+                          ("csf", 2)])
+def test_sharded_mrtcg_reduced_matches_single_chip(surface_tension,
+                                                   substeps):
+    """The production REDUCED-state sharded step (10/12 planes of state
+    and ICI payload) equals the single-chip reduced kernel bit-for-bit
+    in f64 (same body, same arithmetic), including the
+    communication-avoiding substeps>1 cadences and the CSF fst carry."""
+    from lbm_tpu.kernels.mrtcg_pallas import (
+        make_mrtcg_reduced_step, reduce_mrtcg_state)
+    from lbm_tpu.kernels.sharded_pallas import (
+        make_sharded_mrtcg_reduced_step)
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine)
+
+    csf = surface_tension == "csf"
+    # csf ss=2 exchanges a 16-row strip: the alias-free slab needs
+    # R_loc >= block + 2*16, so the 8-rank grid deepens to 48-row shards
+    R, C = (384 if csf else 192), 128
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), delta=0.1,
+              apply_gravity_source=True, dtype=jnp.float64,
+              surface_tension=surface_tension, substeps=substeps)
+    single = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                     interpret=True, **kw)
+    m = meshmod.make_mesh(shape=(8, 1))
+    sharded = make_sharded_mrtcg_reduced_step(
+        m, R, C, DEFAULT_RED, DEFAULT_BLUE, interpret=True, **kw)
+
+    sgn = 1.0 if csf else -1.0
+    r0 = init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, sgn)
+    b0 = init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, sgn)
+    feq = d2q9.equilibrium(jnp.zeros((2, R, C), jnp.float64),
+                           jnp.ones((R, C)))
+    tot = jnp.maximum(r0 + b0, 1e-30)[None]
+    F = jnp.stack([r0[None] * feq / tot, b0[None] * feq / tot])
+    if csf:
+        F = jnp.concatenate([F[0], F[1], jnp.zeros((2, R, C))], axis=0)
+    G = reduce_mrtcg_state(F, surface_tension=surface_tension)
+    Gs = jax.device_put(
+        G, jax.sharding.NamedSharding(
+            m, jax.sharding.PartitionSpec(None, "x", None)))
+    a, b = G, Gs
+    for _ in range(2):
+        a = single(a)
+        b = sharded(b)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=1e-13)
+
+
+@needs_8
 def test_sharded_rk_matches_single_chip():
     """The RK mixture kernel row-sharded over 8 ranks equals the
     single-chip fused kernel (1e-13 in f64) over 3 steps."""
@@ -434,6 +485,6 @@ def test_default_substeps_families():
     for fam, cap in [("bgk", 8), ("thermal", 8), ("cavity", 8),
                      ("sediment", 8), ("les", 8), ("trt", 8), ("plaw", 8),
                      ("d3q19", 8), ("sc", 4), ("mrtcg", 5), ("rk", 5),
-                     ("csf", 3)]:
+                     ("csf", 4)]:
         s = default_substeps(fam)
         assert 1 <= s <= cap, (fam, s)
