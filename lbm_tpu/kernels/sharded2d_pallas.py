@@ -5,9 +5,13 @@ decomposition starves the block pipeline, so the grid is split over both
 mesh axes.  Column halos are the hard part on TPU — Mosaic wants 128-lane
 tiles, so a naive left+right pad costs 256 redundant lanes of compute per
 row.  This module instead uses ONE combined 128-lane halo tile appended
-AFTER the interior lanes (the round-3 layout padded both sides and
+AFTER the interior lanes (the round-2 layout padded both sides and
 concatenated a full row-padded copy of the field; measured 5.9 GLUPS at
-C_loc=512/substeps=8 vs 20 for the 1-D kernel):
+C_loc=512/substeps=8 vs 20 for the 1-D kernel).  With this layout the
+2-D local BGK kernel measures 22.2 GLUPS vs 27.5 for the 1-D kernel at
+the same 4096x512 local shape — a 1.24x column-halo overhead
+(scripts/bench_2d.py, 2026-08-20, one v5e chip, self-halos standing in
+for the identical-in-both-paths exchange):
 
   lanes [0, C_loc)            interior (global cols [off, off+C_loc))
   lanes [C_loc, C_loc+64)     right halo (global cols [off+C_loc, +64))

@@ -111,8 +111,14 @@ def rt32():
     log("rt32 done")
 
 
-def rt64():
-    """f64 jnp-model oracle on CPU (the slow leg — run in background)."""
+def rt64(perturb: float = 0.0, tag: str = "f64"):
+    """f64 jnp-model oracle on CPU (the slow leg — run in background).
+
+    ``perturb`` adds a relative rho_r rounding-scale perturbation at
+    init: the drift of the perturbed f64 leg vs the base f64 leg is the
+    pure CHAOS (Lyapunov) term of the error budget, separating "the RT
+    instability amplifies any rounding difference" from "f32 arithmetic
+    accumulates bias" (cmp the rt32-vs-rt64 and rt64p-vs-rt64 curves)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -121,6 +127,9 @@ def rt64():
 
     os.makedirs(OUTDIR, exist_ok=True)
     model, state = _init_state(jnp.float64)
+    if perturb:
+        state = state._replace(
+            red=state.red._replace(f=state.red.f * (1.0 + perturb)))
     step = jax.jit(model.step)
     chunk = jax.jit(
         lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), s),
@@ -137,17 +146,17 @@ def rt64():
                 log(f"f64 step {done} ({el:.0f}s, "
                     f"{1e3 * el / done:.1f} ms/step)")
         jax.block_until_ready(state)
-        np.savez(os.path.join(OUTDIR, f"f64-{done}.npz"),
+        np.savez(os.path.join(OUTDIR, f"{tag}-{done}.npz"),
                  **_macros_from_state(state))
-        log(f"f64 checkpoint {done}")
-    log("rt64 done")
+        log(f"{tag} checkpoint {done}")
+    log(f"rt64[{tag}] done")
 
 
-def rtcmp():
+def rtcmp(tag_a: str = "f32", tag_b: str = "f64"):
     rows = []
     for step in CHECKPOINTS:
-        p32 = os.path.join(OUTDIR, f"f32-{step}.npz")
-        p64 = os.path.join(OUTDIR, f"f64-{step}.npz")
+        p32 = os.path.join(OUTDIR, f"{tag_a}-{step}.npz")
+        p64 = os.path.join(OUTDIR, f"{tag_b}-{step}.npz")
         if not (os.path.exists(p32) and os.path.exists(p64)):
             continue
         a, b = np.load(p32), np.load(p64)
@@ -184,4 +193,6 @@ def ulbm300k():
 
 if __name__ == "__main__":
     {"rt32": rt32, "rt64": rt64, "rtcmp": rtcmp,
+     "rt64p": lambda: rt64(perturb=1e-13, tag="f64p"),
+     "rtcmpp": lambda: rtcmp("f64p", "f64"),
      "ulbm300k": ulbm300k}[sys.argv[1]]()
