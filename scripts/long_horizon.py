@@ -172,14 +172,23 @@ def rtcmp(tag_a: str = "f32", tag_b: str = "f64"):
     print(json.dumps(rows))
 
 
-def ulbm300k():
+def ulbm300k(H=128, W=128, T=300000, nu=1e-4, u_max=0.05, ti=100):
     """The reference's flat 300k-step ULBM Poiseuille (128x128, nu=1e-4)
-    f32 fused on chip with the 1e-12 convergence watcher: where does the
-    f32 watcher floor out, and what is the final parabola L2?"""
+    f32 fused on chip with the 1e-12 convergence watcher.
+
+    MEASURED VERDICT (2026-08-20): at the reference's own parameters the
+    watcher tail is ~3.2e-4 = ti/T exactly — the kinematic signature of
+    ballistic acceleration (a = p_grad/rho = 2.4e-9/cell, a*T = 7.3e-4 =
+    1.5% of u_max; the viscous convergence time is W^2-class/nu ~ 1.6e8
+    steps).  The reference's horizon never reaches steady state in ANY
+    precision, so no f32 floor is observable here; `ulbm_floor` measures
+    it at a convergent parameter set instead."""
     from lbm_tpu.scenes import ulbm
 
-    res = ulbm.ulbm_poiseuille(tolerance=1e-12)
-    out = {"steps_run": int(res.steps), "l2_parabola": float(res.l2)}
+    res = ulbm.ulbm_poiseuille(H=H, W=W, T=T, nu=nu, u_max=u_max,
+                               tolerance=1e-12, t_interval=ti)
+    out = {"steps_run": int(res.steps), "l2_parabola": float(res.l2),
+           "mean_ux": float(np.asarray(res.m1[0], np.float64).mean())}
     if res.watch:
         w = res.watch
         out["watch_floor"] = float(min(r for _, r in w if np.isfinite(r)))
@@ -191,8 +200,24 @@ def ulbm300k():
     print(json.dumps(out))
 
 
+def ulbm_floor():
+    """Where DOES the f32 watcher floor out?  Strongly-damped
+    convergent parameters (nu=0.05, Re=25: viscous time (W/pi)^2/nu
+    ~ 33k steps, so the true watcher signal is ~1e-10 by 400k and
+    anything measured above it is the f32 rounding floor).
+
+    MEASURED (2026-08-20, artifacts/long_horizon/ulbm_floor.json):
+    floor ~1.3e-6 (tail 1.3-1.7e-6; below 1e-5 at 308k; never below
+    1e-6) — the reference's 1e-12 criterion is f64-only.  NOTE: the
+    first attempt at nu=5e-3 (omega=1.94) found a real low-dissipation
+    instability instead: the watcher tail GROWS past 650k and the run
+    leaves the stability envelope at ~702k steps (pressure-BC O(u^3)
+    quirk + omega->2; see docs/BENCHMARKS.md)."""
+    ulbm300k(T=400_000, nu=0.05, u_max=0.01, ti=500)
+
+
 if __name__ == "__main__":
     {"rt32": rt32, "rt64": rt64, "rtcmp": rtcmp,
      "rt64p": lambda: rt64(perturb=1e-13, tag="f64p"),
      "rtcmpp": lambda: rtcmp("f64p", "f64"),
-     "ulbm300k": ulbm300k}[sys.argv[1]]()
+     "ulbm300k": ulbm300k, "ulbm_floor": ulbm_floor}[sys.argv[1]]()

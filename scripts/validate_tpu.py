@@ -124,6 +124,77 @@ def rt_growth():
     check("rt_growth_interface_std", h.std(), 18.0, 40.0)
 
 
+def rt_100k():
+    """The reference's OWN Rayleigh-Taylor horizon as a hardware gate:
+    mrtcg-rayleigh-taylor-gamma3.toml:4-7 / rk_rayleigh_taylor_test.cpp
+    :81-87 run 256x128 for 100k steps.  Production f32 on the fused
+    reduced kernel; gates are the macro observables the f64 CPU oracle
+    fixes (docs/BENCHMARKS.md "Long-horizon f32 error budget": f64
+    iface_std 1.78, mass exactly conserved; measured f32 drift at 100k
+    is L2(psi) 3.5e-3 with mass rel drift 1.3e-4).  ~9 min on chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.kernels.mrtcg_pallas import (
+        make_mrtcg_reduced_step, reduce_mrtcg_state)
+    from lbm_tpu.models.mrt_cg import MRTCGModel
+    from lbm_tpu.scenes.multiphase import (
+        DEFAULT_BLUE, DEFAULT_RED, init_rho_cosine, mrtcg_boundary)
+
+    R, C = 256, 128
+    model = MRTCGModel(red=DEFAULT_RED, blue=DEFAULT_BLUE, sigma=1e-4,
+                       gravity=(6.25e-7, 0.0), apply_gravity_source=True,
+                       boundary=mrtcg_boundary)
+    st = model.init_state(
+        init_rho_cosine(R, C, DEFAULT_RED.rho_0, True, -1.0),
+        init_rho_cosine(R, C, DEFAULT_BLUE.rho_0, False, -1.0),
+        dtype=jnp.float32)
+    G = reduce_mrtcg_state(jnp.stack([st.red.f, st.blue.f]))
+    mass0 = float(G[:9].sum())
+    step = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   sigma=1e-4, gravity=(6.25e-7, 0.0),
+                                   dtype=jnp.float32)
+    chunk = jax.jit(
+        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+        static_argnums=1)
+    done = 0
+    while done < 100000:
+        G = chunk(G, 2000)   # axon: cap device time per launch
+        done += 2000
+    mom = np.asarray(G[:9], np.float64)
+    r_rho = np.asarray(G[9], np.float64)
+    rho = mom.sum(0)
+    a = r_rho / DEFAULT_RED.rho_0
+    b = (rho - r_rho) / DEFAULT_BLUE.rho_0
+    psi = (a - b) / (a + b)
+    check("rt100k_finite", float(np.isfinite(mom).all()), 1.0, 1.0)
+    check("rt100k_mass_rel_drift", abs(rho.sum() / mass0 - 1.0), 0.0, 1e-3)
+    check("rt100k_iface_std",
+          float((psi > 0).sum(axis=0).astype(float).std()), 1.5, 2.1)
+    check("rt100k_psi_bounded", float(np.abs(psi).max()), 0.9, 1.001)
+
+
+def ulbm_300k():
+    """The reference's flat 300k-step ULBM Poiseuille horizon
+    (ulbm_poiseuille.cpp:63-77: 128x128, nu=1e-4, u_max=0.05,
+    pressure-driven) f32 fused on chip.  At these parameters the
+    viscous convergence time is ~1.6e8 steps, so the horizon leaves the
+    core in ballistic acceleration: the watcher tail must equal the
+    kinematic t_interval/T signature (measured 2026-08-20: tail
+    3.2e-4 = 100/300000 at ti=100; parabola L2 0.966; see
+    docs/BENCHMARKS.md "Long-horizon f32 error budget").  ~2 min."""
+    from lbm_tpu.scenes import ulbm
+
+    res = ulbm.ulbm_poiseuille(tolerance=1e-12, t_interval=1000)
+    ux = np.asarray(res.m1[0], np.float64)
+    check("ulbm300k_steps", float(res.steps), 299000.0, 300001.0)
+    check("ulbm300k_finite", float(np.isfinite(ux).all()), 1.0, 1.0)
+    check("ulbm300k_umax", float(np.abs(ux).max()), 1e-4, 0.02)
+    check("ulbm300k_l2_parabola", float(res.l2), 0.90, 0.99)
+    tail = np.median([r for _, r in res.watch[-5:]])
+    check("ulbm300k_kinematic_tail", float(tail * 300.0), 0.8, 1.2)
+
+
 def csf_growth():
     """CSF-curvature RT (fused, auto): heavy fluid falls, interface
     perturbation grows, fields stay finite over 6k steps."""
@@ -444,7 +515,7 @@ QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",
          "les", "trt", "shan_chen", "cavity3d"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
-        "ellipse"]
+        "ellipse", "rt_100k", "ulbm_300k"]
 
 
 def main(argv):
