@@ -236,16 +236,35 @@ def build_step(args, H, W):
         from lbm_tpu.ops import d3q19 as _d3
         from lbm_tpu.scenes.three_d import _pack
 
-        X3 = 16  # depth folded into planes; X*Z <= ~6400 (VMEM bound)
+        X3 = args.x3 or 16  # depth-as-planes; X*Z <= ~6400 (VMEM bound)
         if W > 128:
             log(f"d3q19 depth-as-planes needs X*Z <= ~6400; using Z=128")
             W = 128
         step = make_d3q19_fused_step(X3, H, W, omega=omega, force_z=1e-6,
                                      x_walls=True, substeps=args.substeps,
+                                     block_rows=args.block_rows,
                                      dtype=dtype)
         f3 = _d3.equilibrium(jnp.zeros((3, X3, H, W), dtype),
                              jnp.ones((X3, H, W), dtype))
         f = _pack(f3, X3, H, W)
+        H = X3 * H  # report MLUPS on the true 3-D cell count
+        impl = "pallas"
+    elif args.model == "d3q19l":
+        from lbm_tpu.kernels.d3q19_lanes_pallas import (
+            make_d3q19_lanes_step, pack_lanes)
+        from lbm_tpu.ops import d3q19 as _d3
+
+        X3 = args.x3 or 16
+        if W > 128:
+            log(f"d3q19l lanes layout benches at Z=128 (lanes = x3*Z)")
+            W = 128
+        step = make_d3q19_lanes_step(X3, H, W, omega=omega, force_z=1e-6,
+                                     x_walls=True, substeps=args.substeps,
+                                     block_rows=args.block_rows,
+                                     dtype=dtype)
+        f3 = _d3.equilibrium(jnp.zeros((3, X3, H, W), dtype),
+                             jnp.ones((X3, H, W), dtype))
+        f = pack_lanes(f3, X3, H, W)
         H = X3 * H  # report MLUPS on the true 3-D cell count
         impl = "pallas"
     elif args.model == "les":
@@ -441,7 +460,7 @@ def main():
                              "csf", "csf_full", "rk", "sc",
                              "cavity", "cylinder", "falling", "sediment",
                              "thermal", "thermal5", "les", "trt", "plaw",
-                             "d3q19"],
+                             "d3q19", "d3q19l"],
                     help="collision family / fused scene kernel to benchmark")
     ap.add_argument("--impl", default="auto",
                     choices=["auto", "jnp", "pallas"],
@@ -453,6 +472,11 @@ def main():
                     help="LBM steps per kernel launch (temporal blocking; "
                          "pallas impl only, 1..8; default: 8, or the "
                          "measured wide-shape optimum for mrtcg/csf)")
+    ap.add_argument("--x3", type=int, default=None,
+                    help="d3q19 only: depth extent folded into planes "
+                         "(P = 19*x3; default 16).  Shallower depth at "
+                         "the same --rows*x3 cell count admits taller "
+                         "row blocks (VMEM ~ P*B)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard the grid over all devices via the "
                          "production ppermute+Pallas kernel (or the GSPMD "

@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.d3q19 import C3, OPP3, Q, W3
 from .collide_stream import HALO
-from .pipeline import _BUDGET_SCALE, make_block_pipeline, resolve_block_rows
+from .pipeline import (_BUDGET_SCALE, VMEM_LIMIT, make_block_pipeline,
+                       resolve_block_rows)
 
 CX = tuple(int(v) for v in C3[0])
 CY = tuple(int(v) for v in C3[1])
@@ -133,17 +134,26 @@ def make_d3q19_fused_step(X: int, Y: int, Z: int, *, omega: float,
     # plane wiring), so row aliasing is safe — thin-Y channels run
     # fused; y-wall masks extract by absolute row, so those need
     # alias-free slabs (Y >= B + 16)
+    explicit = block_rows is not None
     block_rows = resolve_block_rows((P,), P, Y, Z, dtype, budget,
                                     block_rows, not y_walls)
     itemsize = jnp.dtype(dtype).itemsize
     budget_eff = int(budget * _BUDGET_SCALE)  # resolve scales the same way
     need = (2 * P * (block_rows + 2 * HALO)
             + 2 * P * block_rows) * Z * itemsize
-    if need > budget_eff:
+    # Auto picks stay in the penalty-free request zone (<= SAFE_SCOPE
+    # after the ~1.6x Mosaic headroom); explicit block_rows may spend
+    # the whole physical VMEM (the resolve_block_rows convention) —
+    # the request vmem_limit_for computes for them lands above
+    # SAFE_SCOPE, which costs 16-31% on narrow geometry but can net
+    # win when it buys op granularity (P=304 caps auto picks at B=32,
+    # i.e. (48, Z)-shaped bodies).
+    cap = VMEM_LIMIT * 10 // 16 if explicit else budget_eff
+    if need > cap:
         raise ValueError(
             f"D3Q19 slab needs {need >> 20} MiB VMEM (X={X}, Z={Z}, "
             f"block_rows={block_rows}); reduce X*Z below "
-            f"~{budget_eff // ((2 * (8 + 2 * HALO) + 2 * 8) * Q * itemsize)}")
+            f"~{cap // ((2 * (8 + 2 * HALO) + 2 * 8) * Q * itemsize)}")
     run = make_d3q19_body(X, Y, Z, omega=omega, force_z=force_z,
                           x_walls=x_walls, y_walls=y_walls,
                           z_walls=z_walls, lid_u=lid_u,

@@ -51,6 +51,12 @@ CONFIGS = {
               "--steps", "200"],
     "bgk_sharded": ["--model", "bgk", "--sharded", "--rows", "4096",
                     "--cols", "512", "--steps", "800"],
+    # the flagship wide multiphase shapes (mrt_rayleigh_taylor.cpp:180)
+    # at the measured round-4 optimum defaults (default_geometry)
+    "mrtcg_wide": ["--model", "mrtcg", "--rows", "1024", "--cols", "512",
+                   "--steps", "600"],
+    "csf_wide": ["--model", "csf", "--rows", "1024", "--cols", "512",
+                 "--steps", "600"],
 }
 
 

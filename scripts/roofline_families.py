@@ -19,13 +19,13 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 from ablate_mrtcg import count_vector_ops, log, measure  # noqa: E402
 
 
-def _capture_body(build):
-    """Run ``build()`` with pipeline.make_block_pipeline patched to grab
-    the per-block body closure; returns (body, captured_kwargs)."""
-    from lbm_tpu.kernels import pipeline
-
+def _capture_body(build, module):
+    """Run ``build()`` with ``module``'s make_block_pipeline binding
+    patched to grab the per-block body closure (the kernels bind the
+    name at import time, so the patch must hit THEIR global, not
+    kernels.pipeline's); returns (step, captured_kwargs)."""
     grabbed = {}
-    orig = pipeline.make_block_pipeline
+    orig = module.make_block_pipeline
 
     def spy(planes, R, C, body, **kw):
         grabbed["body"] = body
@@ -34,11 +34,11 @@ def _capture_body(build):
         grabbed["C"] = C
         return orig(planes, R, C, body, **kw)
 
-    pipeline.make_block_pipeline = spy
+    module.make_block_pipeline = spy
     try:
         step = build()
     finally:
-        pipeline.make_block_pipeline = orig
+        module.make_block_pipeline = orig
     return step, grabbed
 
 
@@ -86,8 +86,9 @@ def bench_family(name):
         kw = dict(omega=1.0 / 0.55, u_in=u_in, w_s=w_s, C_w=C_w,
                   R23=H - H // 3, C28=W // 4, C38=3 * W // 8,
                   inlet_rows=min(50, H // 4), dtype=dtype)
+        from lbm_tpu.kernels import sediment_pallas as _mod
         step1, grab = _capture_body(
-            lambda: make_sediment_fused_step(H, W, substeps=1, **kw))
+            lambda: make_sediment_fused_step(H, W, substeps=1, **kw), _mod)
         ops = _count_pipeline_body(grab, 80)
         step = make_sediment_fused_step(H, W, substeps=substeps, **kw)
         us = jnp.zeros((2, H, W), dtype).at[1].set(u_in)
@@ -108,8 +109,9 @@ def bench_family(name):
         kw = dict(omega_f=1.0 / (nu / CS2 + 0.5), omega_g=1.0 / tau_g,
                   g_beta=1e4 * nu * kappa / float(H) ** 3, dtype=dtype,
                   scalar_lattice=slat)
+        from lbm_tpu.kernels import thermal_pallas as _mod
         step1, grab = _capture_body(
-            lambda: make_thermal_fused_step(H, W, substeps=1, **kw))
+            lambda: make_thermal_fused_step(H, W, substeps=1, **kw), _mod)
         ops = _count_pipeline_body(grab, 80)
         step = make_thermal_fused_step(H, W, substeps=substeps, **kw)
         th0 = jnp.asarray(conduction_profile(H), dtype)[:, None] \

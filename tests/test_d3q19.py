@@ -247,3 +247,90 @@ def test_sharded_d3q19_lid_cavity_matches_single_chip():
     got = sharded(got)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-13)
+
+
+def test_lanes_3d_matches_jnp():
+    """The depth-in-lanes fused kernel (lane = z*X + x) equals the jnp
+    oracle at 1e-13 in f64 (interpret): periodic + x-walls channel
+    (force_z), incl. substeps — the seam-roll x streaming and the
+    static x-wall masks against ops.d3q19's explicit 4-D streaming."""
+    from lbm_tpu.kernels.d3q19_lanes_pallas import (
+        make_d3q19_lanes_step, pack_lanes, unpack_lanes)
+
+    X, Y, Z = 4, 32, 32                  # X*Z = 128 lanes
+    omega = 1.0 / 0.8
+    rng = np.random.default_rng(11)
+    f0 = d3q19.equilibrium(
+        jnp.asarray(rng.uniform(-0.02, 0.02, (3, X, Y, Z))),
+        jnp.asarray(rng.uniform(0.95, 1.05, (X, Y, Z))))
+
+    def jstep(g, gz=0.0, x_walls=False):
+        rho = d3q19.calc_rho(g)
+        u = d3q19.calc_u(g, rho)
+        fvec = jnp.asarray([0.0, 0.0, gz], jnp.float64)
+        if gz:
+            u = u + 0.5 * fvec[:, None, None, None] / rho[None]
+        f_coll = d3q19.bgk_collision(g, d3q19.equilibrium(u, rho), omega)
+        if gz:
+            f_coll = f_coll + d3q19.guo_source(
+                u, fvec[:, None, None, None] * jnp.ones_like(rho)[None],
+                omega)
+        f_new = d3q19.stream(f_coll)
+        if x_walls:
+            f_new = d3q19.bounce_back_x(f_new, f_coll, "lo")
+            f_new = d3q19.bounce_back_x(f_new, f_coll, "hi")
+        return f_new
+
+    for x_walls, gz in ((False, 0.0), (True, 1e-5)):
+        k1 = make_d3q19_lanes_step(X, Y, Z, omega=omega, force_z=gz,
+                                   x_walls=x_walls, dtype=jnp.float64,
+                                   interpret=True)
+        k3 = make_d3q19_lanes_step(X, Y, Z, omega=omega, force_z=gz,
+                                   x_walls=x_walls, substeps=3,
+                                   dtype=jnp.float64, interpret=True)
+        S = pack_lanes(f0, X, Y, Z)
+        ref = f0
+        for _ in range(3):
+            ref = jstep(ref, gz, x_walls)
+            S = k1(S)
+        np.testing.assert_allclose(
+            np.asarray(unpack_lanes(S, X, Y, Z)), np.asarray(ref),
+            rtol=0, atol=1e-13)
+        S3 = k3(pack_lanes(f0, X, Y, Z))
+        np.testing.assert_allclose(np.asarray(S3), np.asarray(S),
+                                   rtol=0, atol=1e-13)
+
+
+def test_lanes_matches_planes_kernel_cavity():
+    """Lanes kernel == planes kernel at 1e-15 in f64 (interpret) on the
+    full 3-D lid-cavity BC stack (x end walls + y walls + moving lid +
+    z walls), substeps 1 and 2, with and without x end walls — the two
+    layouts are alternative schedules of the same update."""
+    from lbm_tpu.kernels.d3q19_lanes_pallas import (
+        make_d3q19_lanes_step, pack_lanes, unpack_lanes)
+    from lbm_tpu.kernels.d3q19_pallas import make_d3q19_fused_step
+    from lbm_tpu.scenes.three_d import _pack, _unpack
+
+    X, Y, Z = 4, 32, 128
+    kw = dict(omega=1.0 / 0.7, y_walls=True, z_walls=True, lid_u=0.05)
+    f0 = d3q19.equilibrium(
+        jnp.zeros((3, X, Y, Z), jnp.float64),
+        jnp.ones((X, Y, Z), jnp.float64)
+        + 0.01 * jnp.cos(jnp.arange(Z, dtype=jnp.float64)
+                         * (2 * np.pi / Z))[None, None, :])
+    for x_walls in (False, True):
+        for substeps in (1, 2):
+            kp = make_d3q19_fused_step(
+                X, Y, Z, x_walls=x_walls, substeps=substeps,
+                dtype=jnp.float64, block_rows=8, interpret=True, **kw)
+            kl = make_d3q19_lanes_step(
+                X, Y, Z, x_walls=x_walls, substeps=substeps,
+                dtype=jnp.float64, block_rows=8, interpret=True, **kw)
+            Sp = _pack(f0, X, Y, Z)
+            Sl = pack_lanes(f0, X, Y, Z)
+            for _ in range(4 // substeps):
+                Sp = kp(Sp)
+                Sl = kl(Sl)
+            np.testing.assert_allclose(
+                np.asarray(unpack_lanes(Sl, X, Y, Z)),
+                np.asarray(_unpack(Sp, X, Y, Z)), rtol=0, atol=1e-15)
