@@ -15,14 +15,14 @@ Accepted file types: .pt (torch, either save flavour), .npy, .npz
 whose LAST axis is a known direction count (2/5/9/19) while the first is
 not is treated as reference layout and rolled to planes.
 
-Caveat (honest limitation): the C++ ``torch::save`` jit-archive branch of
-``load_torch`` is verified only against a PYTHON-SYNTHESIZED archive
-(tests/test_compare.py::test_load_cpp_style_jit_archive builds a scripted
-module carrying the tensor), not a genuine libtorch artifact — libtorch
-cannot run in this environment.  The attribute-discovery heuristics
-("0"/parameters/buffers/named attributes) cover the formats
-``torch.jit.load`` documents for C++ archives, but remain unverified
-against a real ``torch::save`` dump until one exists.
+The C++ ``torch::save`` branch is verified against a GENUINE libtorch
+artifact: ``tests/fixtures/cpp_torch_save_fixture.pt`` was produced by a
+C++ program (native/torch_save_fixture.cc, ``make -C native
+torch-fixture``) calling the exact API of the reference drivers
+(horizontal_poiseuille_test.cpp:157-160) through the libtorch bundled in
+the installed torch wheel;
+tests/test_compare.py::test_load_genuine_cpp_torch_save pins the loader
+to it bit-for-bit.
 """
 
 from __future__ import annotations

@@ -44,6 +44,27 @@ def test_load_cpp_style_jit_archive(tmp_path):
     np.testing.assert_array_equal(out, arr)
 
 
+def test_load_genuine_cpp_torch_save():
+    """The committed fixture was written by a real C++ ``torch::save``
+    call (native/torch_save_fixture.cc compiled against the torch wheel's
+    bundled libtorch — the exact API of
+    horizontal_poiseuille_test.cpp:157-160).  The loader must recover the
+    {R,C,9} double tensor bit-for-bit and auto-roll it to planes."""
+    pytest.importorskip("torch")
+    import os
+    p = os.path.join(os.path.dirname(__file__), "fixtures",
+                     "cpp_torch_save_fixture.pt")
+    out = compare.load_torch(p)
+    r, c, k = np.meshgrid(np.arange(6), np.arange(5), np.arange(9),
+                          indexing="ij")
+    exp = (100 * r + 10 * c + k).astype(np.float64) / 7.0
+    assert out.shape == (6, 5, 9) and out.dtype == np.float64
+    np.testing.assert_array_equal(out, exp)
+    planes = compare.to_planes(out)
+    assert planes.shape == (9, 6, 5)
+    np.testing.assert_array_equal(planes[4], exp[:, :, 4])
+
+
 def test_to_planes_detects_reference_layout():
     ref = _rand(12, 8, 9)            # {R,C,9}
     planes = compare.to_planes(ref)
