@@ -822,6 +822,24 @@ def default_geometry(surface_tension: str = "perturbation",
     return ss, B
 
 
+def resolve_geometry(substeps, block_rows,
+                     surface_tension: str = "perturbation",
+                     R: int | None = None):
+    """Resolve a factory ``(substeps, block_rows)`` pair:
+    ``substeps="auto"`` opts into the measured wide-shape optimum
+    (default_geometry — the cadence and the tall block are a COUPLED
+    pick: deep cadences only pay at B=256), with an explicit
+    ``block_rows`` always winning over the optimum's block.  Integer
+    ``substeps`` passes both through untouched."""
+    if isinstance(substeps, str):
+        if substeps != "auto":
+            raise ValueError(
+                f"substeps must be an int or 'auto', got {substeps!r}")
+        ss, B = default_geometry(surface_tension, R=R)
+        return ss, (block_rows if block_rows is not None else B)
+    return substeps, block_rows
+
+
 def _edge_gated(run, n_blocks: int, block_rows: int, reach: int):
     """Per-block body with the masked/mask-free edge gate: blocks whose
     kept interior can transitively read a global wall row within
@@ -851,15 +869,18 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
                           gravity=(0.0, 0.0), delta: float = 0.1,
                           apply_gravity_source: bool = True,
                           dtype=jnp.float32, block_rows: int | None = None,
-                          substeps: int = 1,
+                          substeps: int | str = 1,
                           interpret: bool = False):
     """Fused MRT-CG two-phase step: F (2, 9, R, C) -> (2, 9, R, C)
     (index 0 = red, 1 = blue), advanced ``substeps`` steps per launch
     (temporal blocking; the slab halo deepens to 3*substeps rows).
     Built on kernels.pipeline; the state is viewed as 18 planes for the
-    block pipeline (a free reshape)."""
+    block pipeline (a free reshape).  ``substeps="auto"`` opts into the
+    measured wide-shape optimum (resolve_geometry)."""
     from .pipeline import make_block_pipeline, resolve_block_rows
 
+    substeps, block_rows = resolve_geometry(substeps, block_rows,
+                                            "perturbation", R)
     halo = halo_for(substeps, 3)
     block_rows = resolve_block_rows(
         (18,), 18, R, C, dtype, 6 * 2 ** 20, block_rows, False, halo=halo)
@@ -887,16 +908,18 @@ def make_csf_fused_step(R: int, C: int, red: ColourParams,
                         gravity=(0.0, 0.0), delta: float = 0.1,
                         apply_gravity_source: bool = True,
                         dtype=jnp.float32, block_rows: int | None = None,
-                        substeps: int = 1,
+                        substeps: int | str = 1,
                         interpret: bool = False):
     """Fused MRT-CSF two-phase step: S (20, R, C) -> (20, R, C) with
     S = [red f (9), blue f (9), fst (2)] — the CSF surface-force carry
     makes the fused step exactly the jnp model's dataflow (the carried u
     equals calc_u + 0.5 (Fg + fst_prev)/rho).  Validity: one sweep
     consumes 5 halo rows (4 for the chained curvature stencils + 1 for
-    streaming); ``substeps`` sweeps deepen the halo to 5*substeps."""
+    streaming); ``substeps`` sweeps deepen the halo to 5*substeps
+    ("auto" opts into the measured wide-shape optimum)."""
     from .pipeline import make_block_pipeline, resolve_block_rows
 
+    substeps, block_rows = resolve_geometry(substeps, block_rows, "csf", R)
     halo = halo_for(substeps, 5)
     # lift=False — CSF prefers the default-scope pick (see
     # _make_reduced_pipeline)
@@ -975,7 +998,7 @@ def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
                             dtype=jnp.float32,
                             block_rows: int | None = None,
                             surface_tension: str = "perturbation",
-                            substeps: int = 1,
+                            substeps: int | str = 1,
                             interpret: bool = False,
                             _ablate: frozenset = frozenset(),
                             lift: bool = False):
@@ -986,7 +1009,11 @@ def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
     kernel is largely compute-bound, see the module docstring).  Same
     physics as make_mrtcg_fused_step on 10/18ths of the HBM traffic —
     the memory-optimal layout for long production runs; convert with
-    reduce_mrtcg_state / make_mrtcg_split_step."""
+    reduce_mrtcg_state / make_mrtcg_split_step.  ``substeps="auto"``
+    opts into the measured wide-shape optimum (resolve_geometry): the
+    B=256 deep-cadence pick where R admits it, else (2, auto block)."""
+    substeps, block_rows = resolve_geometry(substeps, block_rows,
+                                            surface_tension, R)
     return _make_reduced_pipeline(
         R, C, red, blue, sigma, gravity, delta, apply_gravity_source,
         dtype, block_rows, interpret, surface_tension, split_out=False,

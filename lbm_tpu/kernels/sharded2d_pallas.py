@@ -290,8 +290,14 @@ def _exchange_halos(F_loc, planes_axis_sizes=None):
 def make_sharded_fused_step_2d(mesh: Mesh, R: int, C: int, collide_fn,
                                dtype=jnp.float32,
                                block_rows: int | None = None,
-                               substeps: int = 1, interpret: bool = False):
-    """Globally periodic fused collide-stream sharded over ('x', 'y')."""
+                               substeps: int | str = 1,
+                               interpret: bool = False):
+    """Globally periodic fused collide-stream sharded over ('x', 'y').
+    ``substeps="auto"`` resolves through the ICI-aware cadence picker
+    (sharded_pallas.resolve_substeps), clamped to the 8-row strip."""
+    from .sharded_pallas import resolve_substeps
+
+    substeps = resolve_substeps(substeps, "bgk", C=C, cap=HALO)
     nx, ny = mesh.shape["x"], mesh.shape["y"]
     if R % nx or C % ny:
         raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")
@@ -453,7 +459,7 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                               dtype=jnp.float32,
                               block_rows: int | None = None,
                               interpret: bool = False,
-                              substeps: int = 1,
+                              substeps: int | str = 1,
                               surface_tension: str = "perturbation"):
     """The flagship MRT-CG two-phase step sharded over BOTH mesh axes
     (rows over 'x', cols over 'y') — the pod-scale decomposition:
@@ -468,9 +474,20 @@ def make_sharded2d_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
     ``surface_tension='csf'`` runs the CSF curvature body instead (the
     mrt_rayleigh_taylor.cpp variant); the state is then the flat
     (20, R, C) stack incl. the two surface-force carry planes, exactly
-    as sharded_pallas.make_sharded_mrtcg_step returns for 1-D meshes."""
-    from .mrtcg_pallas import make_mrtcg_body
+    as sharded_pallas.make_sharded_mrtcg_step returns for 1-D meshes.
 
+    ``substeps="auto"`` resolves through the ICI-aware picker, clamped
+    to this kernel family's structural limits: the fixed 8-row slab
+    halo admits ``8 // rows_per_sweep`` sweeps (2 for the 3-row
+    perturbation body, 1 for the 5-row CSF body — tighter than the
+    combined-tile seam bound ``substeps * lanes_per_sweep <= 32``)."""
+    from .mrtcg_pallas import make_mrtcg_body
+    from .sharded_pallas import resolve_substeps
+
+    rps = 5 if surface_tension == "csf" else 3
+    substeps = resolve_substeps(
+        substeps, "csf" if surface_tension == "csf" else "mrtcg", C=C,
+        cap=min(HALO // rps, 32 // rps))
     nx, ny = mesh.shape["x"], mesh.shape["y"]
     if R % nx or C % ny:
         raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")
@@ -530,7 +547,7 @@ def _sharded2d_wrap(mesh: Mesh, planes: int, R_loc: int, C_loc: int,
 
 
 def make_sharded2d_sc_step(mesh: Mesh, R: int, C: int, *, omega: float,
-                           G: float, substeps: int = 1,
+                           G: float, substeps: int | str = 1,
                            dtype=jnp.float32,
                            block_rows: int | None = None,
                            interpret: bool = False):
@@ -538,10 +555,13 @@ def make_sharded2d_sc_step(mesh: Mesh, R: int, C: int, *, omega: float,
     (rows over 'x', cols over 'y'): f (9, R, C) -> (9, R, C).  Fully
     periodic — the body needs no masks at all; the psi stencil and
     streaming read the halo rows/lanes (2 consumed per sweep, so
-    ``substeps`` <= 4 amortise one two-phase exchange); same guards as
-    the other 2-D factories."""
+    ``substeps`` <= 4 amortise one two-phase exchange — "auto" resolves
+    through the picker with that cap); same guards as the other 2-D
+    factories."""
     from .shan_chen_pallas import make_sc_body
+    from .sharded_pallas import resolve_substeps
 
+    substeps = resolve_substeps(substeps, "sc", C=C, cap=HALO // 2)
     nx, ny = mesh.shape["x"], mesh.shape["y"]
     if R % nx or C % ny:
         raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")
@@ -557,7 +577,7 @@ def make_sharded2d_sc_step(mesh: Mesh, R: int, C: int, *, omega: float,
 
 def make_sharded2d_thermal_step(mesh: Mesh, R: int, C: int, *,
                                 omega_f: float, omega_g: float,
-                                g_beta: float, substeps: int = 1,
+                                g_beta: float, substeps: int | str = 1,
                                 dtype=jnp.float32,
                                 block_rows: int | None = None,
                                 interpret: bool = False):
@@ -565,9 +585,12 @@ def make_sharded2d_thermal_step(mesh: Mesh, R: int, C: int, *,
     (rows over 'x', cols over 'y'): S (18, R, C) -> (18, R, C); same
     body as kernels.thermal_pallas (row walls = global-position masks;
     the column axis is fully periodic, served by the 64-lane halo
-    strips with no masks), same guards as the other 2-D factories."""
+    strips with no masks), same guards as the other 2-D factories;
+    ``substeps="auto"`` resolves through the ICI-aware picker."""
     from .thermal_pallas import make_thermal_body
+    from .sharded_pallas import resolve_substeps
 
+    substeps = resolve_substeps(substeps, "thermal", C=C, cap=HALO)
     nx, ny = mesh.shape["x"], mesh.shape["y"]
     if R % nx or C % ny:
         raise ValueError(f"grid {R}x{C} not divisible by mesh {nx}x{ny}")

@@ -140,10 +140,32 @@ def default_substeps(family: str, C: int | None = None,
     to the mrtcg row.  Returns a value the caller must still pass
     explicitly — the returned step function advances `substeps` steps
     per call, so an implicit default would silently change step
-    semantics."""
+    semantics.  Factories accept ``substeps="auto"`` as the explicit
+    opt-in that resolves through this picker (resolve_substeps)."""
     if family == "sc":  # 2 halo rows/sweep -> deepest valid cadence is 4
         return 4
     return pick_substeps(family, C=C, generation=generation)
+
+
+def resolve_substeps(substeps, family: str, C: int | None = None,
+                     cap: int | None = None,
+                     generation: str = "v5e") -> int:
+    """Resolve a factory ``substeps`` argument: ints pass through
+    untouched; the string ``"auto"`` resolves through the ICI-aware
+    cadence picker (default_substeps), clamped to ``cap`` — a
+    structural limit such as the 2-D kernels' fixed 8-row slab halo or
+    the combined-tile seam garbage-front bound.  "auto" is an explicit
+    opt-in rather than the parameter default because the returned step
+    advances ``substeps`` steps per call: a caller writing "auto"
+    acknowledges the call-semantics change, which an implicit default
+    would silently impose."""
+    if isinstance(substeps, str):
+        if substeps != "auto":
+            raise ValueError(
+                f"substeps must be an int or 'auto', got {substeps!r}")
+        s = default_substeps(family, C=C, generation=generation)
+        return max(1, min(s, cap)) if cap is not None else s
+    return substeps
 
 
 def make_local_halo_step(R_loc: int, C: int, collide_fn, dtype=jnp.float32,
@@ -389,7 +411,7 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
                             block_rows: int | None = None,
                             interpret: bool = False,
                             surface_tension: str = "perturbation",
-                            substeps: int = 1):
+                            substeps: int | str = 1):
     """The flagship MRT colour-gradient two-phase step, row-sharded over
     mesh axis 'x' with ppermute halo exchange feeding the fused kernel.
     Perturbation mode (default): F (2, 9, R, C) -> (2, 9, R, C),
@@ -404,9 +426,12 @@ def make_sharded_mrtcg_step(mesh: Mesh, R: int, C: int, red, blue,
     rows/sweep: the chained curvature stencils — substeps=2/3 on a
     16-row strip).  Matches the single-chip kernels exactly: the body
     is shared (make_mrtcg_body) and all masks are
-    global-position-based."""
+    global-position-based.  ``substeps="auto"`` resolves the cadence
+    through the ICI-aware picker (resolve_substeps)."""
     from .mrtcg_pallas import halo_for, make_mrtcg_body
 
+    substeps = resolve_substeps(
+        substeps, "csf" if surface_tension == "csf" else "mrtcg", C=C)
     planes = 20 if surface_tension == "csf" else 18
     halo = halo_for(substeps, 5 if surface_tension == "csf" else 3)
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
@@ -433,7 +458,7 @@ def make_sharded_mrtcg_reduced_step(mesh: Mesh, R: int, C: int, red, blue,
                                     block_rows: int | None = None,
                                     interpret: bool = False,
                                     surface_tension: str = "perturbation",
-                                    substeps: int = 1):
+                                    substeps: int | str = 1):
     """Row-sharded REDUCED-state MRT colour-gradient step: G (10, R, C)
     -> (10, R, C) (12 planes in CSF mode, fst carried in planes 10-11) —
     the production multi-chip flagship path.  Identical physics to
@@ -441,9 +466,12 @@ def make_sharded_mrtcg_reduced_step(mesh: Mesh, R: int, C: int, red, blue,
     HBM traffic AND the ICI halo payload shrink to 10/18ths (12/20ths
     CSF): the exchanged strip is planes x halo x C, so the reduced
     layout cuts the per-exchange ICI bytes by the same ratio.  Convert
-    with mrtcg_pallas.reduce_mrtcg_state / make_mrtcg_split_step."""
+    with mrtcg_pallas.reduce_mrtcg_state / make_mrtcg_split_step.
+    ``substeps="auto"`` resolves through the ICI-aware picker."""
     from .mrtcg_pallas import halo_for, make_mrtcg_body, reduced_planes
 
+    substeps = resolve_substeps(
+        substeps, "csf" if surface_tension == "csf" else "mrtcg", C=C)
     planes = reduced_planes(surface_tension)
     halo = halo_for(substeps, 5 if surface_tension == "csf" else 3)
     run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
@@ -474,7 +502,7 @@ def make_sharded_rk_step(mesh: Mesh, R: int, C: int, *, r_alpha, b_alpha,
 
 def make_sharded_thermal_step(mesh: Mesh, R: int, C: int, *,
                               omega_f: float, omega_g: float,
-                              g_beta: float, substeps: int = 1,
+                              g_beta: float, substeps: int | str = 1,
                               dtype=jnp.float32,
                               block_rows: int | None = None,
                               interpret: bool = False):
@@ -485,9 +513,11 @@ def make_sharded_thermal_step(mesh: Mesh, R: int, C: int, *,
     exchange per ``substeps`` steps (the stencil-free body consumes only
     1 of the 8 halo rows per sweep, so up to 8 steps amortise one
     exchange — deeper communication avoidance than the stencil
-    families)."""
+    families).  ``substeps="auto"`` resolves through the ICI-aware
+    picker (clamped to the 8-row strip)."""
     from .thermal_pallas import make_thermal_body
 
+    substeps = resolve_substeps(substeps, "thermal", C=C, cap=HALO)
     run = make_thermal_body(R, C, omega_f=omega_f, omega_g=omega_g,
                             g_beta=g_beta, substeps=substeps)
     return make_sharded_body_step(mesh, 18, R, C, run, dtype=dtype,
@@ -497,10 +527,13 @@ def make_sharded_thermal_step(mesh: Mesh, R: int, C: int, *,
 
 def make_sharded_fused_step(mesh: Mesh, R: int, C: int, collide_fn,
                             dtype=jnp.float32, block_rows: int | None = None,
-                            substeps: int = 1, interpret: bool = False):
+                            substeps: int | str = 1,
+                            interpret: bool = False):
     """Globally periodic fused collide-stream sharded over mesh axis 'x'
     (rows).  Returns a function f (9, R, C) -> (9, R, C) advancing
-    ``substeps`` steps per call with ONE ring halo exchange."""
+    ``substeps`` steps per call with ONE ring halo exchange
+    (``"auto"`` resolves through the ICI-aware cadence picker)."""
+    substeps = resolve_substeps(substeps, "bgk", C=C, cap=HALO)
     nx = mesh.shape["x"]
     if R % nx != 0:
         raise ValueError(f"rows {R} not divisible by mesh x={nx}")

@@ -263,3 +263,48 @@ def test_csf_fused_substeps_matches_plain():
     np.testing.assert_allclose(np.asarray(csf2(S)),
                                np.asarray(csf1(csf1(S))),
                                rtol=0, atol=1e-13)
+
+
+def test_resolve_geometry_auto_pairs():
+    """substeps="auto" resolves the COUPLED (cadence, block) optimum
+    (VERDICT r4 item 4): the measured B=256 deep-cadence pick where R
+    admits it, the shallow fallback elsewhere, an explicit block always
+    winning, ints passing through untouched."""
+    from lbm_tpu.kernels.mrtcg_pallas import (default_geometry,
+                                              resolve_geometry)
+
+    assert resolve_geometry("auto", None, "perturbation", 512) == (5, 256)
+    assert resolve_geometry("auto", None, "csf", 512) == (4, 256)
+    # explicit block beats the optimum's block
+    assert resolve_geometry("auto", 64, "perturbation", 512) == (5, 64)
+    # R that does not admit the tall alias-free block -> shallow fallback
+    assert resolve_geometry("auto", None, "perturbation", 320) == (2, None)
+    assert resolve_geometry(3, 128, "perturbation", 512) == (3, 128)
+    assert resolve_geometry("auto", None, "perturbation", 512) == \
+        (default_geometry("perturbation", R=512))
+    with pytest.raises(ValueError):
+        resolve_geometry("fast", None, "perturbation", 512)
+
+
+def test_reduced_auto_geometry_equals_explicit():
+    """make_mrtcg_reduced_step(substeps="auto") builds exactly the
+    explicitly-resolved kernel (bitwise; small R exercises the
+    fallback branch end-to-end)."""
+    from lbm_tpu.kernels.mrtcg_pallas import (make_mrtcg_reduced_step,
+                                              reduce_mrtcg_state,
+                                              resolve_geometry)
+
+    R, C = 64, 128
+    model, state = _setup(R, C)
+    kw = dict(sigma=1e-4, gravity=(6.25e-7, 0.0), dtype=jnp.float64,
+              interpret=True)
+    auto = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                   substeps="auto", **kw)
+    ss, bb = resolve_geometry("auto", None, "perturbation", R)
+    assert ss == 2 and bb is None  # 64 rows -> the shallow fallback
+    explicit = make_mrtcg_reduced_step(R, C, DEFAULT_RED, DEFAULT_BLUE,
+                                       substeps=ss, block_rows=bb, **kw)
+    F = jnp.stack([state.red.f, state.blue.f])
+    G = reduce_mrtcg_state(F)
+    np.testing.assert_array_equal(np.asarray(auto(G)),
+                                  np.asarray(explicit(G)))

@@ -488,3 +488,43 @@ def test_default_substeps_families():
                      ("csf", 4)]:
         s = default_substeps(fam)
         assert 1 <= s <= cap, (fam, s)
+
+
+def test_resolve_substeps_auto():
+    """The product-surface "auto" cadence (VERDICT r4 item 4): resolves
+    through the ICI-aware picker, ints pass through untouched, caps
+    clamp, junk strings are rejected."""
+    from lbm_tpu.kernels.sharded_pallas import (default_substeps,
+                                                resolve_substeps)
+
+    assert resolve_substeps(3, "bgk") == 3
+    assert resolve_substeps("auto", "bgk", C=128) == \
+        default_substeps("bgk", C=128)
+    assert resolve_substeps("auto", "mrtcg", C=128, cap=2) == 2
+    assert resolve_substeps("auto", "sc", C=128, cap=4) <= 4
+    with pytest.raises(ValueError):
+        resolve_substeps("fast", "bgk")
+
+
+@needs_8
+def test_sharded_fused_auto_equals_explicit():
+    """substeps="auto" builds exactly the explicitly-resolved step: the
+    factory resolves through resolve_substeps and nothing else changes
+    (bitwise equality on the 8-device mesh)."""
+    from lbm_tpu.kernels.sharded_pallas import resolve_substeps
+
+    m = meshmod.make_mesh(shape=(8, 1))
+    R, C = 64, 128
+    omega = 1.0 / 0.8
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.uniform(0.05, 0.3, (9, R, C)), jnp.float32)
+    collide = bgk_collide_fn(omega, jnp.float32)
+    auto = make_sharded_fused_step(m, R, C, collide, block_rows=8,
+                                   substeps="auto", interpret=True)
+    s = resolve_substeps("auto", "bgk", C=C, cap=8)
+    assert s > 1  # the picker actually picks a deep cadence
+    explicit = make_sharded_fused_step(m, R, C, collide, block_rows=8,
+                                       substeps=s, interpret=True)
+    fs = meshmod.shard_state(m, f)
+    np.testing.assert_array_equal(np.asarray(auto(fs)),
+                                  np.asarray(explicit(fs)))
