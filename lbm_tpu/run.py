@@ -40,6 +40,13 @@ def _register_all():
         "ulbm_poiseuille": ulbm.ulbm_poiseuille,
         "ulbm_double_shear": ulbm.ulbm_double_shear,
         "les_double_shear": ulbm.les_double_shear,
+        # df64 precision surface: f64-class runs ON the TPU (the
+        # published recommendation of the long-horizon error budget,
+        # docs/BENCHMARKS.md — the f32 watcher floors at ~1.3e-6; these
+        # reach the reference's 1e-10-class criteria on chip)
+        "horizontal_poiseuille_df64": channel.horizontal_poiseuille_df64,
+        "ulbm_poiseuille_df64": ulbm.ulbm_poiseuille_df64,
+        "mrtcg_static_droplet_df64": multiphase.mrtcg_static_droplet_df64,
         "mrtcg_static_droplet": multiphase.mrtcg_static_droplet,
         "mrtcg_rayleigh_taylor": multiphase.mrtcg_rayleigh_taylor,
         "mrtcg_multimode_rayleigh_taylor":

@@ -157,6 +157,125 @@ def ulbm_poiseuille(H: int = 128, W: int = 128, T: int = 300000,
                       l2=_ulbm_l2(u[0], u_max), watch=watch)
 
 
+def ulbm_poiseuille_df64(H: int = 128, W: int = 128, T: int = 500000,
+                         nu: float = 0.05, u_max: float = 0.01,
+                         tolerance: float = 1e-10,
+                         t_interval: int = 500) -> ULBMResult:
+    """The KBC channel in double-single ("df64") arithmetic
+    (models.kbc_df64 over utils.df64.DD): f64-class precision from f32
+    pairs, so the reference's double-precision convergence watcher can
+    run ON the TPU.
+
+    This is the runnable command the round-4 long-horizon study
+    prescribes (docs/BENCHMARKS.md "Long-horizon f32 error budget"): at
+    the convergent parameters (defaults nu=0.05, u_max=0.01 — the
+    `ulbm_floor` leg) the f32 watcher FLOORS at ~1.3e-6, never reaching
+    the reference's 1e-12-class criterion
+    (ulbm_poiseuille.cpp:63-77 via horizontal_poiseuille_test.cpp:95);
+    the df64 path drives the same flow to a watcher tail BELOW 1e-10.
+    Same physics chain as ulbm_poiseuille's jnp step: KBC collide ->
+    pressure-periodic rows (incompressible virtual lines) -> periodic
+    stream -> halfway bounce-back side walls; every arithmetic op is an
+    error-free-transformation df64 op (streaming/edge writes act on the
+    (hi, lo) pair exactly)."""
+    import numpy as np
+
+    from ..core import lattice as lat
+    from ..models import kbc_df64
+    from ..utils.df64 import DD, from_f64, to_f64
+
+    omega = 1.0 / (0.5 + 3.0 * nu)
+    p_grad = 8.0 * nu * u_max / (W * W)
+    rho_outlet = 1.0
+    rho_inlet = 3.0 * (H - 1) * p_grad + rho_outlet
+    CXl = [int(v) for v in lat.C[0]]
+    CYl = [int(v) for v in lat.C[1]]
+    OPPl = [int(v) for v in lat.OPP]
+    E_W = [float(w) for w in lat.W]
+
+    def cu_k(k, ux, uy):
+        acc = None
+        if CXl[k] == 1:
+            acc = ux
+        elif CXl[k] == -1:
+            acc = -ux
+        if CYl[k] == 1:
+            acc = uy if acc is None else acc + uy
+        elif CYl[k] == -1:
+            acc = -uy if acc is None else acc - uy
+        return acc
+
+    def incomp_eq_k(k, rho, ux, uy):
+        """(rho + 3 c.u) E_k — the virtual-line equilibrium
+        (bc.pressure_periodic's eq_fn, solver.cpp:39-49)."""
+        cu = cu_k(k, ux, uy)
+        base = rho if cu is None else rho + 3.0 * cu
+        return E_W[k] * base
+
+    def step(g):
+        """g (9, 2, H, W) -> (9, 2, H, W): one df64 KBC channel step."""
+        fs = [DD(g[k]) for k in range(9)]
+        m0, ux, uy = kbc_df64.macroscopics(fs)
+        coll = kbc_df64.collide(fs, m0, ux, uy, omega)
+        feq = kbc_df64.equilibrium(m0, ux, uy)
+        # pressure-drop periodic rows (virtual inlet row 0 from row H-2,
+        # virtual outlet row H-1 from row 1) on the post-collision state
+        ux_out, uy_out = ux[H - 2:H - 1, :], uy[H - 2:H - 1, :]
+        ux_in, uy_in = ux[1:2, :], uy[1:2, :]
+        for k in range(9):
+            vin = incomp_eq_k(k, DD.of(rho_inlet), ux_out, uy_out) \
+                + (coll[k][H - 2:H - 1, :] - feq[k][H - 2:H - 1, :])
+            vout = incomp_eq_k(k, DD.of(rho_outlet), ux_in, uy_in) \
+                + (coll[k][1:2, :] - feq[k][1:2, :])
+            coll[k] = DD(coll[k].v.at[:, 0:1, :].set(vin.v))
+            coll[k] = DD(coll[k].v.at[:, H - 1:H, :].set(vout.v))
+        # periodic streaming on the (hi, lo) pairs (exact), then halfway
+        # bounce-back on the side walls (cols 0 and W-1)
+        new = [jnp.roll(coll[k].v, (CXl[k], CYl[k]), (1, 2))
+               for k in range(9)]
+        for k in (2, 5, 6):      # outgoing at col W-1
+            new[OPPl[k]] = new[OPPl[k]].at[:, :, W - 1].set(
+                coll[k].v[:, :, W - 1])
+        for k in (4, 7, 8):      # outgoing at col 0
+            new[OPPl[k]] = new[OPPl[k]].at[:, :, 0].set(coll[k].v[:, :, 0])
+        return jnp.stack(new, axis=0)
+
+    # init at the KBC equilibrium (m0=1, u=0): feq = E (df64-exact split)
+    g = jnp.stack([from_f64(np.full((H, W), E_W[k])) for k in range(9)])
+    chunk = jax.jit(
+        lambda x, n: jax.lax.fori_loop(0, n, lambda _, y: step(y), x),
+        static_argnums=1)
+
+    def mean_ux_host(g):
+        fs = [DD(g[k]) for k in range(9)]
+        _, ux, _ = kbc_df64.macroscopics(fs)
+        return float(np.mean(to_f64(ux.v)))
+
+    steps, old_mean = 0, 1.0
+    watch = []
+    g = chunk(g, 1)
+    steps += 1
+    while steps < T:
+        mean = mean_ux_host(g)
+        rel = abs(mean / old_mean - 1.0) if old_mean != 0.0 else np.inf
+        watch.append((steps, rel))
+        if rel < tolerance:
+            break
+        old_mean = mean
+        n = min(t_interval, T - steps)
+        g = chunk(g, n)
+        steps += n
+        observe.check_finite(g, steps)
+
+    f64 = np.asarray(g[:, 0], np.float64) + np.asarray(g[:, 1], np.float64)
+    m0 = f64.sum(axis=0)
+    ux = (f64[1] + f64[5] + f64[8] - f64[3] - f64[6] - f64[7]) / m0
+    uy = (f64[2] + f64[5] + f64[6] - f64[4] - f64[7] - f64[8]) / m0
+    return ULBMResult(f=g, m0=jnp.asarray(m0),
+                      m1=jnp.asarray(np.stack([ux, uy])), steps=steps,
+                      l2=_ulbm_l2(ux, u_max), watch=watch)
+
+
 def double_shear_init(H: int, W: int, u_max: float, alpha: float = 80.0,
                       delta: float = 0.05, dtype=None):
     """Double shear layer initial condition.

@@ -17,8 +17,23 @@ path stays plain f32): ~10-20x the flops of f32 per op, all VPU.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 _SPLITTER = 4097.0  # 2^12 + 1 for f32 Dekker splitting
+
+
+def _ob(x):
+    """Block XLA's real-arithmetic simplifier inside the EFTs.
+
+    Under jit, XLA can fold ``x - (x - y) -> y`` (and kin) when the
+    graph exposes the pattern — measured: ``1.0 - ax`` through _two_sum
+    lost its lo correction entirely (error jumped from 1e-16 to 3e-8,
+    the f32 ulp) inside the jitted KBC df64 step, while the same ops
+    eager or in small jits were exact.  One optimization_barrier on the
+    rounded intermediate breaks the structural match (the two ``x``
+    operands are no longer the same node) at negligible cost — the
+    barrier is a scheduling fence, not a sync."""
+    return lax.optimization_barrier(x)
 
 
 def dd(hi, lo=None):
@@ -47,7 +62,7 @@ def to_f64(a):
 
 def _two_sum(a, b):
     s = a + b
-    bb = s - a
+    bb = _ob(s) - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
 
@@ -55,12 +70,12 @@ def _two_sum(a, b):
 def _quick_two_sum(a, b):
     # requires |a| >= |b|
     s = a + b
-    return s, b - (s - a)
+    return s, b - (_ob(s) - a)
 
 
 def _split(a):
     t = _SPLITTER * a
-    hi = t - (t - a)
+    hi = t - (_ob(t) - a)
     return hi, a - hi
 
 
@@ -130,3 +145,82 @@ def const(value, shape):
     hi = jnp.float32(np.float64(value))
     lo = jnp.float32(np.float64(value) - np.float64(np.float32(value)))
     return jnp.stack([jnp.full(shape, hi), jnp.full(shape, lo)])
+
+
+class DD:
+    """Operator-overloaded df64 value: wraps a (2, ...) hi/lo pair so
+    f64-class algebra reads like plain arithmetic.  Lets long collision
+    polynomials (models.kbc_df64) be near-verbatim transcriptions of
+    their f32/f64 originals — each `+`/`-`/`*`/`/` lowers to the
+    error-free-transformation ops above; python scalars are split
+    EXACTLY into hi+lo pairs (so 1/3-class constants keep f64 precision,
+    unlike ``scale`` which truncates to f32)."""
+
+    __slots__ = ("v",)
+    __array_priority__ = 100  # beat ndarray reflected ops
+
+    def __init__(self, v):
+        self.v = v
+
+    @property
+    def hi(self):
+        return self.v[0]
+
+    @classmethod
+    def of(cls, x):
+        """Wrap a scalar/array: DD passes through, python/numpy floats
+        split exactly, f32 arrays get a zero lo part."""
+        if isinstance(x, DD):
+            return x
+        if isinstance(x, (int, float)):
+            import numpy as np
+
+            x64 = np.float64(x)
+            hi = jnp.float32(x64)
+            lo = jnp.float32(x64 - np.float64(np.float32(x64)))
+            return cls(jnp.stack([jnp.asarray(hi), jnp.asarray(lo)]))
+        return cls(dd(x))
+
+    def __add__(self, o):
+        return DD(add(self.v, DD.of(o).v))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return DD(add(self.v, -DD.of(o).v))
+
+    def __rsub__(self, o):
+        return DD(add(DD.of(o).v, -self.v))
+
+    def __mul__(self, o):
+        return DD(mul(self.v, DD.of(o).v))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return DD(div(self.v, DD.of(o).v))
+
+    def __rtruediv__(self, o):
+        return DD(div(DD.of(o).v, self.v))
+
+    def __neg__(self):
+        return DD(-self.v)
+
+    def __getitem__(self, key):
+        """Slice the trailing (grid) axes; the hi/lo axis is internal."""
+        if not isinstance(key, tuple):
+            key = (key,)
+        return DD(self.v[(slice(None),) + key])
+
+    def clip(self, lo: float, hi: float):
+        """Clamp by the hi part (a stabiliser clamp, not an EFT op: at
+        the boundary the value snaps to the exact f32 bound)."""
+        import jax.numpy as _jnp
+
+        lo32, hi32 = _jnp.float32(lo), _jnp.float32(hi)
+        below = self.v[0] < lo32
+        above = self.v[0] > hi32
+        out_hi = _jnp.where(below, lo32, _jnp.where(above, hi32, self.v[0]))
+        out_lo = _jnp.where(below | above, _jnp.zeros_like(self.v[1]),
+                            self.v[1])
+        return DD(_jnp.stack([out_hi, out_lo]))

@@ -53,3 +53,45 @@ def test_ulbm_poiseuille_convergence_watcher():
     ratio = mid.max() / ua.max()
     assert 1.0 < ratio < 1.25, f"amplitude ratio={ratio}"
     assert res.l2 < 0.2, f"l2={res.l2} (measured floor 0.102)"
+
+
+def test_kbc_df64_collide_matches_f64_oracle():
+    """models.kbc_df64 (the DD-operator transcription) pins to the f64
+    kbc.collide oracle at 1e-12-class error on a random state."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lbm_tpu.models import kbc, kbc_df64
+    from lbm_tpu.utils.df64 import DD, from_f64, to_f64
+
+    rng = np.random.default_rng(5)
+    R, C = 8, 16
+    f64 = rng.uniform(0.05, 0.3, (9, R, C))
+    m0 = f64.sum(0)
+    mx = f64[1] - f64[3] + f64[5] - f64[6] - f64[7] + f64[8]
+    my = f64[2] - f64[4] + f64[5] + f64[6] - f64[7] - f64[8]
+    u64 = np.stack([mx / m0, my / m0])
+    s2 = 1.0 / (0.5 + 3 * 0.05)
+    want = np.asarray(kbc.collide(jnp.asarray(f64), jnp.asarray(m0),
+                                  jnp.asarray(u64), s2))
+    fdd = [DD(from_f64(f64[k])) for k in range(9)]
+    m0d, uxd, uyd = kbc_df64.macroscopics(fdd)
+    out = kbc_df64.collide(fdd, m0d, uxd, uyd, s2)
+    got = np.stack([to_f64(o.v) for o in out])
+    assert np.abs(got - want).max() < 1e-12
+
+
+def test_ulbm_poiseuille_df64_tracks_f64_scene():
+    """The df64 KBC channel scene tracks the f64 jnp scene trajectory at
+    1e-12-class error over 50 steps INCLUDING under jit (the XLA
+    x-(x-y)->y simplifier hazard the df64 EFTs barrier against —
+    utils.df64._ob)."""
+    import numpy as np
+
+    r64 = ulbm.ulbm_poiseuille(H=8, W=16, T=50, nu=0.05, u_max=0.01)
+    rdd = ulbm.ulbm_poiseuille_df64(H=8, W=16, T=50, nu=0.05,
+                                    u_max=0.01, tolerance=0.0,
+                                    t_interval=10)
+    f_dd = np.asarray(rdd.f[:, 0], np.float64) \
+        + np.asarray(rdd.f[:, 1], np.float64)
+    assert rdd.steps == 50
+    assert np.abs(f_dd - np.asarray(r64.f)).max() < 1e-12
