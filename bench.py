@@ -99,6 +99,14 @@ def build_step(args, H, W):
             # run the reduced 10-plane state (scenes/multiphase.py)
             step = make_mrtcg_fused_step(
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0), **kw)
+        elif args.lane_block:
+            from lbm_tpu.kernels.mrtcg_pallas import \
+                make_mrtcg_reduced_lanes_step
+
+            step = make_mrtcg_reduced_lanes_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
+                lane_block=args.lane_block, **kw)
+            f = reduce_mrtcg_state(f)
         else:
             step = make_mrtcg_reduced_step(
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0), **kw)
@@ -129,6 +137,16 @@ def build_step(args, H, W):
                 H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
                 dtype=dtype, block_rows=args.block_rows,
                 substeps=args.substeps)
+        elif args.lane_block:
+            from lbm_tpu.kernels.mrtcg_pallas import \
+                make_mrtcg_reduced_lanes_step
+
+            step = make_mrtcg_reduced_lanes_step(
+                H, W, DEFAULT_RED, DEFAULT_BLUE, 1e-4, (6.25e-7, 0.0),
+                dtype=dtype, surface_tension="csf",
+                block_rows=args.block_rows, substeps=args.substeps,
+                lane_block=args.lane_block)
+            f = reduce_mrtcg_state(f, surface_tension="csf")
         else:
             # production path: reduced 12-plane CSF state
             step = make_mrtcg_reduced_step(
@@ -468,6 +486,10 @@ def main():
     ap.add_argument("--block-rows", type=int, default=None,
                     help="override the kernel's auto row-block pick "
                     "(mrtcg/csf/rk models)")
+    ap.add_argument("--lane-block", type=int, default=None,
+                    help="mrtcg/csf: run the lane-blocked experiment "
+                    "kernel (make_mrtcg_reduced_lanes_step) with this "
+                    "column tile size")
     ap.add_argument("--substeps", type=int, default=None,
                     help="LBM steps per kernel launch (temporal blocking; "
                          "pallas impl only, 1..8; default: 8, or the "

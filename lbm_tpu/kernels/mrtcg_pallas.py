@@ -1020,6 +1020,98 @@ def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
         substeps=substeps, _ablate=_ablate, lift=lift)
 
 
+def make_mrtcg_reduced_lanes_step(R: int, C: int, red: ColourParams,
+                                  blue: ColourParams, sigma: float,
+                                  gravity=(0.0, 0.0), delta: float = 0.1,
+                                  apply_gravity_source: bool = True,
+                                  dtype=jnp.float32,
+                                  block_rows: int | None = None,
+                                  surface_tension: str = "perturbation",
+                                  substeps: int = 1,
+                                  lane_block: int = 256,
+                                  interpret: bool = False):
+    """LANE-BLOCKED reduced MRT-CG step — the ROADMAP candidate-3
+    experiment (VERDICT r4 item 1): apply sharded2d's column-tiling idea
+    INSIDE the single-chip kernel, so the ~50 port-binding full-width
+    (B+2h, C) temporaries of the colour-gradient body shrink to
+    (B+2h, lane_block+256) tiles.
+
+    Same physics and state as make_mrtcg_reduced_step (the shared
+    make_mrtcg_body in its global-column col_iota mode, which already
+    carries the no-diagonal-offset column repair and the periodic
+    gradient seams); per row block the body runs once per lane tile on
+    an overlapping window [j*LB-128, (j+1)*LB+128) of wrapped global
+    columns, keeping the middle LB lanes.  The 128-lane margins are the
+    STRUCTURAL COST this experiment measures: Mosaic lane slices are
+    128-granular, so any column tiling pays >= 256 redundant lanes per
+    tile — overhead factor 1 + 256/LB (1.5x at LB=512, 2x at LB=256) —
+    while the measured free-stencil ceiling of the full-width kernel is
+    only ~1.3x above its optimum (docs/BENCHMARKS.md "Multiphase
+    cadence/geometry optimum").  Margin validity: tile-seam garbage
+    advances rows_per_sweep lanes per sweep, so substeps *
+    rows_per_sweep <= 128 (never binding)."""
+    from .pipeline import make_block_pipeline, resolve_block_rows
+
+    csf = surface_tension == "csf"
+    rps = 5 if csf else 3
+    halo = halo_for(substeps, rps)
+    p = reduced_planes(surface_tension)
+    LB = lane_block
+    if LB % 128 or C % LB:
+        raise ValueError(f"lane_block must be a 128-multiple dividing C "
+                         f"(lane_block={LB}, C={C})")
+    if LB + 2 * CHALO > 2 * C:
+        # the wrapped window is built from at most two contiguous lane
+        # slices; margins may duplicate global columns (they hold valid
+        # values and only the interior lanes are kept)
+        raise ValueError(
+            f"lane_block + 256 must be <= 2C ({LB + 256} > {2 * C})")
+    block_rows = resolve_block_rows(
+        (p,), p, R, C, dtype, 6 * 2 ** 20, block_rows, False,
+        lift=False, halo=halo)
+    n_blocks = R // block_rows
+    run = make_mrtcg_body(R, C, red, blue, sigma, gravity, delta,
+                          apply_gravity_source, dtype,
+                          surface_tension=surface_tension, reduced=True,
+                          substeps=substeps, halo=halo)
+
+    def cyc_window(block, s, width):
+        """Contiguous cyclic lane window [s, s+width) mod C as concat of
+        128-aligned slices (s and C are 128-multiples)."""
+        pieces, pos, rem = [], s, width
+        while rem > 0:
+            take = min(C - pos, rem)
+            pieces.append(block[:, :, pos:pos + take])
+            rem -= take
+            pos = 0
+        return pieces[0] if len(pieces) == 1 else \
+            jnp.concatenate(pieces, axis=2)
+
+    def lane_run(block, abs_iota, row_edges):
+        rows = block.shape[1]
+        width = LB + 2 * CHALO
+        outs = []
+        for j in range(C // LB):
+            s = (j * LB - CHALO) % C
+            tile = cyc_window(block, s, width)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1) \
+                + jnp.int32(s)
+            ci = jax.lax.rem(ci, jnp.int32(C))
+            o = run(tile, abs_iota[:, 0:width], row_edges, col_iota=ci)
+            # the body's col_iota epilogue drops the trailing CHALO
+            # lanes; the kept interior sits at [CHALO, CHALO + LB)
+            outs.append(o[:, :, CHALO:CHALO + LB])
+        return jnp.concatenate(outs, axis=2)
+
+    body = _edge_gated(lane_run, n_blocks, block_rows, rps * substeps)
+    return make_block_pipeline(p, R, C, body, dtype=dtype,
+                               block_rows=block_rows,
+                               vmem_budget=6 * 2 ** 20, halo=halo,
+                               flops_per_cell=(2600 if csf else 2000)
+                               * substeps * (1 + 2 * CHALO // LB),
+                               interpret=interpret)
+
+
 def make_mrtcg_split_step(R: int, C: int, red: ColourParams,
                           blue: ColourParams, sigma: float,
                           gravity=(0.0, 0.0), delta: float = 0.1,
