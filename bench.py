@@ -70,7 +70,8 @@ def build_step(args, H, W):
         from lbm_tpu.models import kbc as kbc_model
 
         step = make_kbc_fused_step(H, W, omega, dtype,
-                                   substeps=min(args.substeps, 8))
+                                   substeps=min(args.substeps, 8),
+                                   gamma_impl=args.gamma)
         f = kbc_model.equilibrium(rho0, u0).astype(dtype)
         impl = "pallas"
     elif args.model in ("mrtcg", "mrtcg_full"):
@@ -486,6 +487,10 @@ def main():
     ap.add_argument("--block-rows", type=int, default=None,
                     help="override the kernel's auto row-block pick "
                     "(mrtcg/csf/rk models)")
+    ap.add_argument("--gamma", default="direct",
+                    choices=["direct", "factored"],
+                    help="kbc: entropic-gamma implementation (factored = "
+                    "the separable-basis identity experiment)")
     ap.add_argument("--lane-block", type=int, default=None,
                     help="mrtcg/csf: run the lane-blocked experiment "
                     "kernel (make_mrtcg_reduced_lanes_step) with this "

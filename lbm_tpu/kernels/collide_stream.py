@@ -130,11 +130,13 @@ def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,
                                interpret=interpret)
 
 
-def kbc_collide_fn(s2: float):
+def kbc_collide_fn(s2: float, gamma_impl: str = "direct"):
     """KBC cascaded collision as a slab function (models.kbc.collide runs
     unchanged inside the kernel — pure local jnp with scalar constants).
     Moments use explicit 9-term sums (no dot_general: Pallas kernels cannot
-    capture array constants, and the sums keep full f32 precision)."""
+    capture array constants, and the sums keep full f32 precision).
+    ``gamma_impl="factored"`` selects the separable-basis gamma
+    (models.kbc.gamma_factored — the measured identity experiment)."""
     from ..models import kbc
 
     def fn(f):
@@ -144,19 +146,19 @@ def kbc_collide_fn(s2: float):
         mx = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
         my = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
         u = jnp.stack([mx / m0, my / m0], axis=0)
-        return kbc.collide(f, m0, u, s2)
+        return kbc.collide(f, m0, u, s2, gamma_impl=gamma_impl)
 
     return fn
 
 
 def make_kbc_fused_step(R: int, C: int, s2: float, dtype=jnp.float32,
                         block_rows: int | None = None, interpret: bool = False,
-                        substeps: int = 1):
+                        substeps: int = 1, gamma_impl: str = "direct"):
     """Fused KBC collide-stream (the ULBM family's 300k-step workloads,
     test/ulbm_poiseuille.cpp:64)."""
     if block_rows is None:
         # KBC keeps many live temporaries; halve the block budget
         block_rows = pick_block_rows(R, C, dtype, vmem_budget=5 * 2 ** 20)
-    return make_fused_step(R, C, kbc_collide_fn(s2), dtype=dtype,
+    return make_fused_step(R, C, kbc_collide_fn(s2, gamma_impl), dtype=dtype,
                            block_rows=block_rows, interpret=interpret,
                            flops_per_cell=400, substeps=substeps)

@@ -1104,9 +1104,13 @@ def make_mrtcg_reduced_lanes_step(R: int, C: int, red: ColourParams,
         return jnp.concatenate(outs, axis=2)
 
     body = _edge_gated(lane_run, n_blocks, block_rows, rps * substeps)
+    # 4 MiB slab budget -> a taller scoped-VMEM request: the per-tile
+    # bodies' temporaries STACK across the sequential tile loop
+    # (measured 65 MB at B=256/LB=256 vs the 55 MB limit the 6 MiB
+    # convention requests), so this factory needs the extra headroom
     return make_block_pipeline(p, R, C, body, dtype=dtype,
                                block_rows=block_rows,
-                               vmem_budget=6 * 2 ** 20, halo=halo,
+                               vmem_budget=4 * 2 ** 20, halo=halo,
                                flops_per_cell=(2600 if csf else 2000)
                                * substeps * (1 + 2 * CHALO // LB),
                                interpret=interpret)

@@ -261,11 +261,122 @@ def gamma(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray, s2: float,
     return jnp.clip(g, 0.0, 2.0 * is2)
 
 
-def collide(f: jnp.ndarray, m0: jnp.ndarray, u: jnp.ndarray, s2: float) -> jnp.ndarray:
+def gamma_factored(cT: jnp.ndarray, u: jnp.ndarray, m0: jnp.ndarray,
+                   s2: float) -> jnp.ndarray:
+    """The entropic stabiliser via the SEPARABLE-BASIS identity — the
+    ROADMAP candidate-2 / VERDICT r4 item 7 experiment.
+
+    Mathematically exact alternative to ``gamma``: because the cascaded
+    basis is the tensor-monomial basis cx^p cy^q and 1/f_eq factors as
+    (1/m0) ipx(cx) ipy(cy) (product-form equilibrium, ulbm.cpp:248-263),
+    the two 9-direction reductions collapse to bilinear forms over 9
+    monomial coefficient planes contracted with the three per-axis
+    reciprocal sums Sx0/SxE/SxO (and y-analogues):
+
+        ds_k = [inv(M) icfS]_k - feq_k     (icfS = u-shifted T3,T4,T5)
+        dh_k = [inv(M) icfH]_k + c_k - feq_k   (c = the x2+uy quirk rows)
+        num  = sum sigma_pq V_pq + m0^2 (1 + uy)
+        den  = sum   tau_pq V_pq + m0^2 (1 + 2 uy)
+
+    with V the two-stage Gram contraction (verified identical to the
+    direct ``gamma`` to f64 round-off; the m0^2 terms absorb the
+    feq-cross sums, using sum_k ds_k = 0 and sum_k c_k = -m0 uy).
+
+    Kept as a MEASURED NEGATIVE: the identity is exact but does not pay
+    — the Gram weights are per-cell planes, so the contraction costs
+    ~27 plane products plus 9+8 coefficient planes, about the same op
+    count as materialising the paired-direction polynomials (see
+    docs/BENCHMARKS.md "KBC gamma identity")."""
+    ux, uy = u[0], u[1]
+    x2, y2 = ux * ux, uy * uy
+    T3, T4, T5, T6, T7, T8 = (cT[k] for k in range(3, 9))
+    # u-shifted back-map coefficients (the inv(N) rows for slots 3-5 /
+    # 6-8 only; same algebra as collide's icf)
+    A6 = 0.5 * (T3 + T4) * uy + 2.0 * T5 * ux
+    A7 = 0.5 * (T3 - T4) * ux + 2.0 * T5 * uy
+    A8 = 0.5 * T3 * (x2 + y2) - 0.5 * T4 * (x2 - y2) + 4.0 * T5 * (ux * uy)
+    B8 = 2.0 * T6 * uy + 2.0 * T7 * ux + T8
+    # the reference's x2+uy (sum, not product) quirk rows, in monomial
+    # form c = cx^2 cy^2 g0 + cx^2 cy g1 (ulbm.cpp:217-226)
+    x2uy = x2 * uy
+    c56 = -0.25 * m0 * (x2 + uy - x2uy)
+    c78 = -0.25 * m0 * (uy - x2 + x2uy)
+    g0 = 0.5 * (c56 + c78)
+    g1 = 0.5 * (c56 - c78)
+    # per-axis reciprocal sums of the product-form factors
+    px, py = _eq_factor_pairs(u)
+    ipx = tuple(1.0 / p for p in px)
+    ipy = tuple(1.0 / p for p in py)
+    Sx0 = ipx[0] + ipx[1] + ipx[2]
+    SxE = ipx[1] + ipx[2]
+    SxO = ipx[1] - ipx[2]
+    Sy0 = ipy[0] + ipy[1] + ipy[2]
+    SyE = ipy[1] + ipy[2]
+    SyO = ipy[1] - ipy[2]
+    # sigma: monomial coefficients of S = inv(M) icfS
+    s00 = A8 - T3
+    s02 = 1.25 * T3 - 0.25 * T4 - 1.5 * A8
+    s20 = 1.25 * T3 + 0.25 * T4 - 1.5 * A8
+    s22 = 2.25 * A8 - 1.5 * T3
+    s11 = 0.25 * T5
+    s01 = -0.5 * A6
+    s21 = 0.75 * A6
+    s10 = -0.5 * A7
+    s12 = 0.75 * A7
+    # tau: monomial coefficients of H + c = inv(M) icfH + quirk
+    t00 = B8
+    t02 = -1.5 * B8
+    t20 = t02
+    t22 = 2.25 * B8 + g0
+    t01 = -0.5 * T6
+    t21 = 0.75 * T6 + g1
+    t10 = -0.5 * T7
+    t12 = 0.75 * T7
+    # stage 1: x-contraction  ttilde_{p,s} = sum_r Gx_{p+r} tau_{r,s}
+    tt00 = Sx0 * t00 + SxO * t10 + SxE * t20
+    tt10 = SxO * (t00 + t20) + SxE * t10
+    tt20 = SxE * (t00 + t20) + SxO * t10
+    tt01 = Sx0 * t01 + SxE * t21
+    tt11 = SxO * (t01 + t21)
+    tt21 = SxE * (t01 + t21)
+    tt02 = Sx0 * t02 + SxO * t12 + SxE * t22
+    tt12 = SxO * (t02 + t22) + SxE * t12
+    tt22 = SxE * (t02 + t22) + SxO * t12
+    # stage 2: y-contraction  V_{p,q} = sum_s Gy_{q+s} ttilde_{p,s}
+    def vrow(tt0, tt1, tt2):
+        v0 = Sy0 * tt0 + SyO * tt1 + SyE * tt2
+        v1 = SyO * (tt0 + tt2) + SyE * tt1
+        v2 = SyE * (tt0 + tt2) + SyO * tt1
+        return v0, v1, v2
+
+    v00, v01, v02 = vrow(tt00, tt01, tt02)
+    v10, v11, v12 = vrow(tt10, tt11, tt12)
+    v20, v21, v22 = vrow(tt20, tt21, tt22)
+    m2 = m0 * m0
+    num = (s00 * v00 + s01 * v01 + s02 * v02
+           + s10 * v10 + s11 * v11 + s12 * v12
+           + s20 * v20 + s21 * v21 + s22 * v22) + m2 * (1.0 + uy)
+    den = (t00 * v00 + t01 * v01 + t02 * v02
+           + t10 * v10 + t12 * v12
+           + t20 * v20 + t21 * v21 + t22 * v22) + m2 * (1.0 + 2.0 * uy)
+    is2 = 1.0 / s2
+    eps = 1e-28 if num.dtype == jnp.float32 else 1e-200
+    g = is2 - (1.0 - is2) * num / (den + eps)
+    return jnp.clip(g, 0.0, 2.0 * is2)
+
+
+def collide(f: jnp.ndarray, m0: jnp.ndarray, u: jnp.ndarray, s2: float,
+            gamma_impl: str = "direct") -> jnp.ndarray:
     """One KBC collision; returns the post-collision populations.
-    cites ulbm.cpp:91-126"""
+    cites ulbm.cpp:91-126.  ``gamma_impl="factored"`` evaluates the
+    entropic stabiliser through the separable-basis identity
+    (gamma_factored) — identical to f64 round-off, kept for the
+    measured op-count comparison."""
     cT = central_moments(f, u)
-    g = gamma(cT, u, m0, s2, equilibrium(m0, u))
+    if gamma_impl == "factored":
+        g = gamma_factored(cT, u, m0, s2)
+    else:
+        g = gamma(cT, u, m0, s2, equilibrium(m0, u))
 
     # subtract equilibrium central moments (only k = 0, 3, 8 nonzero) and
     # apply the relaxation diagonal in the same stack: rows 0-2 relax at
