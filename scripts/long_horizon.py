@@ -172,6 +172,116 @@ def rtcmp(tag_a: str = "f32", tag_b: str = "f64"):
     print(json.dumps(rows))
 
 
+#: the reference's LARGEST single-domain grid: rk_rayleigh_taylor_test
+#: .cpp:81-87 (R = 4L, L = 256, 100k steps)
+RK_R, RK_C = 1024, 256
+RK_NU, RK_SIGMA, RK_GRAV = 0.04, 0.1, -6.25e-6
+
+
+def _rk_init(dtype):
+    import jax.numpy as jnp
+
+    from lbm_tpu.models.rk_cg import RKMixtureModel
+    from lbm_tpu.scenes.multiphase import init_rho_cosine, mrtcg_boundary
+
+    model = RKMixtureModel(
+        r_alpha=11.0 / 15.0, r_rho_0=3.0, r_nu=RK_NU,
+        b_alpha=0.2, b_rho_0=1.0, b_nu=RK_NU,
+        sigma=RK_SIGMA, beta=0.7, gravity=(RK_GRAV, 0.0),
+        boundary=mrtcg_boundary)
+    r0 = init_rho_cosine(RK_R, RK_C, 3.0, fill_below=False,
+                         amplitude_sign=1.0)
+    b0 = init_rho_cosine(RK_R, RK_C, 1.0, fill_below=True,
+                         amplitude_sign=1.0)
+    return model, model.init_state(r0, b0, dtype=dtype)
+
+
+def _rk_macros(f, r_rho, b_rho):
+    f = np.asarray(f, np.float64)
+    r = np.asarray(r_rho, np.float64)
+    b = np.asarray(b_rho, np.float64)
+    rho = r + b
+    a_ = r / 3.0
+    b_ = b / 1.0
+    psi = (a_ - b_) / (a_ + b_)
+    ux = (f[1] - f[3] + f[5] - f[6] - f[7] + f[8]) / rho
+    uy = (f[2] - f[4] + f[5] + f[6] - f[7] - f[8]) / rho
+    return dict(psi=psi, rho=rho, ux=ux, uy=uy)
+
+
+def rk32():
+    """The RK-CG family's full-scale leg: f32 fused on chip at the
+    reference's largest grid (1024x256), checkpointing macro fields up
+    to the full 100k horizon (VERDICT r4 item 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.kernels.rk_pallas import make_rk_fused_step
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    model, state = _rk_init(jnp.float32)
+    S = jnp.concatenate(
+        [state.f, state.r_rho[None], state.b_rho[None]], axis=0
+    ).astype(jnp.float32)
+    step = make_rk_fused_step(
+        RK_R, RK_C, r_alpha=11.0 / 15.0, b_alpha=0.2, r_nu=RK_NU,
+        b_nu=RK_NU, sigma=RK_SIGMA, beta=0.7, gravity=(RK_GRAV, 0.0),
+        dtype=jnp.float32)
+    chunk = jax.jit(
+        lambda g, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), g),
+        static_argnums=1)
+    done = 0
+    t0 = time.perf_counter()
+    for target in CHECKPOINTS:
+        while done < target:
+            n = min(1000, target - done)  # axon: cap device time/launch
+            S = chunk(S, n)
+            done += n
+        float(S.sum())
+        np.savez(os.path.join(OUTDIR, f"rk32-{done}.npz"),
+                 **_rk_macros(S[:9], S[9], S[10]))
+        log(f"rk32 step {done} ({time.perf_counter() - t0:.1f}s)")
+    log("rk32 done")
+
+
+def rk64(limit: int = 5000):
+    """f64 jnp RK oracle on CPU at the full 1024x256 shape — the drift
+    reference for the early checkpoints (the full 100k horizon is
+    CPU-infeasible on this 1-core box; beyond a few k steps the drift
+    is Lyapunov-dominated anyway, per the MRT-CG chaos control)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    model, state = _rk_init(jnp.float64)
+    step = jax.jit(model.step)
+    chunk = jax.jit(
+        lambda s, n: jax.lax.fori_loop(0, n, lambda _, x: step(x), s),
+        static_argnums=1)
+    done = 0
+    t0 = time.perf_counter()
+    for target in [t for t in CHECKPOINTS if t <= limit]:
+        while done < target:
+            n = min(500, target - done)
+            state = chunk(state, n)
+            done += n
+            el = time.perf_counter() - t0
+            log(f"rk64 step {done} ({el:.0f}s, {el / done * 1e3:.0f} "
+                "ms/step)")
+        jax.block_until_ready(state)
+        np.savez(os.path.join(OUTDIR, f"rk64-{done}.npz"),
+                 **_rk_macros(state.f, state.r_rho, state.b_rho))
+        log(f"rk64 checkpoint {done}")
+    log("rk64 done")
+
+
+def rkcmp():
+    rtcmp("rk32", "rk64")
+
+
 def ulbm300k(H=128, W=128, T=300000, nu=1e-4, u_max=0.05, ti=100):
     """The reference's flat 300k-step ULBM Poiseuille (128x128, nu=1e-4)
     f32 fused on chip with the 1e-12 convergence watcher.
@@ -220,4 +330,5 @@ if __name__ == "__main__":
     {"rt32": rt32, "rt64": rt64, "rtcmp": rtcmp,
      "rt64p": lambda: rt64(perturb=1e-13, tag="f64p"),
      "rtcmpp": lambda: rtcmp("f64p", "f64"),
-     "ulbm300k": ulbm300k, "ulbm_floor": ulbm_floor}[sys.argv[1]]()
+     "ulbm300k": ulbm300k, "ulbm_floor": ulbm_floor,
+     "rk32": rk32, "rk64": rk64, "rkcmp": rkcmp}[sys.argv[1]]()

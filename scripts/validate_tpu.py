@@ -195,6 +195,40 @@ def ulbm_300k():
     check("ulbm300k_kinematic_tail", float(tail * 300.0), 0.8, 1.2)
 
 
+def rk_rt_100k():
+    """The reference's LARGEST single-domain workload end-to-end on
+    chip: RK-CG Rayleigh-Taylor 1024x256 x 100k steps
+    (rk_rayleigh_taylor_test.cpp:81-87: R = 4L, L = 256 — the biggest
+    grid any reference driver allocates, mrt_rayleigh_taylor.cpp:180)
+    f32 fused (kernels.rk_pallas).  Macro gates mirror rt_100k: total
+    mass conservation, psi boundedness, interface growth band; the
+    early-step f32-vs-f64 drift rows live in scripts/long_horizon.py
+    rk32/rk64/rkcmp.  ~1 min of device time; minutes through the
+    relay."""
+    from lbm_tpu.scenes import multiphase as mp
+
+    res = mp.rk_rayleigh_taylor(L=256, T=100000, fused=True)
+    st = res.state
+    r_rho = np.asarray(st.r_rho, np.float64)
+    b_rho = np.asarray(st.b_rho, np.float64)
+    rho = r_rho + b_rho
+    a = r_rho / 3.0
+    b = b_rho / 1.0
+    psi = (a - b) / (a + b)
+    # init mass of the cosine-perturbed half-fill (exact recompute)
+    from lbm_tpu.scenes.multiphase import init_rho_cosine
+
+    m0 = float(np.asarray(init_rho_cosine(1024, 256, 3.0, False, 1.0),
+                          np.float64).sum()
+               + np.asarray(init_rho_cosine(1024, 256, 1.0, True, 1.0),
+                            np.float64).sum())
+    check("rk100k_finite", float(np.isfinite(psi).all()), 1.0, 1.0)
+    check("rk100k_mass_rel_drift", abs(rho.sum() / m0 - 1.0), 0.0, 1e-3)
+    check("rk100k_psi_bounded", float(np.abs(psi).max()), 0.9, 1.01)
+    check("rk100k_iface_std",
+          float((psi > 0).sum(axis=0).astype(float).std()), 20.0, 60.0)
+
+
 def csf_growth():
     """CSF-curvature RT (fused, auto): heavy fluid falls, interface
     perturbation grows, fields stay finite over 6k steps."""
@@ -515,7 +549,7 @@ QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",
          "les", "trt", "shan_chen", "cavity3d"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
-        "ellipse", "rt_100k", "ulbm_300k"]
+        "ellipse", "rt_100k", "ulbm_300k", "rk_rt_100k"]
 
 
 def main(argv):
