@@ -487,10 +487,11 @@ def main():
     ap.add_argument("--block-rows", type=int, default=None,
                     help="override the kernel's auto row-block pick "
                     "(mrtcg/csf/rk models)")
-    ap.add_argument("--gamma", default="direct",
+    ap.add_argument("--gamma", default="factored",
                     choices=["direct", "factored"],
                     help="kbc: entropic-gamma implementation (factored = "
-                    "the separable-basis identity experiment)")
+                    "the separable-basis identity, the measured +4% "
+                    "production default; direct = the term-for-term form)")
     ap.add_argument("--lane-block", type=int, default=None,
                     help="mrtcg/csf: run the lane-blocked experiment "
                     "kernel (make_mrtcg_reduced_lanes_step) with this "

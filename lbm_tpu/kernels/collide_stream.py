@@ -130,7 +130,7 @@ def make_fused_step(R: int, C: int, collide_fn, dtype=jnp.float32,
                                interpret=interpret)
 
 
-def kbc_collide_fn(s2: float, gamma_impl: str = "direct"):
+def kbc_collide_fn(s2: float, gamma_impl: str = "factored"):
     """KBC cascaded collision as a slab function (models.kbc.collide runs
     unchanged inside the kernel — pure local jnp with scalar constants).
     Moments use explicit 9-term sums (no dot_general: Pallas kernels cannot
@@ -153,7 +153,7 @@ def kbc_collide_fn(s2: float, gamma_impl: str = "direct"):
 
 def make_kbc_fused_step(R: int, C: int, s2: float, dtype=jnp.float32,
                         block_rows: int | None = None, interpret: bool = False,
-                        substeps: int = 1, gamma_impl: str = "direct"):
+                        substeps: int = 1, gamma_impl: str = "factored"):
     """Fused KBC collide-stream (the ULBM family's 300k-step workloads,
     test/ulbm_poiseuille.cpp:64)."""
     if block_rows is None:
