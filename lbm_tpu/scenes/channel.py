@@ -576,6 +576,8 @@ def horizontal_poiseuille_df64(H: int = 21, W: int = 21, T: int = 8301,
     from ..core import lattice as lat
     from ..utils import df64 as df
 
+    df.resolve_guard()  # settle the EFT guard eagerly (outside jit)
+
     omega = 1.0 / tau
     nu = (2.0 * tau - 1.0) / 6.0
     p_grad = 8.0 * nu * u_max / (W * W)

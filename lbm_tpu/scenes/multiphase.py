@@ -750,6 +750,8 @@ def mrtcg_static_droplet_df64(R: int = 100, C: int = 100, T: int = 100,
     from ..core import lattice as lat
     from ..utils import df64 as df
 
+    df.resolve_guard()  # settle the EFT guard eagerly (outside jit)
+
     shape = (R, C)
     fg_y = -6.25e-6  # cites mrtcg_static_droplet.cpp:452 (Fg)
     CXl = [int(v) for v in lat.C[0]]

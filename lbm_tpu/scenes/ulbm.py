@@ -184,6 +184,10 @@ def ulbm_poiseuille_df64(H: int = 128, W: int = 128, T: int = 500000,
     from ..models import kbc_df64
     from ..utils.df64 import DD, from_f64, to_f64
 
+    from ..utils.df64 import resolve_guard
+
+    resolve_guard()  # settle the EFT guard eagerly (outside jit)
+
     omega = 1.0 / (0.5 + 3.0 * nu)
     p_grad = 8.0 * nu * u_max / (W * W)
     rho_outlet = 1.0
@@ -212,6 +216,14 @@ def ulbm_poiseuille_df64(H: int = 128, W: int = 128, T: int = 500000,
         base = rho if cu is None else rho + 3.0 * cu
         return E_W[k] * base
 
+    # mask-select edge writes instead of .at[].set: XLA's scatter
+    # expansion emits an HLO transpose that the TPU AOT path cannot
+    # lower when algsimp is disabled (the documented df64-on-chip
+    # configuration) — broadcasted-iota selects are elementwise and
+    # transpose-free, and bitwise-identical to the overwrite semantics
+    row = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    lane = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+
     def step(g):
         """g (9, 2, H, W) -> (9, 2, H, W): one df64 KBC channel step."""
         fs = [DD(g[k]) for k in range(9)]
@@ -227,17 +239,17 @@ def ulbm_poiseuille_df64(H: int = 128, W: int = 128, T: int = 500000,
                 + (coll[k][H - 2:H - 1, :] - feq[k][H - 2:H - 1, :])
             vout = incomp_eq_k(k, DD.of(rho_outlet), ux_in, uy_in) \
                 + (coll[k][1:2, :] - feq[k][1:2, :])
-            coll[k] = DD(coll[k].v.at[:, 0:1, :].set(vin.v))
-            coll[k] = DD(coll[k].v.at[:, H - 1:H, :].set(vout.v))
+            v = jnp.where(row == 0, vin.v, coll[k].v)
+            coll[k] = DD(jnp.where(row == H - 1, vout.v, v))
         # periodic streaming on the (hi, lo) pairs (exact), then halfway
         # bounce-back on the side walls (cols 0 and W-1)
         new = [jnp.roll(coll[k].v, (CXl[k], CYl[k]), (1, 2))
                for k in range(9)]
         for k in (2, 5, 6):      # outgoing at col W-1
-            new[OPPl[k]] = new[OPPl[k]].at[:, :, W - 1].set(
-                coll[k].v[:, :, W - 1])
+            new[OPPl[k]] = jnp.where(lane == W - 1, coll[k].v,
+                                     new[OPPl[k]])
         for k in (4, 7, 8):      # outgoing at col 0
-            new[OPPl[k]] = new[OPPl[k]].at[:, :, 0].set(coll[k].v[:, :, 0])
+            new[OPPl[k]] = jnp.where(lane == 0, coll[k].v, new[OPPl[k]])
         return jnp.stack(new, axis=0)
 
     # init at the KBC equilibrium (m0=1, u=0): feq = E (df64-exact split)

@@ -22,18 +22,65 @@ from jax import lax
 _SPLITTER = 4097.0  # 2^12 + 1 for f32 Dekker splitting
 
 
-def _ob(x):
-    """Block XLA's real-arithmetic simplifier inside the EFTs.
+#: EFT guard mode: None = auto-detect per backend (see _needs_guard),
+#: True/False = force.  The guard is an optimization_barrier per EFT.
+GUARD: bool | None = None
 
-    Under jit, XLA can fold ``x - (x - y) -> y`` (and kin) when the
-    graph exposes the pattern — measured: ``1.0 - ax`` through _two_sum
-    lost its lo correction entirely (error jumped from 1e-16 to 3e-8,
-    the f32 ulp) inside the jitted KBC df64 step, while the same ops
-    eager or in small jits were exact.  One optimization_barrier on the
-    rounded intermediate breaks the structural match (the two ``x``
-    operands are no longer the same node) at negligible cost — the
-    barrier is a scheduling fence, not a sync."""
-    return lax.optimization_barrier(x)
+_GUARD_CACHE: dict[str, bool] = {}
+
+
+def _needs_guard() -> bool:
+    """Does the active backend's compiler fold ``x - (x - y) -> y``?
+
+    Measured on the CPU backend: ``1.0 - ax`` through an unguarded
+    _two_sum loses its lo correction entirely under jit (error jumps
+    from 1e-16 to 3e-8, the f32 ulp) — XLA:CPU applies the
+    real-arithmetic rewrite when a constant exposes the pattern.  The
+    guard barriers are cheap per-op but make LARGE df64 graphs (the KBC
+    channel step is ~1000 DD ops) explode the TPU Mosaic/XLA compile
+    (a barriered 2-step graph never finished compiling in 9 min vs
+    11 s for 1 step), so they are paid only where the canary below
+    proves the backend needs them."""
+    import jax
+
+    backend = jax.default_backend()
+    hit = _GUARD_CACHE.get(backend)
+    if hit is None:
+        def probe(b):
+            s = jnp.float32(1.0) + b
+            bb = s - jnp.float32(1.0)
+            err = (jnp.float32(1.0) - (s - bb)) + (b - bb)
+            return s, err
+
+        b = jnp.float32(-(1.0 / 3.0 + 1e-9))
+        try:
+            se, ee = probe(b)
+            sj, ej = jax.jit(probe)(b)
+            hit = not (float(ee) == float(ej) and float(se) == float(sj))
+        except Exception:
+            # called under an ambient trace (float() on a tracer): be
+            # conservative NOW but do not cache — an eager
+            # resolve_guard() can still settle it properly
+            return True
+        _GUARD_CACHE[backend] = hit
+    return hit
+
+
+def resolve_guard() -> bool:
+    """Resolve the auto EFT guard for the active backend NOW (outside
+    any trace).  Scenes call this before jitting large df64 graphs so
+    the canary runs eagerly; under a trace the auto mode conservatively
+    guards."""
+    return GUARD if GUARD is not None else _needs_guard()
+
+
+def _ob(x):
+    """Block XLA's real-arithmetic simplifier inside the EFTs (see
+    _needs_guard): one optimization_barrier on the rounded intermediate
+    breaks the structural match — the two ``x`` operands of the
+    ``x - (x - y)`` pattern are no longer the same node."""
+    guard = GUARD if GUARD is not None else _needs_guard()
+    return lax.optimization_barrier(x) if guard else x
 
 
 def dd(hi, lo=None):
