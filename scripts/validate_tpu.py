@@ -195,6 +195,48 @@ def ulbm_300k():
     check("ulbm300k_kinematic_tail", float(tail * 300.0), 0.8, 1.2)
 
 
+def ulbm_df64():
+    """The df64 KBC channel ON THE CHIP vs the CPU f64 oracle: 50 steps
+    at 8x128, max population error < 1e-12 (measured 1.4e-14,
+    2026-08-21).  Validates the whole df64 surface end-to-end on
+    hardware — the DD transcription (models.kbc_df64), the EFT guard
+    canary, and the algsimp-off configuration USER_GUIDE prescribes for
+    large df64 graphs (each leg runs in a subprocess: the chip leg
+    needs XLA_FLAGS set before backend init, the oracle leg needs the
+    CPU x64 backend).  The full watcher-converged study (tail < 1e-10
+    at nu=0.05, where f32 floors at 1.3e-6) is recorded in
+    artifacts/long_horizon/ulbm_df64.json."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    chip = (
+        "import numpy as np\n"
+        "from lbm_tpu.scenes import ulbm\n"
+        "r = ulbm.ulbm_poiseuille_df64(H=8, W=128, T=50, nu=0.05,\n"
+        "    u_max=0.01, tolerance=0.0, t_interval=10)\n"
+        "f = np.asarray(r.f[:, 0], np.float64) \\\n"
+        "    + np.asarray(r.f[:, 1], np.float64)\n"
+        f"np.save({d!r} + '/chip.npy', f)\n")
+    oracle = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "import numpy as np\n"
+        "from lbm_tpu.scenes import ulbm\n"
+        "r = ulbm.ulbm_poiseuille(H=8, W=128, T=50, nu=0.05, u_max=0.01)\n"
+        f"np.save({d!r} + '/oracle.npy', np.asarray(r.f))\n")
+    env = dict(os.environ, XLA_FLAGS="--xla_disable_hlo_passes=algsimp")
+    subprocess.run([sys.executable, "-c", chip], env=env, check=True,
+                   timeout=900)
+    subprocess.run([sys.executable, "-c", oracle], check=True, timeout=600)
+    a = np.load(os.path.join(d, "chip.npy"))
+    b = np.load(os.path.join(d, "oracle.npy"))
+    check("ulbm_df64_vs_f64_oracle", float(np.abs(a - b).max()), 0.0, 1e-12)
+
+
 def rk_rt_100k():
     """The reference's LARGEST single-domain workload end-to-end on
     chip: RK-CG Rayleigh-Taylor 1024x256 x 100k steps
@@ -559,7 +601,7 @@ QUICK = ["poiseuille", "poiseuille_df64", "laplace", "taylor_green",
          "rt_growth", "cavity", "kbc", "sharded", "falling", "thermal",
          "les", "trt", "shan_chen", "cavity3d"]
 LONG = ["csf_growth", "variants", "strouhal", "laplace_df64", "dkt",
-        "ellipse", "rt_100k", "ulbm_300k", "rk_rt_100k"]
+        "ellipse", "rt_100k", "ulbm_300k", "rk_rt_100k", "ulbm_df64"]
 
 
 def main(argv):
