@@ -125,17 +125,31 @@ def families():
         run = make_sc_body(R, C, omega=1.0, G=-5.0, substeps=ss)
         cases.append(("sc", ss, 9, run, sc_state()))
 
+    from lbm_tpu.kernels.pipeline import resolve_block_rows
+
     rows = []
     offs = jnp.zeros((2,), jnp.int32)
     off1 = jnp.zeros((1,), jnp.int32)
     for name, ss, planes, run, S in cases:
-        k1 = make_local_halo_body_step(planes, R, C, run, dtype=dtype)
+        # SAME block geometry in both kernels (the 1-D body kernel's
+        # bare default is B=8, which triples halo recompute and would
+        # fake a 2-D win): the 1-D production pick, capped at 32 for
+        # the 20-plane CSF body whose temporaries exceed the 2-D
+        # kernel's scoped limit at taller blocks (measured 42.1M vs
+        # 39M)
+        B = resolve_block_rows((planes,), planes, R, C, dtype,
+                               6 * 2 ** 20, None, False)
+        if planes >= 20:
+            B = min(B, 32)
+        k1 = make_local_halo_body_step(planes, R, C, run, dtype=dtype,
+                                       block_rows=B)
 
         def step1(g, k1=k1):
             return k1(off1, g, g[:, -HALO:], g[:, :HALO])
 
         m1 = measure(step1, S, ss)
-        k2 = make_local_2d_body_step(planes, R, C, C, run, dtype=dtype)
+        k2 = make_local_2d_body_step(planes, R, C, C, run, dtype=dtype,
+                                     block_rows=B)
 
         def step2(g, k2=k2):
             top, bot = g[:, -HALO:], g[:, :HALO]
