@@ -51,7 +51,7 @@ def build_step(args, H, W):
             from lbm_tpu.kernels.mrtcg_pallas import default_geometry
 
             st = "csf" if args.model.startswith("csf") else "perturbation"
-            ss, bb = default_geometry(st, R=H)
+            ss, bb = default_geometry(st, R=H, C=W)
             args.substeps = ss
             if args.block_rows is None:
                 args.block_rows = bb

@@ -808,13 +808,22 @@ _WIDE_OPT = {"perturbation": (5, 256), "csf": (4, 256)}
 
 
 def default_geometry(surface_tension: str = "perturbation",
-                     R: int | None = None) -> tuple[int, int | None]:
+                     R: int | None = None,
+                     C: int | None = None) -> tuple[int, int | None]:
     """Measured-optimal ``(substeps, block_rows)`` for the reduced
     colour-gradient kernels (_WIDE_OPT).  When ``R`` is given and does
     not admit the tall alias-free block (R % 256 != 0 or
     R < 256 + 2*halo), falls back to ``(2, None)`` — the round-3
-    shallow-cadence default with the auto block pick."""
+    shallow-cadence default with the auto block pick.
+
+    The optimum is WIDTH-dependent: it was measured at C=512, and at
+    narrow grids the deep cadence LOSES — the round-5 sweep caught the
+    width-blind pick regressing 2048x128 (mrtcg 3,443 at (5,256) vs
+    4,899 at the shallow default; csf 2,480 vs 3,785), so when ``C``
+    is given and < 512 the shallow fallback applies."""
     ss, B = _WIDE_OPT["csf" if surface_tension == "csf" else "perturbation"]
+    if C is not None and C < 512:
+        return 2, None
     if R is not None:
         halo = halo_for(ss, 5 if surface_tension == "csf" else 3)
         if R % B != 0 or R < B + 2 * halo:
@@ -824,18 +833,18 @@ def default_geometry(surface_tension: str = "perturbation",
 
 def resolve_geometry(substeps, block_rows,
                      surface_tension: str = "perturbation",
-                     R: int | None = None):
+                     R: int | None = None, C: int | None = None):
     """Resolve a factory ``(substeps, block_rows)`` pair:
     ``substeps="auto"`` opts into the measured wide-shape optimum
     (default_geometry — the cadence and the tall block are a COUPLED
-    pick: deep cadences only pay at B=256), with an explicit
-    ``block_rows`` always winning over the optimum's block.  Integer
-    ``substeps`` passes both through untouched."""
+    pick: deep cadences only pay at B=256 AND C >= 512), with an
+    explicit ``block_rows`` always winning over the optimum's block.
+    Integer ``substeps`` passes both through untouched."""
     if isinstance(substeps, str):
         if substeps != "auto":
             raise ValueError(
                 f"substeps must be an int or 'auto', got {substeps!r}")
-        ss, B = default_geometry(surface_tension, R=R)
+        ss, B = default_geometry(surface_tension, R=R, C=C)
         return ss, (block_rows if block_rows is not None else B)
     return substeps, block_rows
 
@@ -880,7 +889,7 @@ def make_mrtcg_fused_step(R: int, C: int, red: ColourParams,
     from .pipeline import make_block_pipeline, resolve_block_rows
 
     substeps, block_rows = resolve_geometry(substeps, block_rows,
-                                            "perturbation", R)
+                                            "perturbation", R, C)
     halo = halo_for(substeps, 3)
     block_rows = resolve_block_rows(
         (18,), 18, R, C, dtype, 6 * 2 ** 20, block_rows, False, halo=halo)
@@ -919,7 +928,8 @@ def make_csf_fused_step(R: int, C: int, red: ColourParams,
     ("auto" opts into the measured wide-shape optimum)."""
     from .pipeline import make_block_pipeline, resolve_block_rows
 
-    substeps, block_rows = resolve_geometry(substeps, block_rows, "csf", R)
+    substeps, block_rows = resolve_geometry(substeps, block_rows, "csf",
+                                            R, C)
     halo = halo_for(substeps, 5)
     # lift=False — CSF prefers the default-scope pick (see
     # _make_reduced_pipeline)
@@ -1013,7 +1023,7 @@ def make_mrtcg_reduced_step(R: int, C: int, red: ColourParams,
     opts into the measured wide-shape optimum (resolve_geometry): the
     B=256 deep-cadence pick where R admits it, else (2, auto block)."""
     substeps, block_rows = resolve_geometry(substeps, block_rows,
-                                            surface_tension, R)
+                                            surface_tension, R, C)
     return _make_reduced_pipeline(
         R, C, red, blue, sigma, gravity, delta, apply_gravity_source,
         dtype, block_rows, interpret, surface_tension, split_out=False,

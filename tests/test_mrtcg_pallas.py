@@ -279,6 +279,12 @@ def test_resolve_geometry_auto_pairs():
     assert resolve_geometry("auto", 64, "perturbation", 512) == (5, 64)
     # R that does not admit the tall alias-free block -> shallow fallback
     assert resolve_geometry("auto", None, "perturbation", 320) == (2, None)
+    # narrow grids fall back too: the optimum is width-dependent (the
+    # r5 sweep measured the deep cadence LOSING at C=128)
+    assert resolve_geometry("auto", None, "perturbation", 2048, 128) == \
+        (2, None)
+    assert resolve_geometry("auto", None, "perturbation", 1024, 512) == \
+        (5, 256)
     assert resolve_geometry(3, 128, "perturbation", 512) == (3, 128)
     assert resolve_geometry("auto", None, "perturbation", 512) == \
         (default_geometry("perturbation", R=512))
